@@ -1,0 +1,216 @@
+"""Scene representation: an SoA pytree of spheres, triangles, BVH, materials.
+
+The reference's "scene" is one hard-coded sphere inside the compute kernel
+(`Test.hlsl:12-13`); here scenes are data. Everything is a flat float32/int32
+array so the scene shards/jits cleanly and the intersection kernels stay
+branchless. Host-side construction goes through ``SceneBuilder`` (numpy);
+``SceneBuilder.build()`` runs the BVH builder over all triangles and uploads
+device arrays.
+
+Layout invariants:
+  * ≥ 1 sphere and ≥ 1 triangle always exist (degenerate, mat_id 0, can
+    never be hit) so gathers/reductions never see zero-length axes.
+  * Triangles are permuted so BVH leaves cover contiguous ranges.
+  * Materials are a 4-column table indexed by per-primitive int32 mat ids
+    (see ``ops.materials``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracing_tpu.ops import bvh as bvh_ops
+from pathtracing_tpu.ops import intersect, linalg, materials
+
+
+class Scene(NamedTuple):
+    sph_center: jnp.ndarray   # (S, 3) f32
+    sph_radius: jnp.ndarray   # (S,)   f32
+    sph_mat: jnp.ndarray      # (S,)   i32
+    tri_v0: jnp.ndarray       # (T, 3) f32
+    tri_e1: jnp.ndarray       # (T, 3) f32
+    tri_e2: jnp.ndarray       # (T, 3) f32
+    tri_mat: jnp.ndarray      # (T,)   i32
+    bvh: bvh_ops.FlatBVH
+    mat_type: jnp.ndarray     # (K,)   i32
+    mat_albedo: jnp.ndarray   # (K, 3) f32
+    mat_param: jnp.ndarray    # (K,)   f32
+    mat_emit: jnp.ndarray     # (K, 3) f32
+
+    @property
+    def material_table(self):
+        return (self.mat_type, self.mat_albedo, self.mat_param, self.mat_emit)
+
+
+class Hit(NamedTuple):
+    """Per-ray hit record (SoA under vmap)."""
+
+    t: jnp.ndarray        # distance, +inf on miss
+    position: jnp.ndarray  # (…, 3)
+    normal: jnp.ndarray    # (…, 3) unit, flipped to face against the ray
+    mat_id: jnp.ndarray    # int32, 0 on miss (mask with .valid)
+    front: jnp.ndarray     # bool, geometric front side
+    valid: jnp.ndarray     # bool
+
+
+class SceneBuilder:
+    """Host-side scene assembly (numpy): the ResourceFactory the reference
+    stubbed out (`Graphics/ResourceFactory.cs:3-28`) plus the missing scene
+    compiler. Not jit-traceable; call once per scene."""
+
+    def __init__(self) -> None:
+        self._sph = []          # (center, radius, mat)
+        self._tri = []          # (v0, v1, v2, mat)
+        self._mat = []          # (type, albedo, param, emit)
+
+    # -- materials ---------------------------------------------------------
+    def add_material(self, mtype, albedo=(0.0, 0.0, 0.0), param=0.0,
+                     emit=(0.0, 0.0, 0.0)) -> int:
+        self._mat.append((int(mtype), tuple(albedo), float(param), tuple(emit)))
+        return len(self._mat) - 1
+
+    def lambertian(self, albedo) -> int:
+        return self.add_material(materials.TYPE_LAMBERTIAN, albedo)
+
+    def metal(self, albedo, fuzz=0.0) -> int:
+        return self.add_material(materials.TYPE_METAL, albedo, fuzz)
+
+    def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0)) -> int:
+        return self.add_material(materials.TYPE_DIELECTRIC, tint, ior)
+
+    def emissive(self, radiance) -> int:
+        return self.add_material(
+            materials.TYPE_EMISSIVE, (0.0, 0.0, 0.0), 0.0, radiance
+        )
+
+    # -- geometry ----------------------------------------------------------
+    def add_sphere(self, center, radius, mat_id) -> None:
+        self._sph.append((tuple(center), float(radius), int(mat_id)))
+
+    def add_triangle(self, v0, v1, v2, mat_id) -> None:
+        self._tri.append((tuple(v0), tuple(v1), tuple(v2), int(mat_id)))
+
+    def add_quad(self, corner, edge_u, edge_v, mat_id) -> None:
+        """Parallelogram as two triangles (Cornell walls)."""
+        c = np.asarray(corner, np.float64)
+        u = np.asarray(edge_u, np.float64)
+        v = np.asarray(edge_v, np.float64)
+        self.add_triangle(c, c + u, c + u + v, mat_id)
+        self.add_triangle(c, c + u + v, c + v, mat_id)
+
+    def add_mesh(self, vertices: np.ndarray, faces: np.ndarray, mat_id) -> None:
+        """Indexed triangle mesh: vertices (V,3) float, faces (F,3) int."""
+        vertices = np.asarray(vertices, np.float64)
+        faces = np.asarray(faces, np.int64)
+        tri = vertices[faces]  # (F, 3, 3)
+        for v0, v1, v2 in tri:
+            self._tri.append((tuple(v0), tuple(v1), tuple(v2), int(mat_id)))
+
+    # -- finalize ----------------------------------------------------------
+    def build(self) -> Scene:
+        if not self._mat:
+            self.lambertian((0.5, 0.5, 0.5))
+
+        # Degenerate pads: a zero-radius sphere at +inf-ish and a
+        # zero-area triangle (both unhittable, mat 0).
+        sph = self._sph or []
+        far = (3.0e38, 3.0e38, 3.0e38)
+        sph = sph + [(far, 0.0, 0)] if not sph else sph
+        tri = self._tri or [((0.0, 0.0, 0.0),) * 3 + (0,)]
+
+        sph_center = np.array([s[0] for s in sph], np.float32)
+        sph_radius = np.array([s[1] for s in sph], np.float32)
+        sph_mat = np.array([s[2] for s in sph], np.int32)
+
+        v0 = np.array([t[0] for t in tri], np.float32)
+        v1 = np.array([t[1] for t in tri], np.float32)
+        v2 = np.array([t[2] for t in tri], np.float32)
+        tri_mat = np.array([t[3] for t in tri], np.int32)
+        e1 = v1 - v0
+        e2 = v2 - v0
+
+        (node_min, node_max, node_meta), perm = bvh_ops.build_bvh(v0, e1, e2)
+        v0, e1, e2, tri_mat = v0[perm], e1[perm], e2[perm], tri_mat[perm]
+
+        mat_type = np.array([m[0] for m in self._mat], np.int32)
+        mat_albedo = np.array([m[1] for m in self._mat], np.float32)
+        mat_param = np.array([m[2] for m in self._mat], np.float32)
+        mat_emit = np.array([m[3] for m in self._mat], np.float32)
+
+        return Scene(
+            sph_center=jnp.asarray(sph_center),
+            sph_radius=jnp.asarray(sph_radius),
+            sph_mat=jnp.asarray(sph_mat),
+            tri_v0=jnp.asarray(v0),
+            tri_e1=jnp.asarray(e1),
+            tri_e2=jnp.asarray(e2),
+            tri_mat=jnp.asarray(tri_mat),
+            bvh=bvh_ops.FlatBVH(
+                jnp.asarray(node_min), jnp.asarray(node_max),
+                jnp.asarray(node_meta),
+            ),
+            mat_type=jnp.asarray(mat_type),
+            mat_albedo=jnp.asarray(mat_albedo),
+            mat_param=jnp.asarray(mat_param),
+            mat_emit=jnp.asarray(mat_emit),
+        )
+
+
+def intersect_scene(scene: Scene, origin, direction) -> Hit:
+    """Closest hit for ONE ray against all primitives (vmap over batches).
+
+    Spheres are brute-forced (few, analytic); triangles go through the
+    threaded BVH (``ops.bvh.traverse``).
+    """
+    # Spheres: vectorized over the (small) sphere set.
+    ts = intersect.ray_sphere(
+        origin[None, :], direction[None, :],
+        scene.sph_center, scene.sph_radius,
+    )
+    sph_idx = jnp.argmin(ts)
+    sph_t = ts[sph_idx]
+
+    tri_t, tri_idx = bvh_ops.traverse(
+        scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+        origin, direction, sph_t,  # BVH culls against the best sphere t
+    )
+
+    hit_tri = tri_t < sph_t
+    t = jnp.where(hit_tri, tri_t, sph_t)
+    valid = jnp.isfinite(t)
+    position = origin + t[..., None] * direction
+
+    # Geometric normals.
+    safe_sph = jnp.minimum(sph_idx, scene.sph_center.shape[0] - 1)
+    n_sph = (position - scene.sph_center[safe_sph]) / jnp.maximum(
+        scene.sph_radius[safe_sph], 1e-12
+    )
+    safe_tri = jnp.clip(tri_idx, 0, scene.tri_v0.shape[0] - 1)
+    n_tri = linalg.normalize(
+        linalg.cross(scene.tri_e1[safe_tri], scene.tri_e2[safe_tri])
+    )
+    n_geo = jnp.where(hit_tri, n_tri, n_sph)
+
+    front = linalg.dot(direction, n_geo) < 0.0
+    normal = jnp.where(front, 1.0, -1.0) * n_geo
+
+    mat_id = jnp.where(
+        hit_tri, scene.tri_mat[safe_tri], scene.sph_mat[safe_sph]
+    ).astype(jnp.int32)
+    mat_id = jnp.where(valid, mat_id, 0)
+
+    return Hit(
+        t=t,
+        position=position,
+        normal=normal,
+        mat_id=mat_id,
+        front=front,
+        valid=valid,
+    )
+
+
+intersect_scene_batch = jax.vmap(intersect_scene, in_axes=(None, 0, 0))

@@ -1,0 +1,188 @@
+"""CLI entry point: ``python -m pathtracing_tpu.render``.
+
+The reference's L3/L4 (windowed app shell + Program.cs, SURVEY.md §1) maps
+to this headless driver: progressive render loop with periodic "present"
+(PNG snapshot), checkpoint/resume, metrics, and optional profiling. A live
+preview window is optional (matplotlib, if available) since TPU hosts are
+headless.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from pathtracing_tpu.models import progressive, scenes
+from pathtracing_tpu.models.reference import render_reference
+from pathtracing_tpu.ops.camera import build_camera
+from pathtracing_tpu.utils import checkpoint as ckpt
+from pathtracing_tpu.utils import image, metrics
+from pathtracing_tpu.utils import logging as ptlog
+from pathtracing_tpu.utils.config import RenderConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m pathtracing_tpu.render",
+        description="TPU-native progressive path tracer",
+    )
+    p.add_argument("--scene", default="cornell_bsdf",
+                   choices=sorted(scenes.SCENES) + ["reference"],
+                   help="built-in scene, or 'reference' for the exact "
+                        "reference kernel image (Test.hlsl parity)")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--spp", type=int, default=256, help="total samples/pixel")
+    p.add_argument("--spp-per-step", type=int, default=8)
+    p.add_argument("--max-depth", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--engine", default="megakernel",
+                   choices=["megakernel", "wavefront"])
+    p.add_argument("--background", default="black",
+                   choices=["black", "gradient", "white"])
+    p.add_argument("--out", default="render.png")
+    p.add_argument("--snapshot-every", type=int, default=0,
+                   help="write the PNG every N steps (0 = only at end)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file; resumes if it exists")
+    p.add_argument("--checkpoint-every", type=int, default=8,
+                   help="checkpoint every N steps")
+    p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace into this directory")
+    p.add_argument("--preview", action="store_true",
+                   help="live preview via matplotlib (if installed)")
+    p.add_argument("--debug", action="store_true",
+                   help="enable NaN checking (reference DEBUG-validation "
+                        "analogue)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    log = ptlog.get_logger()
+
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
+        ptlog.log_information("debug mode: NaN checking enabled")
+
+    ptlog.log_information(
+        "devices: %s", ", ".join(str(d) for d in jax.devices())
+    )
+
+    if args.scene == "reference":
+        img = render_reference(args.height, args.width)
+        image.write_png(args.out, np.asarray(img)[..., :3])
+        ptlog.log_information("wrote reference-parity image to %s", args.out)
+        return 0
+
+    config = RenderConfig(
+        width=args.width, height=args.height,
+        samples_per_pixel=args.spp, max_depth=args.max_depth,
+        seed=args.seed, samples_per_step=args.spp_per_step,
+        engine=args.engine, background=args.background,
+    )
+    scene, cam_cfg = scenes.get_scene(args.scene)
+    camera = build_camera(cam_cfg, args.width / args.height)
+
+    if args.engine == "wavefront":
+        from pathtracing_tpu.models import wavefront as engine_mod
+        step_fn = engine_mod.render_step
+    else:
+        step_fn = progressive.render_step
+
+    state = progressive.init_state(config)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        try:
+            state = ckpt.load(args.checkpoint, config)
+        except ValueError as e:
+            ptlog.log_critical("%s", e)
+            return 2
+        ptlog.log_information(
+            "resumed from %s at %d spp", args.checkpoint, int(state.spp)
+        )
+
+    mlog = metrics.MetricsLog(jsonl_path=args.metrics_jsonl)
+    preview = _Preview() if args.preview else None
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    n_steps = -(-config.samples_per_pixel // config.samples_per_step)
+    start_spp = int(state.spp)
+    step = start_spp // config.samples_per_step
+    try:
+        while int(state.spp) < config.samples_per_pixel:
+            with metrics.Timer() as t:
+                state = step_fn(state, scene, camera, config)
+                jax.block_until_ready(state.accum)
+            step += 1
+            rays = metrics.rays_per_sample(
+                config.width, config.height, config.max_depth
+            ) * config.samples_per_step
+            mlog.record(metrics.StepMetrics(
+                step=step, seconds=t.seconds,
+                samples_added=config.samples_per_step,
+                total_spp=int(state.spp),
+                mrays_per_s=rays / t.seconds / 1e6,
+                samples_per_s=config.width * config.height
+                * config.samples_per_step / t.seconds,
+            ))
+            if args.checkpoint and step % args.checkpoint_every == 0:
+                ckpt.save(args.checkpoint, state, config)
+            if args.snapshot_every and step % args.snapshot_every == 0:
+                image.write_png(args.out, progressive.resolve(state))
+            if preview is not None:
+                preview.update(progressive.resolve(state), int(state.spp))
+    except KeyboardInterrupt:
+        ptlog.log_warning("interrupted at %d spp", int(state.spp))
+    finally:
+        if args.profile:
+            jax.profiler.stop_trace()
+            ptlog.log_information("profile trace in %s", args.profile)
+
+    if args.checkpoint:
+        ckpt.save(args.checkpoint, state, config)
+    image.write_png(args.out, progressive.resolve(state))
+    ptlog.log_information(
+        "wrote %s (%d spp, %d steps)", args.out, int(state.spp), step
+    )
+    return 0
+
+
+class _Preview:
+    """Optional live preview window — the reference's swapchain-present
+    analogue (`Renderer.cs:976-991`), degraded gracefully when headless."""
+
+    def __init__(self) -> None:
+        try:
+            import matplotlib.pyplot as plt
+
+            self._plt = plt
+            plt.ion()
+            self._fig, self._ax = plt.subplots()
+            self._im = None
+        except Exception:
+            ptlog.log_warning("matplotlib unavailable; preview disabled")
+            self._plt = None
+
+    def update(self, linear, spp: int) -> None:
+        if self._plt is None:
+            return
+        rgb = np.asarray(image.tonemap(linear))
+        if self._im is None:
+            self._im = self._ax.imshow(rgb)
+        else:
+            self._im.set_data(rgb)
+        self._ax.set_title(f"{spp} spp")
+        self._fig.canvas.draw_idle()
+        self._plt.pause(0.001)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

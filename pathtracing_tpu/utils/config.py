@@ -1,0 +1,75 @@
+"""Configuration tree for the renderer.
+
+The reference hard-codes every knob (window size `App.cs:27`, kernel
+resolution `Test.hlsl:6`, camera/sphere `Test.hlsl:8-13`, DEBUG toggles via
+`#if DEBUG`). Here configuration is first-class: dataclasses consumed by the
+CLI (`pathtracing_tpu.render`) and by `jit`-ed render functions as *static*
+arguments (all fields are hashable Python scalars/tuples so a config change
+triggers a deliberate recompile — the analogue of the reference's
+swapchain/pipeline recreation on resize, `Renderer.cs:497-520`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera with optional thin-lens defocus.
+
+    Defaults reproduce the reference camera (`Test.hlsl:8-10`): eye at
+    (0,0,1) looking down -z with a 90° square frustum.
+    """
+
+    position: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    look_at: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    vfov_degrees: float = 90.0
+    aperture: float = 0.0       # 0 => ideal pinhole
+    focus_distance: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Per-render settings (resolution / sampling / integrator)."""
+
+    width: int = 512
+    height: int = 512
+    samples_per_pixel: int = 64
+    max_depth: int = 8              # bounce limit
+    rr_start_depth: int = 8         # Russian roulette kicks in at this depth
+    seed: int = 0
+    samples_per_step: int = 4       # spp added per progressive step
+    engine: str = "megakernel"      # "megakernel" | "wavefront" | "reference"
+    background: str = "black"       # "black" | "gradient" | "uv"
+    dtype: str = "float32"
+    debug: bool = False             # NaN checks + interpret-mode kernels
+                                    # (reference DEBUG validation-layer analogue,
+                                    #  GraphicsDevice.cs:62-67)
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceConfig:
+    """Device-mesh layout for multi-chip rendering.
+
+    The reference is single-GPU (SURVEY.md §2.1); here the mesh shape is a
+    first-class knob. ``tile_axis`` shards image rows, ``sample_axis`` shards
+    samples-per-pixel (merged with a psum over ICI).
+    """
+
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("tiles",)
+    donate_state: bool = True
+
+
+def render_config_from_json(path: str) -> RenderConfig:
+    with open(path) as f:
+        raw = json.load(f)
+    return RenderConfig(**raw)

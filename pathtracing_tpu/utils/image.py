@@ -1,0 +1,110 @@
+"""Tonemapping and image output — the TPU-native "present" path.
+
+The reference presents via a fullscreen-quad blit to a swapchain
+(`Renderer.cs:1042-1121`, `PixelShader.hlsl:8-19`); TPUs have no display
+engine, so presenting is: tonemap on device (fused into the render step) →
+one HBM→host transfer → PNG/PPM bytes. The PNG encoder is pure stdlib
+(zlib + struct) so the framework has zero imaging dependencies.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear_to_srgb(rgb):
+    """IEC 61966-2-1 opto-electronic transfer (proper sRGB, not gamma-2)."""
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    lo = rgb * 12.92
+    hi = 1.055 * jnp.power(jnp.maximum(rgb, 1e-7), 1.0 / 2.4) - 0.055
+    return jnp.where(rgb <= 0.0031308, lo, hi)
+
+
+@jax.jit
+def tonemap(linear_rgb):
+    """Linear HDR radiance → uint8 sRGB (device-side; one op before host
+    transfer, replacing the reference's blit+swapchain)."""
+    srgb = linear_to_srgb(linear_rgb)
+    return jnp.clip(srgb * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+
+def encode_png(rgb8: np.ndarray) -> bytes:
+    """Minimal RGB8 PNG encoder (stdlib only). rgb8: (H, W, 3) uint8."""
+    rgb8 = np.asarray(rgb8, np.uint8)
+    h, w, c = rgb8.shape
+    assert c == 3, "encode_png expects (H, W, 3) uint8"
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    # Filter byte 0 (None) per scanline.
+    raw = b"".join(b"\x00" + rgb8[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Minimal decoder for images produced by ``encode_png`` (tests only).
+
+    Supports 8-bit RGB, filter 0 scanlines, single IDAT stream.
+    """
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color, *_ = struct.unpack(">IIBBBBB", payload)
+            assert depth == 8 and color == 2, "decoder supports RGB8 only"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = []
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        assert row[0] == 0, "decoder supports filter 0 only"
+        rows.append(np.frombuffer(row[1:], np.uint8))
+    return np.stack(rows).reshape(h, w, 3)
+
+
+def write_png(path: str, linear_rgb) -> None:
+    """Tonemap + encode + write in one call."""
+    rgb8 = np.asarray(jax.device_get(tonemap(jnp.asarray(linear_rgb))))
+    with open(path, "wb") as f:
+        f.write(encode_png(rgb8))
+
+
+def write_ppm(path: str, linear_rgb) -> None:
+    """Plain PPM (P6) writer — the zero-dependency fallback format."""
+    rgb8 = np.asarray(jax.device_get(tonemap(jnp.asarray(linear_rgb))))
+    h, w, _ = rgb8.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(rgb8.tobytes())
+
+
+def rmse(a, b) -> float:
+    """Per-pixel RMSE between two linear images (the BASELINE.json metric)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2)))

@@ -1,0 +1,79 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh (SURVEY.md §4e).
+
+The key property: any (tiles × samples) mesh shape produces the single-chip
+image bit for bit, because pixel ids and sample ids are global in the RNG
+(parallel/render.py docstring).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pathtracing_tpu.models import progressive, scenes
+from pathtracing_tpu.ops.camera import build_camera
+from pathtracing_tpu.parallel import mesh as mesh_mod
+from pathtracing_tpu.parallel import render as prender
+from pathtracing_tpu.utils.config import RenderConfig
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+CFG = RenderConfig(width=16, height=16, samples_per_pixel=4,
+                   max_depth=3, seed=21, samples_per_step=4)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene, cam_cfg = scenes.cornell_sphere()
+    cam = build_camera(cam_cfg, 1.0)
+    state = progressive.init_state(CFG)
+    ref = progressive.render_step(state, scene, cam, CFG)
+    return scene, cam, np.asarray(ref.accum)
+
+
+@pytest.mark.parametrize("tiles,samples", [(8, 1), (4, 2), (2, 4), (1, 1)])
+def test_mesh_matches_single_chip(setup, tiles, samples):
+    scene, cam, ref = setup
+    if tiles * samples > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = mesh_mod.make_mesh(
+        tiles, samples, devices=jax.devices()[: tiles * samples]
+    )
+    step = prender.make_sharded_step(mesh, CFG)
+    state = prender.init_sharded_state(mesh, CFG)
+    state = step(state, scene, cam)
+    got = np.asarray(jax.device_get(state.accum))
+    np.testing.assert_array_equal(got, ref)
+    assert int(state.spp) == CFG.samples_per_step
+
+
+def test_two_steps_match(setup):
+    scene, cam, _ = setup
+    mesh = mesh_mod.make_mesh(4, 2)
+    step = prender.make_sharded_step(mesh, CFG)
+    state = prender.init_sharded_state(mesh, CFG)
+    state = step(state, scene, cam)
+    state = step(state, scene, cam)
+
+    single = progressive.init_state(CFG)
+    single = progressive.render_step(single, scene, cam, CFG)
+    single = progressive.render_step(single, scene, cam, CFG)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(state.accum)), np.asarray(single.accum)
+    )
+    img = prender.gather_image(state)
+    assert img.shape == (16, 16, 3)
+
+
+def test_invalid_mesh_shapes_rejected():
+    mesh = mesh_mod.make_mesh(8, 1)
+    with pytest.raises(ValueError, match="not divisible"):
+        prender.make_sharded_step(
+            mesh, RenderConfig(width=16, height=12, samples_per_step=4)
+        )
+    mesh2 = mesh_mod.make_mesh(2, 4)
+    with pytest.raises(ValueError, match="not divisible"):
+        prender.make_sharded_step(
+            mesh2, RenderConfig(width=16, height=16, samples_per_step=3)
+        )
