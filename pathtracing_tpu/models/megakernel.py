@@ -19,32 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from pathtracing_tpu.models import scene as scene_mod
+from pathtracing_tpu.models import shading
 from pathtracing_tpu.ops import materials, rng
 from pathtracing_tpu.utils.config import RenderConfig
 
-
-def background_radiance(direction, mode: str):
-    """Environment lookup for escaped rays (static mode → fused constant)."""
-    if mode == "black":
-        return jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
-    if mode == "white":
-        # Uniform unit environment (furnace-test mode).
-        return jnp.ones(direction.shape[:-1] + (3,), jnp.float32)
-    if mode == "gradient":
-        # The classic white→sky-blue vertical gradient.
-        t = 0.5 * (direction[..., 1] + 1.0)
-        white = jnp.array([1.0, 1.0, 1.0], jnp.float32)
-        blue = jnp.array([0.5, 0.7, 1.0], jnp.float32)
-        return (1.0 - t)[..., None] * white + t[..., None] * blue
-    if mode == "uv":
-        # Reference miss shading (`Test.hlsl:36`): color = (uv, 0). Only
-        # meaningful for the parity model where uv is the ray's film coord;
-        # approximated here by the direction's xy (documented difference).
-        return jnp.stack(
-            [direction[..., 0], direction[..., 1],
-             jnp.zeros_like(direction[..., 0])], axis=-1,
-        )
-    raise ValueError(f"unknown background mode: {mode}")
+# Back-compat re-export; the implementation moved to models.shading.
+background_radiance = shading.background_radiance
 
 
 def trace_path(scene: scene_mod.Scene, origin, direction, key,
@@ -53,53 +33,16 @@ def trace_path(scene: scene_mod.Scene, origin, direction, key,
 
     ``key`` is the per-(pixel, sample) threefry key from ``ops.rng``; all
     per-bounce randomness is derived from it by counter folding, so the
-    estimate is independent of batch shape and sharding.
+    estimate is independent of batch shape and sharding. The bounce body
+    lives in ``models.shading`` (shared with the wavefront engine).
     """
 
     def bounce(depth, state):
         radiance, throughput, o, d, active = state
-
-        hit = scene_mod.intersect_scene(scene, o, d)
-
-        # Escaped rays pick up the environment and terminate. NOTE: masked
-        # with where (not an indicator multiply) — dead lanes carry NaN
-        # positions/directions by design and 0*NaN would poison the sum.
-        env = background_radiance(d, background)
-        escaped = active & jnp.logical_not(hit.valid)
-        radiance = radiance + jnp.where(escaped, throughput * env, 0.0)
-
-        # Surface interaction (branchless BSDF table).
-        mtype, alb, par, emit = materials.gather(
-            scene.material_table, hit.mat_id
+        return shading.bounce(
+            scene, o, d, key, depth, radiance, throughput, active,
+            rr_start_depth, background,
         )
-        live = active & hit.valid
-        radiance = radiance + jnp.where(live, throughput * emit, 0.0)
-
-        k = rng.stream_key(key, depth, rng.STREAM_SCATTER)
-        u = jax.random.uniform(k, (5,), dtype=jnp.float32)
-        d_out, atten, scattered, _ = materials.scatter(
-            mtype, alb, par, emit, hit.normal, d, hit.front, u
-        )
-
-        throughput = throughput * jnp.where(live, atten, 1.0)
-        active = live & scattered
-
-        # Russian roulette: kill low-throughput paths unbiasedly.
-        tp_max = jnp.max(throughput)
-        rr_u = jax.random.uniform(
-            rng.stream_key(key, depth, rng.STREAM_RR), (), dtype=jnp.float32
-        )
-        p_continue = jnp.clip(tp_max, 0.05, 1.0)
-        do_rr = depth >= rr_start_depth
-        survive = jnp.logical_not(do_rr) | (rr_u < p_continue)
-        throughput = jnp.where(
-            do_rr & survive, throughput / p_continue, throughput
-        )
-        active = active & survive
-
-        o = hit.position
-        d = d_out
-        return radiance, throughput, o, d, active
 
     init = (
         jnp.zeros(3, jnp.float32),   # radiance

@@ -1,0 +1,204 @@
+"""Wavefront path-tracing engine: persistent ray pool with regeneration.
+
+BASELINE config 4 ("branchy megakernel bounces are restructured into a
+wavefront loop with scan-based stream compaction of live rays"). The GPU
+formulation keeps SIMD lanes full with explicit ray queues and compaction
+passes; the TPU-native formulation is *in-place path regeneration*:
+
+  * A fixed-size SoA pool of N paths lives in HBM. Every iteration of one
+    ``lax.while_loop``: (1) dead slots are refilled with fresh camera
+    samples pulled from a global (pixel, sample) stream — their rank among
+    dead slots comes from a cumsum (the scan-based compaction, but applied
+    to the *free list* so live rays never move); (2) all slots take one
+    shared-``models.shading`` bounce; (3) newly terminated paths scatter-add
+    their radiance into the flat accumulation image.
+
+  * Utilization: the megakernel traces ``max_depth`` wavefronts per sample
+    even though the average path dies after 2-3 bounces; here every
+    iteration traces a ~full pool of live rays, so total traversal work is
+    proportional to *actual* path segments. The loop runs until the stream
+    is exhausted and the pool drains.
+
+  * Reproducibility: paths are keyed by (seed, pixel, sample) exactly like
+    the megakernel (``shading.camera_sample``), so per-path estimates are
+    bit-identical across engines; only the floating-point accumulation
+    order differs.
+
+The reference has no analogue (one primary ray per pixel, `Test.hlsl:4-10`);
+its SIMT dispatch (`Renderer.cs:1020`) corresponds to the vmapped bounce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtracing_tpu.models import shading
+from pathtracing_tpu.models.progressive import RenderState
+from pathtracing_tpu.utils.config import RenderConfig
+
+
+class PathPool(NamedTuple):
+    """SoA state for N in-flight paths (all arrays length N)."""
+
+    origin: jnp.ndarray      # (N, 3) f32
+    direction: jnp.ndarray   # (N, 3) f32
+    radiance: jnp.ndarray    # (N, 3) f32 — per-path running estimate
+    throughput: jnp.ndarray  # (N, 3) f32
+    pixel: jnp.ndarray       # (N,) i32 flat pixel id
+    sample: jnp.ndarray      # (N,) i32 global sample index
+    depth: jnp.ndarray       # (N,) i32 bounce counter
+    active: jnp.ndarray      # (N,) bool
+
+
+def _empty_pool(n: int) -> PathPool:
+    return PathPool(
+        origin=jnp.zeros((n, 3), jnp.float32),
+        direction=jnp.zeros((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        pixel=jnp.zeros(n, jnp.int32),
+        sample=jnp.zeros(n, jnp.int32),
+        depth=jnp.zeros(n, jnp.int32),
+        active=jnp.zeros(n, jnp.bool_),
+    )
+
+
+def pool_size(config: RenderConfig) -> int:
+    """Pool capacity: explicit config knob, else one slot per pixel capped
+    at 2^20 (a full 1080p wave is ~2.07M paths × 64 B ≈ 133 MB of HBM —
+    fine, but past ~1M slots the VPU is saturated and smaller pools just
+    drain faster)."""
+    if getattr(config, "wavefront_pool", 0):
+        return int(config.wavefront_pool)
+    return min(config.width * config.height, 1 << 20)
+
+
+def render_wave(scene, camera, config: RenderConfig, accum_flat,
+                sample_start, n_samples: int, seed):
+    """Trace ``n_samples`` spp through the pool, accumulating into
+    ``accum_flat`` (H*W, 3). Returns (accum_flat, segments_traced).
+
+    ``sample_start`` (traced) continues the progressive RNG sequence;
+    stream order is pixel-major (all pixels at sample k before k+1).
+    """
+    npix = config.width * config.height
+    n = pool_size(config)
+    total = npix * n_samples
+
+    def refill(pool: PathPool, next_path):
+        """Fill dead slots from the global path stream (cumsum ranking)."""
+        dead = jnp.logical_not(pool.active)
+        # Exclusive cumsum = rank of each dead slot in the free list.
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+        stream = next_path + rank
+        take = dead & (stream < total)
+
+        pixel = (stream % npix).astype(jnp.int32)
+        sample_idx = sample_start + (stream // npix).astype(jnp.int32)
+        key, o, d = jax.vmap(
+            lambda p, s: shading.camera_sample(camera, config, seed, p, s)
+        )(pixel, sample_idx)
+        del key  # recomputed per bounce from (pixel, sample)
+
+        take3 = take[:, None]
+        return PathPool(
+            origin=jnp.where(take3, o, pool.origin),
+            direction=jnp.where(take3, d, pool.direction),
+            radiance=jnp.where(take3, 0.0, pool.radiance),
+            throughput=jnp.where(take3, 1.0, pool.throughput),
+            pixel=jnp.where(take, pixel, pool.pixel),
+            sample=jnp.where(take, sample_idx, pool.sample),
+            depth=jnp.where(take, 0, pool.depth),
+            active=pool.active | take,
+        ), jnp.minimum(next_path + jnp.sum(dead.astype(jnp.int32)), total)
+
+    def bounce_all(pool: PathPool):
+        """One shared-shading bounce over the whole pool (vmapped)."""
+        from pathtracing_tpu.ops import rng
+
+        def one(o, d, pix, smp, depth, radiance, throughput, active):
+            key = rng.pixel_sample_key(seed, pix, smp)
+            return shading.bounce(
+                scene, o, d, key, depth, radiance, throughput, active,
+                config.rr_start_depth, config.background,
+            )
+
+        radiance, throughput, o, d, active = jax.vmap(one)(
+            pool.origin, pool.direction, pool.pixel, pool.sample,
+            pool.depth, pool.radiance, pool.throughput, pool.active,
+        )
+        depth = pool.depth + 1
+        active = active & (depth < config.max_depth)
+        return PathPool(
+            origin=o, direction=d, radiance=radiance,
+            throughput=throughput, pixel=pool.pixel, sample=pool.sample,
+            depth=depth, active=active,
+        )
+
+    def body(carry):
+        pool, accum, next_path, segments = carry
+        pool, next_path = refill(pool, next_path)
+        segments = segments + jnp.sum(pool.active.astype(jnp.int32))
+
+        was_active = pool.active
+        pool = bounce_all(pool)
+
+        # Newly terminated paths deposit and zero their slot estimate so a
+        # slot that stays dead (stream exhausted) deposits exactly once.
+        finished = was_active & jnp.logical_not(pool.active)
+        deposit = jnp.where(finished[:, None], pool.radiance, 0.0)
+        accum = accum.at[pool.pixel].add(
+            deposit, mode="drop", unique_indices=False
+        )
+        pool = pool._replace(
+            radiance=jnp.where(finished[:, None], 0.0, pool.radiance)
+        )
+        return pool, accum, next_path, segments
+
+    def cond(carry):
+        pool, _, next_path, _ = carry
+        return (next_path < total) | jnp.any(pool.active)
+
+    pool0 = _empty_pool(n)
+    accum_flat, segments = jax.lax.while_loop(
+        cond, body,
+        (pool0, accum_flat, jnp.int32(0), jnp.int64(0)
+         if jax.config.jax_enable_x64 else jnp.int32(0)),
+    )[1::2]
+    return accum_flat, segments
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnames=("state",)
+)
+def render_step(state: RenderState, scene, camera,
+                config: RenderConfig) -> RenderState:
+    """One progressive step via the wavefront engine (drop-in replacement
+    for ``progressive.render_step``; same RenderState semantics)."""
+    h, w = config.height, config.width
+    accum_flat, _ = render_wave(
+        scene, camera, config, state.accum.reshape(h * w, 3),
+        sample_start=state.spp, n_samples=config.samples_per_step,
+        seed=state.seed,
+    )
+    return RenderState(
+        accum=accum_flat.reshape(h, w, 3),
+        spp=state.spp + config.samples_per_step,
+        seed=state.seed,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def count_segments(scene, camera, config: RenderConfig, seed):
+    """Segments actually traced for one step (honest Mrays/s numerator)."""
+    h, w = config.height, config.width
+    _, segments = render_wave(
+        scene, camera, config, jnp.zeros((h * w, 3), jnp.float32),
+        sample_start=jnp.int32(0), n_samples=config.samples_per_step,
+        seed=jnp.uint32(seed),
+    )
+    return segments

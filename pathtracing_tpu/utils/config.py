@@ -45,6 +45,7 @@ class RenderConfig:
     samples_per_step: int = 4       # spp added per progressive step
     engine: str = "megakernel"      # "megakernel" | "wavefront" | "reference"
     background: str = "black"       # "black" | "gradient" | "uv"
+    wavefront_pool: int = 0         # wavefront ray-pool slots (0 = auto)
     dtype: str = "float32"
     debug: bool = False             # NaN checks + interpret-mode kernels
                                     # (reference DEBUG validation-layer analogue,

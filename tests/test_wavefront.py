@@ -1,0 +1,98 @@
+"""Wavefront engine: parity with the megakernel, pool sizing, regeneration.
+
+The wavefront engine must produce the SAME image as the megakernel (shared
+``models.shading`` core + identical RNG counters), while tracing only the
+segments that are actually alive.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pathtracing_tpu.models import progressive, scenes, wavefront
+from pathtracing_tpu.ops.camera import build_camera
+from pathtracing_tpu.utils.config import RenderConfig
+
+
+def small_config(**kw):
+    base = dict(width=24, height=16, samples_per_pixel=4, max_depth=5,
+                samples_per_step=4, seed=7)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def bsdf_scene():
+    scene, cam_cfg = scenes.cornell_bsdf()
+    return scene, cam_cfg
+
+
+def render_both(scene, cam_cfg, config):
+    camera = build_camera(cam_cfg, config.width / config.height)
+    s_mega = progressive.render_step(
+        progressive.init_state(config), scene, camera, config
+    )
+    s_wave = wavefront.render_step(
+        progressive.init_state(config), scene, camera, config
+    )
+    return np.asarray(s_mega.accum), np.asarray(s_wave.accum)
+
+
+def test_matches_megakernel(bsdf_scene):
+    scene, cam_cfg = bsdf_scene
+    config = small_config()
+    mega, wave = render_both(scene, cam_cfg, config)
+    assert mega.shape == wave.shape
+    np.testing.assert_allclose(mega, wave, atol=2e-4)
+
+
+def test_small_pool_same_image(bsdf_scene):
+    """A pool far smaller than the wave (forces many regeneration rounds)
+    must not change the image — stream indices are global."""
+    scene, cam_cfg = bsdf_scene
+    config = small_config(wavefront_pool=64)
+    mega, wave = render_both(scene, cam_cfg, config)
+    np.testing.assert_allclose(mega, wave, atol=2e-4)
+
+
+def test_progressive_steps_continue_stream(bsdf_scene):
+    """Two wavefront steps == one megakernel render at 2x spp/step."""
+    scene, cam_cfg = bsdf_scene
+    config = small_config(samples_per_step=2, samples_per_pixel=4)
+    camera = build_camera(cam_cfg, config.width / config.height)
+    s = progressive.init_state(config)
+    s = wavefront.render_step(s, scene, camera, config)
+    s = wavefront.render_step(s, scene, camera, config)
+    assert int(s.spp) == 4
+
+    config_1step = small_config(samples_per_step=4, samples_per_pixel=4)
+    s_ref = progressive.render_step(
+        progressive.init_state(config_1step), scene, camera, config_1step
+    )
+    np.testing.assert_allclose(
+        np.asarray(s.accum), np.asarray(s_ref.accum), atol=2e-4
+    )
+
+
+def test_segment_count_below_max(bsdf_scene):
+    """Counted segments must be < pixels*spp*max_depth (paths die early)
+    and >= pixels*spp (every path traces at least one segment)."""
+    scene, cam_cfg = bsdf_scene
+    config = small_config()
+    camera = build_camera(cam_cfg, config.width / config.height)
+    segs = int(wavefront.count_segments(scene, camera, config, config.seed))
+    n_paths = config.width * config.height * config.samples_per_step
+    assert n_paths <= segs < n_paths * config.max_depth
+
+
+def test_jit_cache_stable(bsdf_scene):
+    """Repeated steps reuse the compiled executable (no retrace)."""
+    scene, cam_cfg = bsdf_scene
+    config = small_config()
+    camera = build_camera(cam_cfg, config.width / config.height)
+    s = progressive.init_state(config)
+    s = wavefront.render_step(s, scene, camera, config)
+    n0 = wavefront.render_step._cache_size()
+    s = wavefront.render_step(s, scene, camera, config)
+    assert wavefront.render_step._cache_size() == n0
+    jax.block_until_ready(s.accum)
