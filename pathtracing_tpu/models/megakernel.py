@@ -78,36 +78,36 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
     dys, xs = jnp.mgrid[0:block_rows, 0:w]
     ys = dys + row_start
     pixel_index = (ys * w + xs).reshape(-1)
-    px = xs.reshape(-1).astype(jnp.float32)
-    # Film t runs bottom→top; image row 0 is the top.
-    py = (h - 1 - ys).reshape(-1).astype(jnp.float32)
-
-    from pathtracing_tpu.ops import camera as camera_ops
+    n_rays = block_rows * w
+    traversal = config.resolve_traversal()
 
     def one_sample(carry, sample_ofs):
         accum = carry
         sample_idx = sample_start + sample_ofs * sample_stride
 
-        def per_pixel(pidx, x, y):
-            k = rng.pixel_sample_key(seed, pidx, sample_idx)
-            ju = jax.random.uniform(
-                rng.stream_key(k, 0, rng.STREAM_PIXEL_JITTER), (2,),
-                dtype=jnp.float32,
-            )
-            lu = jax.random.uniform(
-                rng.stream_key(k, 0, rng.STREAM_LENS), (2,),
-                dtype=jnp.float32,
-            )
-            s = (x + ju[0]) / w
-            t = (y + ju[1]) / h
-            o, d = camera_ops.generate_ray(camera, s, t, lu[0], lu[1])
-            return trace_path(
-                scene, o, d, k, config.max_depth, config.rr_start_depth,
-                config.background,
+        keys, origin, direction = jax.vmap(
+            lambda p: shading.camera_sample(camera, config, seed, p,
+                                            sample_idx)
+        )(pixel_index)
+
+        def bounce(depth, state):
+            radiance, throughput, o, d, active = state
+            return shading.bounce_batch(
+                scene, o, d, keys, depth, radiance, throughput, active,
+                config.rr_start_depth, config.background, traversal,
             )
 
-        sample = jax.vmap(per_pixel)(pixel_index, px, py)
-        return accum + sample.reshape(block_rows, w, 3), None
+        init = (
+            jnp.zeros((n_rays, 3), jnp.float32),
+            jnp.ones((n_rays, 3), jnp.float32),
+            origin,
+            direction,
+            jnp.ones(n_rays, jnp.bool_),
+        )
+        radiance, *_ = jax.lax.fori_loop(
+            0, config.max_depth, bounce, init
+        )
+        return accum + radiance.reshape(block_rows, w, 3), None
 
     accum0 = jnp.zeros((block_rows, w, 3), jnp.float32)
     accum, _ = jax.lax.scan(

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pathtracing_tpu.ops import bvh as bvh_ops
-from pathtracing_tpu.ops import intersect, linalg, materials
+from pathtracing_tpu.ops import clusters as cluster_ops
+from pathtracing_tpu.ops import cluster_trace, intersect, linalg, materials
 
 
 class Scene(NamedTuple):
@@ -40,6 +41,9 @@ class Scene(NamedTuple):
     mat_albedo: jnp.ndarray   # (K, 3) f32
     mat_param: jnp.ndarray    # (K,)   f32
     mat_emit: jnp.ndarray     # (K, 3) f32
+    # TPU cluster-sweep acceleration structure (ops.clusters); None only
+    # for hand-built Scene instances that skip SceneBuilder.
+    clusters: cluster_ops.ClusterSet = None
 
     @property
     def material_table(self):
@@ -134,6 +138,7 @@ class SceneBuilder:
         e2 = v2 - v0
 
         (node_min, node_max, node_meta), perm = bvh_ops.build_bvh(v0, e1, e2)
+        cl, _ = cluster_ops.build_clusters(v0, e1, e2, tri_mat)
         v0, e1, e2, tri_mat = v0[perm], e1[perm], e2[perm], tri_mat[perm]
 
         mat_type = np.array([m[0] for m in self._mat], np.int32)
@@ -157,6 +162,13 @@ class SceneBuilder:
             mat_albedo=jnp.asarray(mat_albedo),
             mat_param=jnp.asarray(mat_param),
             mat_emit=jnp.asarray(mat_emit),
+            clusters=cluster_ops.ClusterSet(
+                aabb_min=jnp.asarray(cl.aabb_min),
+                aabb_max=jnp.asarray(cl.aabb_max),
+                woop=jnp.asarray(cl.woop),
+                normal=jnp.asarray(cl.normal),
+                mat=jnp.asarray(cl.mat),
+            ),
         )
 
 
@@ -214,3 +226,67 @@ def intersect_scene(scene: Scene, origin, direction) -> Hit:
 
 
 intersect_scene_batch = jax.vmap(intersect_scene, in_axes=(None, 0, 0))
+
+
+def intersect_batch(scene: Scene, origin, direction,
+                    traversal: str = "bvh") -> Hit:
+    """Closest hit for a whole (R,3) ray batch — the engine-facing API.
+
+    ``traversal`` (static):
+      "bvh"            — vmapped threaded-BVH walk (CPU / fallback).
+      "cluster_jax"    — dense cluster sweep in plain XLA (oracle path).
+      "cluster_pallas" — Pallas TPU kernel with per-tile cluster skip.
+      "cluster_interpret" — the Pallas kernel in interpret mode (tests).
+    """
+    if traversal == "bvh":
+        return intersect_scene_batch(scene, origin, direction)
+    if scene.clusters is None:
+        raise ValueError("scene has no cluster data; rebuild via SceneBuilder")
+
+    # Spheres first (brute force over the small set); their best t culls
+    # the cluster sweep.
+    ts = intersect.ray_sphere(
+        origin[:, None, :], direction[:, None, :],
+        scene.sph_center[None, :, :], scene.sph_radius[None, :],
+    )                                          # (R, S)
+    sph_idx = jnp.argmin(ts, axis=1)
+    sph_t = jnp.min(ts, axis=1)
+
+    t_init = jnp.where(jnp.isfinite(sph_t), sph_t, 3.0e38)
+    if traversal == "cluster_jax":
+        tri_t, slot = cluster_trace.trace_jax(
+            scene.clusters, origin, direction, t_init
+        )
+    elif traversal in ("cluster_pallas", "cluster_interpret"):
+        tri_t, slot = cluster_trace.trace_pallas(
+            scene.clusters, origin, direction, t_init,
+            interpret=(traversal == "cluster_interpret"),
+        )
+    else:
+        raise ValueError(f"unknown traversal mode: {traversal!r}")
+
+    hit_tri = slot >= 0
+    t = jnp.where(hit_tri, tri_t, sph_t)
+    valid = jnp.isfinite(t) & (t < 1.0e37)
+    position = origin + t[:, None] * direction
+
+    n_tri, mat_tri = cluster_trace.lookup_hit(scene.clusters, slot)
+
+    safe_sph = jnp.minimum(sph_idx, scene.sph_center.shape[0] - 1)
+    n_sph = (position - scene.sph_center[safe_sph]) / jnp.maximum(
+        scene.sph_radius[safe_sph], 1e-12
+    )[:, None]
+    n_geo = jnp.where(hit_tri[:, None], n_tri, n_sph)
+
+    front = linalg.dot(direction, n_geo) < 0.0
+    normal = jnp.where(front[:, None], 1.0, -1.0) * n_geo
+
+    mat_id = jnp.where(
+        hit_tri, mat_tri, scene.sph_mat[safe_sph]
+    ).astype(jnp.int32)
+    mat_id = jnp.where(valid, mat_id, 0)
+
+    return Hit(
+        t=t, position=position, normal=normal,
+        mat_id=mat_id, front=front, valid=valid,
+    )

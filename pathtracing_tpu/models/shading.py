@@ -104,6 +104,64 @@ def bounce(scene, o, d, key, depth, radiance, throughput, active,
     return radiance, throughput, o, d, active
 
 
+def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
+                 rr_start_depth, background: str, traversal: str):
+    """One bounce for a whole (R,) ray batch — the production path.
+
+    Identical math and RNG streams to the scalar ``bounce`` (the random
+    draws are vmapped over per-ray keys), but the closest-hit query runs
+    as ONE batched ``scene.intersect_batch`` call so the cluster-sweep /
+    Pallas traversal sees the full ray front instead of being trapped
+    under vmap. ``depth`` may be a scalar (megakernel) or (R,) per-slot
+    counters (wavefront).
+    """
+    from pathtracing_tpu.models import scene as scene_mod
+
+    r = o.shape[0]
+    depth = jnp.broadcast_to(depth, (r,))
+    hit = scene_mod.intersect_batch(scene, o, d, traversal)
+
+    env = background_radiance(d, background)
+    escaped = active & jnp.logical_not(hit.valid)
+    radiance = radiance + jnp.where(escaped[:, None], throughput * env, 0.0)
+
+    mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
+    live = active & hit.valid
+    radiance = radiance + jnp.where(live[:, None], throughput * emit, 0.0)
+
+    u = jax.vmap(
+        lambda k, dp: jax.random.uniform(
+            rng.stream_key(k, dp, rng.STREAM_SCATTER), (5,),
+            dtype=jnp.float32,
+        )
+    )(keys, depth)
+    d_out, atten, scattered, _ = materials.scatter(
+        mtype, alb, par, emit, hit.normal, d, hit.front, u
+    )
+
+    throughput = throughput * jnp.where(live[:, None], atten, 1.0)
+    active = live & scattered
+
+    tp_max = jnp.max(throughput, axis=-1)
+    rr_u = jax.vmap(
+        lambda k, dp: jax.random.uniform(
+            rng.stream_key(k, dp, rng.STREAM_RR), (), dtype=jnp.float32
+        )
+    )(keys, depth)
+    p_continue = jnp.clip(tp_max, 0.05, 1.0)
+    do_rr = depth >= rr_start_depth
+    survive = jnp.logical_not(do_rr) | (rr_u < p_continue)
+    throughput = jnp.where(
+        (do_rr & survive)[:, None], throughput / p_continue[:, None],
+        throughput,
+    )
+    active = active & survive
+
+    o = hit.position
+    d = jnp.where(active[:, None], d_out, d)
+    return radiance, throughput, o, d, active
+
+
 def camera_sample(camera, config, seed, pixel_index, sample_index):
     """Primary-ray generation for one (pixel, sample) pair.
 

@@ -116,20 +116,19 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             active=pool.active | take,
         ), jnp.minimum(next_path + jnp.sum(dead.astype(jnp.int32)), total)
 
+    traversal = config.resolve_traversal()
+
     def bounce_all(pool: PathPool):
-        """One shared-shading bounce over the whole pool (vmapped)."""
+        """One shared-shading bounce over the whole pool (batched)."""
         from pathtracing_tpu.ops import rng
 
-        def one(o, d, pix, smp, depth, radiance, throughput, active):
-            key = rng.pixel_sample_key(seed, pix, smp)
-            return shading.bounce(
-                scene, o, d, key, depth, radiance, throughput, active,
-                config.rr_start_depth, config.background,
-            )
-
-        radiance, throughput, o, d, active = jax.vmap(one)(
-            pool.origin, pool.direction, pool.pixel, pool.sample,
-            pool.depth, pool.radiance, pool.throughput, pool.active,
+        keys = jax.vmap(
+            lambda p, s: rng.pixel_sample_key(seed, p, s)
+        )(pool.pixel, pool.sample)
+        radiance, throughput, o, d, active = shading.bounce_batch(
+            scene, pool.origin, pool.direction, keys, pool.depth,
+            pool.radiance, pool.throughput, pool.active,
+            config.rr_start_depth, config.background, traversal,
         )
         depth = pool.depth + 1
         active = active & (depth < config.max_depth)

@@ -50,25 +50,28 @@ class FlatBVH(NamedTuple):
     node_meta: jnp.ndarray
 
 
-def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+              leaf_size: int = LEAF_SIZE):
     """Build a threaded BVH over triangles (v0, v0+e1, v0+e2).
 
     Returns (FlatBVH-as-numpy-tuple, permutation) where ``permutation``
     reorders the input triangles so each leaf covers a contiguous range.
+    ``leaf_size`` defaults to the traversal unroll bound; the cluster
+    packer (``ops.clusters``) rebuilds with leaf_size=128.
     Tries the native C++ builder first (same layout), falls back to NumPy.
     """
     try:
         from pathtracing_tpu.ops import bvh_native
 
-        result = bvh_native.build(v0, e1, e2, LEAF_SIZE, SAH_BINS)
+        result = bvh_native.build(v0, e1, e2, leaf_size, SAH_BINS)
         if result is not None:
             return result
     except Exception:  # pragma: no cover - native lib genuinely optional
         pass
-    return _build_bvh_numpy(v0, e1, e2)
+    return _build_bvh_numpy(v0, e1, e2, leaf_size)
 
 
-def _build_bvh_numpy(v0, e1, e2):
+def _build_bvh_numpy(v0, e1, e2, leaf_size=LEAF_SIZE):
     n = v0.shape[0]
     verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (n, 3, 3)
     prim_min = verts.min(axis=1).astype(np.float32)
@@ -99,7 +102,7 @@ def _build_bvh_numpy(v0, e1, e2):
         node_min[my] = prim_min[idx].min(axis=0)
         node_max[my] = prim_max[idx].max(axis=0)
 
-        if count <= LEAF_SIZE:
+        if count <= leaf_size:
             node_meta[my] = (0, first, count)  # skip patched below
             subtree_end[my] = node_count
             return my

@@ -46,6 +46,8 @@ class RenderConfig:
     engine: str = "megakernel"      # "megakernel" | "wavefront" | "reference"
     background: str = "black"       # "black" | "gradient" | "uv"
     wavefront_pool: int = 0         # wavefront ray-pool slots (0 = auto)
+    traversal: str = "auto"         # "auto" | "bvh" | "cluster_jax" |
+                                    # "cluster_pallas" | "cluster_interpret"
     dtype: str = "float32"
     debug: bool = False             # NaN checks + interpret-mode kernels
                                     # (reference DEBUG validation-layer analogue,
@@ -54,6 +56,15 @@ class RenderConfig:
     @property
     def resolution(self) -> Tuple[int, int]:
         return (self.height, self.width)
+
+    def resolve_traversal(self) -> str:
+        """Pick the concrete traversal for "auto": the Pallas cluster
+        sweep on TPU, the threaded-BVH walk elsewhere (CPU tests)."""
+        if self.traversal != "auto":
+            return self.traversal
+        import jax
+
+        return "cluster_pallas" if jax.default_backend() == "tpu" else "bvh"
 
 
 @dataclasses.dataclass(frozen=True)
