@@ -25,7 +25,7 @@ import numpy as np
 
 from pathtracing_tpu.ops import bvh as bvh_ops
 from pathtracing_tpu.ops import clusters as cluster_ops
-from pathtracing_tpu.ops import cluster_trace, intersect, linalg, materials
+from pathtracing_tpu.ops import cluster_trace, intersect, lights, linalg, materials
 
 
 class Scene(NamedTuple):
@@ -44,6 +44,9 @@ class Scene(NamedTuple):
     # TPU cluster-sweep acceleration structure (ops.clusters); None only
     # for hand-built Scene instances that skip SceneBuilder.
     clusters: cluster_ops.ClusterSet = None
+    # Area-light table for next-event estimation (ops.lights); total_area
+    # 0 disables NEE for the scene.
+    lights: lights.LightTable = None
 
     @property
     def material_table(self):
@@ -59,6 +62,8 @@ class Hit(NamedTuple):
     mat_id: jnp.ndarray    # int32, 0 on miss (mask with .valid)
     front: jnp.ndarray     # bool, geometric front side
     valid: jnp.ndarray     # bool
+    tri: jnp.ndarray       # bool, hit a triangle (vs sphere) — drives the
+                           # MIS weighting of area-light hits
 
 
 class SceneBuilder:
@@ -162,12 +167,10 @@ class SceneBuilder:
             mat_albedo=jnp.asarray(mat_albedo),
             mat_param=jnp.asarray(mat_param),
             mat_emit=jnp.asarray(mat_emit),
-            clusters=cluster_ops.ClusterSet(
-                aabb_min=jnp.asarray(cl.aabb_min),
-                aabb_max=jnp.asarray(cl.aabb_max),
-                woop=jnp.asarray(cl.woop),
-                normal=jnp.asarray(cl.normal),
-                mat=jnp.asarray(cl.mat),
+            clusters=jax.tree.map(jnp.asarray, cl),
+            lights=lights.build_light_table(
+                v0, v0 + e1, v0 + e2, tri_mat, mat_type, mat_emit,
+                materials.TYPE_EMISSIVE,
             ),
         )
 
@@ -222,6 +225,7 @@ def intersect_scene(scene: Scene, origin, direction) -> Hit:
         mat_id=mat_id,
         front=front,
         valid=valid,
+        tri=hit_tri & valid,
     )
 
 
@@ -229,7 +233,8 @@ intersect_scene_batch = jax.vmap(intersect_scene, in_axes=(None, 0, 0))
 
 
 def intersect_batch(scene: Scene, origin, direction,
-                    traversal: str = "bvh") -> Hit:
+                    traversal: str = "bvh", active=None,
+                    t_max=None) -> Hit:
     """Closest hit for a whole (R,3) ray batch — the engine-facing API.
 
     ``traversal`` (static):
@@ -237,6 +242,10 @@ def intersect_batch(scene: Scene, origin, direction,
       "cluster_jax"    — dense cluster sweep in plain XLA (oracle path).
       "cluster_pallas" — Pallas TPU kernel with per-tile cluster skip.
       "cluster_interpret" — the Pallas kernel in interpret mode (tests).
+
+    ``active`` (optional (R,) bool): dead lanes get ``t_init = 0`` so the
+    kernel's tile walk short-circuits on fully-dead tiles. Their Hit
+    fields are garbage — callers must mask, which the engines already do.
     """
     if traversal == "bvh":
         return intersect_scene_batch(scene, origin, direction)
@@ -253,14 +262,22 @@ def intersect_batch(scene: Scene, origin, direction,
     sph_t = jnp.min(ts, axis=1)
 
     t_init = jnp.where(jnp.isfinite(sph_t), sph_t, 3.0e38)
+    if t_max is not None:
+        # Shadow-ray culling: nothing beyond t_max matters (occlusion
+        # queries pass the light distance here).
+        t_init = jnp.minimum(t_init, t_max)
+    if active is not None:
+        t_init = jnp.where(active, t_init, 0.0)
     if traversal == "cluster_jax":
-        tri_t, slot = cluster_trace.trace_jax(
+        tri_t, slot, n_tri, mat_tri = cluster_trace.trace_jax(
             scene.clusters, origin, direction, t_init
         )
-    elif traversal in ("cluster_pallas", "cluster_interpret"):
-        tri_t, slot = cluster_trace.trace_pallas(
+    elif traversal in ("cluster_pallas", "cluster_pallas_bf16",
+                       "cluster_interpret"):
+        tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas(
             scene.clusters, origin, direction, t_init,
             interpret=(traversal == "cluster_interpret"),
+            bf16=(traversal == "cluster_pallas_bf16"),
         )
     else:
         raise ValueError(f"unknown traversal mode: {traversal!r}")
@@ -269,8 +286,6 @@ def intersect_batch(scene: Scene, origin, direction,
     t = jnp.where(hit_tri, tri_t, sph_t)
     valid = jnp.isfinite(t) & (t < 1.0e37)
     position = origin + t[:, None] * direction
-
-    n_tri, mat_tri = cluster_trace.lookup_hit(scene.clusters, slot)
 
     safe_sph = jnp.minimum(sph_idx, scene.sph_center.shape[0] - 1)
     n_sph = (position - scene.sph_center[safe_sph]) / jnp.maximum(
@@ -288,5 +303,5 @@ def intersect_batch(scene: Scene, origin, direction,
 
     return Hit(
         t=t, position=position, normal=normal,
-        mat_id=mat_id, front=front, valid=valid,
+        mat_id=mat_id, front=front, valid=valid, tri=hit_tri & valid,
     )

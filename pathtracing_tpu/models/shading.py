@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from pathtracing_tpu.models import scene as scene_mod
-from pathtracing_tpu.ops import materials, rng
+from pathtracing_tpu.ops import linalg, materials, rng
 
 
 def background_radiance(direction, mode: str):
@@ -45,81 +45,41 @@ def background_radiance(direction, mode: str):
     raise ValueError(f"unknown background mode: {mode}")
 
 
-def bounce(scene, o, d, key, depth, radiance, throughput, active,
-           rr_start_depth, background: str):
-    """One path-tracing bounce for ONE ray (vmap over pools/batches).
-
-    Args:
-      scene: Scene pytree.
-      o, d: (3,) ray origin/direction.
-      key: the per-(pixel, sample) threefry key from ``ops.rng``.
-      depth: i32 bounce counter (0-based; selects the RNG streams).
-      radiance, throughput: (3,) running estimates.
-      active: bool — path still alive.
-      rr_start_depth: static int — Russian roulette start.
-      background: static str — environment mode.
-
-    Returns (radiance, throughput, o, d, active) updated. Dead lanes pass
-    through unchanged except that their state may hold garbage guarded by
-    ``active`` — callers must mask on it.
-    """
-    hit = scene_mod.intersect_scene(scene, o, d)
-
-    # Escaped rays pick up the environment and terminate. NOTE: masked
-    # with where (not an indicator multiply) — dead lanes carry NaN
-    # positions/directions by design and 0*NaN would poison the sum.
-    env = background_radiance(d, background)
-    escaped = active & jnp.logical_not(hit.valid)
-    radiance = radiance + jnp.where(escaped, throughput * env, 0.0)
-
-    # Surface interaction (branchless BSDF table).
-    mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
-    live = active & hit.valid
-    radiance = radiance + jnp.where(live, throughput * emit, 0.0)
-
-    k = rng.stream_key(key, depth, rng.STREAM_SCATTER)
-    u = jax.random.uniform(k, (5,), dtype=jnp.float32)
-    d_out, atten, scattered, _ = materials.scatter(
-        mtype, alb, par, emit, hit.normal, d, hit.front, u
-    )
-
-    throughput = throughput * jnp.where(live, atten, 1.0)
-    active = live & scattered
-
-    # Russian roulette: kill low-throughput paths unbiasedly.
-    tp_max = jnp.max(throughput)
-    rr_u = jax.random.uniform(
-        rng.stream_key(key, depth, rng.STREAM_RR), (), dtype=jnp.float32
-    )
-    p_continue = jnp.clip(tp_max, 0.05, 1.0)
-    do_rr = depth >= rr_start_depth
-    survive = jnp.logical_not(do_rr) | (rr_u < p_continue)
-    throughput = jnp.where(
-        do_rr & survive, throughput / p_continue, throughput
-    )
-    active = active & survive
-
-    o = hit.position
-    d = jnp.where(active, d_out, d)
-    return radiance, throughput, o, d, active
+INV_PI = 0.3183098861837907
 
 
 def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
-                 rr_start_depth, background: str, traversal: str):
+                 rr_start_depth, background: str, traversal: str,
+                 nee: bool = False, prev_pdf=None, prev_diffuse=None):
     """One bounce for a whole (R,) ray batch — the production path.
 
-    Identical math and RNG streams to the scalar ``bounce`` (the random
-    draws are vmapped over per-ray keys), but the closest-hit query runs
-    as ONE batched ``scene.intersect_batch`` call so the cluster-sweep /
-    Pallas traversal sees the full ray front instead of being trapped
-    under vmap. ``depth`` may be a scalar (megakernel) or (R,) per-slot
-    counters (wavefront).
+    Identical math and RNG streams to the original per-ray form (the
+    random draws are vmapped over per-ray keys), but the closest-hit
+    query runs as ONE batched ``scene.intersect_batch`` call so the
+    cluster-sweep / Pallas traversal sees the full ray front instead of
+    being trapped under vmap. ``depth`` may be a scalar (megakernel) or
+    (R,) per-slot counters (wavefront).
+
+    With ``nee`` (static), each diffuse vertex additionally samples the
+    scene's area-light table (``ops.lights``) with a shadow ray, combined
+    with BSDF sampling by the power heuristic: BSDF-sampled hits on light
+    triangles are down-weighted by the light pdf, and light samples by
+    the cosine pdf. ``prev_pdf``/``prev_diffuse`` carry the previous
+    vertex's BSDF pdf across bounces (init: zeros / False — camera hits
+    on lights then count fully).
+
+    Returns (radiance, throughput, o, d, active, prev_pdf, prev_diffuse).
     """
     from pathtracing_tpu.models import scene as scene_mod
+    from pathtracing_tpu.ops import lights as lights_ops
 
     r = o.shape[0]
     depth = jnp.broadcast_to(depth, (r,))
-    hit = scene_mod.intersect_batch(scene, o, d, traversal)
+    if prev_pdf is None:
+        prev_pdf = jnp.zeros(r, jnp.float32)
+    if prev_diffuse is None:
+        prev_diffuse = jnp.zeros(r, jnp.bool_)
+    hit = scene_mod.intersect_batch(scene, o, d, traversal, active=active)
 
     env = background_radiance(d, background)
     escaped = active & jnp.logical_not(hit.valid)
@@ -127,7 +87,61 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
 
     mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
     live = active & hit.valid
-    radiance = radiance + jnp.where(live[:, None], throughput * emit, 0.0)
+
+    nee_on = nee and scene.lights is not None
+    emit_w = jnp.ones(r, jnp.float32)
+    if nee_on:
+        # MIS: a BSDF-sampled path that lands on an area-light triangle
+        # is the "other estimator" of the same direct-light integral the
+        # previous vertex already sampled — weight by the power heuristic.
+        total_area = scene.lights.total_area
+        cos_l = jnp.abs(linalg.dot(d, hit.normal))
+        pdf_l = hit.t * hit.t / (cos_l * total_area + 1e-20)
+        w = prev_pdf**2 / (prev_pdf**2 + pdf_l**2 + 1e-30)
+        is_light_tri = hit.tri & (jnp.max(emit, axis=-1) > 0.0)
+        emit_w = jnp.where(
+            prev_diffuse & is_light_tri & (total_area > 0.0), w, 1.0
+        )
+    radiance = radiance + jnp.where(
+        live[:, None], throughput * emit * emit_w[:, None], 0.0
+    )
+
+    is_diffuse = mtype == materials.TYPE_LAMBERTIAN
+
+    if nee_on:
+        # Next-event estimation: sample a light point, cast a shadow ray.
+        ul = jax.vmap(
+            lambda k, dp: jax.random.uniform(
+                rng.stream_key(k, dp, rng.STREAM_NEE), (3,),
+                dtype=jnp.float32,
+            )
+        )(keys, depth)
+        lp, ln, lemit = lights_ops.sample(scene.lights, ul)
+        wi_vec = lp - hit.position
+        dist2 = jnp.sum(wi_vec * wi_vec, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+        wi = wi_vec / dist[:, None]
+        cos_s = linalg.dot(hit.normal, wi)
+        cos_l = jnp.abs(linalg.dot(ln, wi))
+        total_area = scene.lights.total_area
+        cand = (
+            live & is_diffuse & (cos_s > 1e-6) & (cos_l > 1e-6)
+            & (dist2 > 1e-8) & (total_area > 0.0)
+        )
+        t_shadow = dist * (1.0 - 1e-3)
+        sh = scene_mod.intersect_batch(
+            scene, hit.position, wi, traversal, active=cand,
+            t_max=t_shadow,
+        )
+        occluded = sh.valid & (sh.t < t_shadow)
+        vis = cand & jnp.logical_not(occluded)
+
+        pdf_l = dist2 / (cos_l * total_area + 1e-20)
+        pdf_b = cos_s * INV_PI
+        w = pdf_l**2 / (pdf_l**2 + pdf_b**2 + 1e-30)
+        scale = cos_s / jnp.maximum(pdf_l, 1e-20) * w
+        contrib = throughput * (alb * INV_PI) * lemit * scale[:, None]
+        radiance = radiance + jnp.where(vis[:, None], contrib, 0.0)
 
     u = jax.vmap(
         lambda k, dp: jax.random.uniform(
@@ -159,7 +173,9 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
 
     o = hit.position
     d = jnp.where(active[:, None], d_out, d)
-    return radiance, throughput, o, d, active
+    prev_pdf = jnp.maximum(linalg.dot(hit.normal, d_out), 1e-6) * INV_PI
+    prev_diffuse = live & is_diffuse
+    return radiance, throughput, o, d, active, prev_pdf, prev_diffuse
 
 
 def camera_sample(camera, config, seed, pixel_index, sample_index):

@@ -52,6 +52,8 @@ class PathPool(NamedTuple):
     sample: jnp.ndarray      # (N,) i32 global sample index
     depth: jnp.ndarray       # (N,) i32 bounce counter
     active: jnp.ndarray      # (N,) bool
+    prev_pdf: jnp.ndarray    # (N,) f32 BSDF pdf at the previous vertex
+    prev_diffuse: jnp.ndarray  # (N,) bool previous vertex was diffuse
 
 
 def _empty_pool(n: int) -> PathPool:
@@ -64,6 +66,8 @@ def _empty_pool(n: int) -> PathPool:
         sample=jnp.zeros(n, jnp.int32),
         depth=jnp.zeros(n, jnp.int32),
         active=jnp.zeros(n, jnp.bool_),
+        prev_pdf=jnp.zeros(n, jnp.float32),
+        prev_diffuse=jnp.zeros(n, jnp.bool_),
     )
 
 
@@ -114,6 +118,8 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             sample=jnp.where(take, sample_idx, pool.sample),
             depth=jnp.where(take, 0, pool.depth),
             active=pool.active | take,
+            prev_pdf=jnp.where(take, 0.0, pool.prev_pdf),
+            prev_diffuse=jnp.where(take, False, pool.prev_diffuse),
         ), jnp.minimum(next_path + jnp.sum(dead.astype(jnp.int32)), total)
 
     traversal = config.resolve_traversal()
@@ -125,22 +131,59 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         keys = jax.vmap(
             lambda p, s: rng.pixel_sample_key(seed, p, s)
         )(pool.pixel, pool.sample)
-        radiance, throughput, o, d, active = shading.bounce_batch(
-            scene, pool.origin, pool.direction, keys, pool.depth,
-            pool.radiance, pool.throughput, pool.active,
-            config.rr_start_depth, config.background, traversal,
+        radiance, throughput, o, d, active, pdf, pdiff = (
+            shading.bounce_batch(
+                scene, pool.origin, pool.direction, keys, pool.depth,
+                pool.radiance, pool.throughput, pool.active,
+                config.rr_start_depth, config.background, traversal,
+                nee=config.nee, prev_pdf=pool.prev_pdf,
+                prev_diffuse=pool.prev_diffuse,
+            )
         )
         depth = pool.depth + 1
         active = active & (depth < config.max_depth)
         return PathPool(
             origin=o, direction=d, radiance=radiance,
             throughput=throughput, pixel=pool.pixel, sample=pool.sample,
-            depth=depth, active=active,
+            depth=depth, active=active, prev_pdf=pdf, prev_diffuse=pdiff,
         )
+
+    def sort_pool(pool: PathPool) -> PathPool:
+        """Order slots by (origin Morton cell, direction octant) so ray
+        tiles handed to the traversal kernel are spatially coherent —
+        the wavefront analogue of GPU ray-binning, and what makes the
+        per-tile cluster skip fire for secondary bounces."""
+        lo = jnp.min(scene.clusters.aabb_min, axis=0)
+        hi = jnp.max(scene.clusters.aabb_max, axis=0)
+        q = jnp.clip(
+            (pool.origin - lo) / jnp.maximum(hi - lo, 1e-6) * 127.0,
+            0.0, 127.0,
+        ).astype(jnp.uint32)
+
+        # A concatenated-coordinate cell key (not a true Morton interleave)
+        # is enough: tiles only need *neighborhood* coherence.
+        cell = (q[:, 0] << 14) | (q[:, 1] << 7) | q[:, 2]
+        octant = (
+            (pool.direction[:, 0] > 0).astype(jnp.uint32) * 4
+            + (pool.direction[:, 1] > 0).astype(jnp.uint32) * 2
+            + (pool.direction[:, 2] > 0).astype(jnp.uint32)
+        )
+        key = (cell << 3) | octant
+        # Dead slots sort to the back (stay out of coherent tiles).
+        key = jnp.where(pool.active, key, jnp.uint32(0xFFFFFFFF))
+        order = jnp.argsort(key)
+        return jax.tree.map(lambda a: a[order], pool)
+
+    do_sort = (
+        config.resolve_traversal().startswith("cluster")
+        and scene.clusters is not None and config.ray_sort
+    )
 
     def body(carry):
         pool, accum, next_path, segments = carry
         pool, next_path = refill(pool, next_path)
+        if do_sort:
+            pool = sort_pool(pool)
         segments = segments + jnp.sum(pool.active.astype(jnp.int32))
 
         was_active = pool.active

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pathtracing_tpu.ops.clusters import CLUSTER_SIZE
 from pathtracing_tpu.ops.intersect import T_MIN
 
-RAY_TILE = 1024
+RAY_TILE = 256  # rays per kernel program; best measured skip selectivity
 _BIG = 3.0e38  # plain float: jnp scalars would be captured kernel consts
 
 
@@ -54,12 +54,18 @@ def _safe_inv(d3):
     )
 
 
-def _pair_eval(o_aug, d_aug, woop_c, best_t):
+def _pair_eval(o_aug, d_aug, woop_c, best_t, bf16: bool = False):
     """Dense ray-tile × 128-triangle Woop evaluation for one cluster.
 
     o_aug/d_aug: (R, 4); woop_c: (4, 3*128); best_t: (R, 1).
-    Returns t_pair (R, 128) with misses at _BIG.
+    Returns t_pair (R, 128) with misses at _BIG. ``bf16`` runs the two
+    matmuls with bfloat16 inputs (f32 accumulation) — ~2x MXU rate for
+    ~1e-3 relative coordinate error; the t/u/v arithmetic stays f32.
     """
+    if bf16:
+        o_aug = o_aug.astype(jnp.bfloat16)
+        d_aug = d_aug.astype(jnp.bfloat16)
+        woop_c = woop_c.astype(jnp.bfloat16)
     op = jnp.dot(o_aug, woop_c, preferred_element_type=jnp.float32)
     dp = jnp.dot(d_aug, woop_c, preferred_element_type=jnp.float32)
     k = CLUSTER_SIZE
@@ -93,7 +99,9 @@ def _slab6(o_aug, inv_d, b, best_t):
 
 
 def trace_jax(clusters, origin, direction, t_init):
-    """Reference sweep: all clusters, masked. (R,) f32 t, (R,) i32 slot."""
+    """Reference sweep: all clusters, masked. Returns (t, slot, normal,
+    mat) like ``trace_pallas`` (shading data via one gather — fine on
+    CPU, where this path runs)."""
     n_clusters = clusters.aabb_min.shape[0]
     o_aug, d_aug = _augment(origin, direction)
     inv_d = _safe_inv(direction)
@@ -117,105 +125,170 @@ def trace_jax(clusters, origin, direction, t_init):
         best_slot = jnp.where(upd, c * CLUSTER_SIZE + slot, best_slot)
         return best_t, best_slot
 
-    return jax.lax.fori_loop(
+    best_t, best_slot = jax.lax.fori_loop(
         0, n_clusters, body,
         (t_init, jnp.full(origin.shape[0], -1, jnp.int32)),
     )
+    normal, mat = lookup_hit(clusters, best_slot)
+    miss = best_slot < 0
+    normal = jnp.where(miss[:, None], 0.0, normal)
+    mat = jnp.where(miss, 0, mat)
+    return best_t, best_slot, normal, mat
 
 
-def _tile_kernel(o_ref, d_ref, t0_ref, bmin_ref, bmax_ref, woop_ref,
-                 t_ref, slot_ref, *, n_clusters: int):
-    """One 1024-ray tile against all clusters, with per-cluster skip.
+def _tile_kernel(o_ref, d_ref, t0_ref, nbox_ref, nmeta_ref, woop_ref,
+                 mat_ref, t_ref, slot_ref, normal_ref, hitmat_ref,
+                 *, n_nodes: int, tile: int, bf16: bool):
+    """One ray tile walking the threaded cluster tree.
 
-    bmin_ref/bmax_ref are (3, C) in SMEM (scalar reads drive the skip
-    decision); woop lives whole in VMEM (v1 — DMA streaming is the
+    The walk is tile-uniform: ONE scalar node index for the whole tile
+    (node boxes/meta in SMEM), while the vector lanes evaluate the
+    tile-vs-AABB slab test. Descend on any-lane-hit, else jump the skip
+    link; leaf clusters run the dense Woop evaluation under ``@pl.when``.
+    Coherent tiles therefore visit only the clusters their frustum
+    touches, and closing ``best_t`` culls subtrees behind the nearest
+    hits. Woop data lives whole in VMEM (v1 — DMA streaming is the
     follow-up for scenes whose cluster data exceeds VMEM).
     """
-    o_aug = o_ref[:]          # (RAY_TILE, 4)
+    o_aug = o_ref[:]          # (tile, 4)
     d_aug = d_ref[:]
     inv_d = _safe_inv(d_aug[:, 0:3])
     t_ref[:] = t0_ref[:]
-    slot_ref[:] = jnp.full((RAY_TILE, 1), -1, jnp.int32)
-    lane = jax.lax.broadcasted_iota(
-        jnp.int32, (RAY_TILE, CLUSTER_SIZE), 1
-    )
+    slot_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
+    normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
+    hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, CLUSTER_SIZE), 1)
 
-    def body(c, _):
-        best_t = t_ref[:]     # (RAY_TILE, 1)
-        b = (bmin_ref[0, c], bmin_ref[1, c], bmin_ref[2, c],
-             bmax_ref[0, c], bmax_ref[1, c], bmax_ref[2, c])
+    def cond(idx):
+        return idx < n_nodes
+
+    def body(idx):
+        best_t = t_ref[:]     # (tile, 1)
+        b = (nbox_ref[0, idx], nbox_ref[1, idx], nbox_ref[2, idx],
+             nbox_ref[3, idx], nbox_ref[4, idx], nbox_ref[5, idx])
         hit = _slab6(o_aug, inv_d, b, best_t)
+        any_hit = jnp.any(hit)
+        cid = nmeta_ref[1, idx]
 
-        @pl.when(jnp.any(hit))
+        @pl.when(any_hit & (cid >= 0))
         def _():
-            t_pair = _pair_eval(o_aug, d_aug, woop_ref[c], best_t)
+            woop_c = woop_ref[cid]
+            t_pair = _pair_eval(o_aug, d_aug, woop_c, best_t, bf16)
             t_min = jnp.min(t_pair, axis=1, keepdims=True)
+            upd = t_min < best_t
+            pick = t_pair <= t_min   # winning lane(s); ties -> min lane
             slot = jnp.min(
-                jnp.where(t_pair <= t_min, lane, CLUSTER_SIZE),
+                jnp.where(pick, lane, CLUSTER_SIZE), axis=1, keepdims=True
+            )
+            first = pick & (lane == slot)
+
+            # Shading data selected in-kernel — NO post-hit HBM gathers
+            # (XLA TPU scatters/gathers with computed indices measure
+            # orders of magnitude off; everything rides reductions).
+            # Geometric normal ∝ the Woop w-row (M^-T column for n).
+            k = CLUSTER_SIZE
+            zeros = jnp.zeros((tile, k), jnp.float32)
+            nx = jnp.sum(
+                jnp.where(first, woop_c[0:1, 2 * k:], zeros),
                 axis=1, keepdims=True,
             )
-            upd = t_min < best_t
-            t_ref[:] = jnp.where(upd, t_min, best_t)
-            slot_ref[:] = jnp.where(
-                upd, c * CLUSTER_SIZE + slot, slot_ref[:]
+            ny = jnp.sum(
+                jnp.where(first, woop_c[1:2, 2 * k:], zeros),
+                axis=1, keepdims=True,
+            )
+            nz = jnp.sum(
+                jnp.where(first, woop_c[2:3, 2 * k:], zeros),
+                axis=1, keepdims=True,
+            )
+            inv_len = jax.lax.rsqrt(
+                jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+            )
+            mat_row = mat_ref[cid]  # (1, 128) i32
+            mat_sel = jnp.max(
+                jnp.where(first, mat_row, 0), axis=1, keepdims=True
             )
 
-        return 0
+            t_ref[:] = jnp.where(upd, t_min, best_t)
+            slot_ref[:] = jnp.where(
+                upd, cid * CLUSTER_SIZE + slot, slot_ref[:]
+            )
+            n_new = jnp.concatenate(
+                [nx * inv_len, ny * inv_len, nz * inv_len,
+                 jnp.zeros((tile, 1), jnp.float32)], axis=1
+            )
+            normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
+            hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
 
-    jax.lax.fori_loop(0, n_clusters, body, 0)
+        return jnp.where(any_hit, idx + 1, nmeta_ref[0, idx])
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def trace_pallas(clusters, origin, direction, t_init, interpret=False):
-    """Pallas cluster sweep. Pads the ray batch to RAY_TILE internally."""
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "bf16"))
+def trace_pallas(clusters, origin, direction, t_init, interpret=False,
+                 tile=RAY_TILE, bf16=False):
+    """Pallas cluster-tree walk; returns (t, slot, normal, mat).
+
+    Pads the ray batch to ``tile`` internally. Shading data comes out of
+    the kernel (in-kernel argmin selection) so the caller never gathers.
+    Rays with ``t_init <= 0`` (dead lanes) short-circuit: a tile whose
+    rays are all dead walks exactly one node.
+    """
     r = origin.shape[0]
-    r_pad = -(-r // RAY_TILE) * RAY_TILE
+    r_pad = -(-r // tile) * tile
     pad = r_pad - r
     if pad:
         origin = jnp.pad(origin, ((0, pad), (0, 0)))
         # Padding rays get t_init 0: `tn < best_t` is then always false,
-        # so they can never mark a cluster hit nor record a triangle.
+        # so they can never mark a node hit nor record a triangle.
         direction = jnp.pad(
             direction, ((0, pad), (0, 0)), constant_values=1.0
         )
         t_init = jnp.pad(t_init, (0, pad))
 
     o_aug, d_aug = _augment(origin, direction)
-    n_clusters = clusters.aabb_min.shape[0]
-    bmin_t = clusters.aabb_min.T  # (3, C) — scalar-friendly layout
-    bmax_t = clusters.aabb_max.T
+    n_nodes = clusters.node_meta.shape[1]
 
-    grid = r_pad // RAY_TILE
-    t, slot = pl.pallas_call(
-        functools.partial(_tile_kernel, n_clusters=n_clusters),
+    grid = r_pad // tile
+    t, slot, normal, mat = pl.pallas_call(
+        functools.partial(_tile_kernel, n_nodes=n_nodes, tile=tile,
+                          bf16=bf16),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((RAY_TILE, 4), lambda i: (i, 0),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 4), lambda i: (i, 0),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # bmin (3, C)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # bmax (3, C)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node_box (6, N)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node_meta (2, N)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # woop (C, 4, 384)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mat (C, 1, 128)
         ],
         out_specs=(
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
             jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_aug, d_aug, t_init[:, None], bmin_t, bmax_t, clusters.woop)
-    return t[:r, 0], slot[:r, 0]
+    )(o_aug, d_aug, t_init[:, None], clusters.node_box,
+      clusters.node_meta, clusters.woop, clusters.mat[:, None, :])
+    return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
 
 
 def lookup_hit(clusters, slot):

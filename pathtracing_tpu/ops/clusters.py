@@ -48,6 +48,11 @@ class ClusterSet(NamedTuple):
     woop:   (C, 4, 3*128) f32 — [M | b] columns, grouped u | v | w.
     normal: (C, 3, 128) f32 — unit geometric normal per slot.
     mat:    (C, 128) i32 — material id per slot (0 for padding).
+    node_box:  (6, N) f32 — threaded cluster-tree AABBs (xyz min, xyz max),
+               SMEM-friendly transposed layout for per-tile traversal.
+    node_meta: (2, N) i32 — [skip_link, cluster_id]; cluster_id == -1 for
+               interior nodes. Preorder: hit-successor is node+1, miss
+               (or after a leaf) jumps to skip_link; index N terminates.
     """
 
     aabb_min: np.ndarray
@@ -55,6 +60,75 @@ class ClusterSet(NamedTuple):
     woop: np.ndarray
     normal: np.ndarray
     mat: np.ndarray
+    node_box: np.ndarray
+    node_meta: np.ndarray
+
+
+def build_cluster_tree(
+    aabb_min: np.ndarray, aabb_max: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded binary tree over cluster AABBs (median split, leaf = 1).
+
+    Returns (node_box (6, N) f32, node_meta (2, N) i32). The per-tile
+    kernel walks this with ONE scalar register (node index) while the
+    vector lanes evaluate the tile-vs-AABB test — the tile-uniform
+    analogue of the per-ray stackless walk the VPU can't do.
+    """
+    c = aabb_min.shape[0]
+    centroid = (aabb_min + aabb_max) * 0.5
+    max_nodes = 2 * c - 1 if c else 1
+    box = np.empty((max_nodes, 6), np.float32)
+    meta = np.empty((max_nodes, 2), np.int32)
+    count = 0
+
+    def emit(ids):
+        nonlocal count
+        my = count
+        count += 1
+        box[my, :3] = aabb_min[ids].min(axis=0)
+        box[my, 3:] = aabb_max[ids].max(axis=0)
+        if len(ids) == 1:
+            meta[my] = (count, ids[0])
+            return
+        ext = centroid[ids].max(axis=0) - centroid[ids].min(axis=0)
+        axis = int(np.argmax(ext))
+        order = np.argsort(centroid[ids, axis], kind="stable")
+        half = len(ids) // 2
+        meta[my, 1] = -1
+        left, right = ids[order[:half]], ids[order[half:]]
+
+        def area(sel):
+            d = np.maximum(
+                aabb_max[sel].max(axis=0) - aabb_min[sel].min(axis=0), 0.0
+            )
+            return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+        # Visit the larger-area child first: big clusters (walls, floors)
+        # are hit by almost every ray, so establishing their best_t early
+        # lets the tn < best_t test cull the small-cluster subtrees behind
+        # them — the direction-independent stand-in for front-to-back
+        # ordering, which a tile-uniform walk cannot do per ray.
+        if area(right) > area(left):
+            left, right = right, left
+        emit(left)
+        emit(right)
+        meta[my, 0] = count  # skip = end of subtree
+
+    if c == 0:
+        box[0] = 0.0
+        meta[0] = (1, -1)
+        count = 1
+    else:
+        import sys
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 100_000))
+        try:
+            emit(np.arange(c))
+        finally:
+            sys.setrecursionlimit(old)
+
+    return box[:count].T.copy(), meta[:count].T.copy()
 
 
 def build_clusters(
@@ -127,10 +201,12 @@ def build_clusters(
         normal[ci, :, :k] = n_unit.T
         mat[ci, :k] = np.where(dead, 0, matp[sl])
 
+    node_box, node_meta = build_cluster_tree(aabb_min, aabb_max)
     return (
         ClusterSet(
             aabb_min=aabb_min, aabb_max=aabb_max,
             woop=woop, normal=normal, mat=mat,
+            node_box=node_box, node_meta=node_meta,
         ),
         perm,
     )

@@ -1,0 +1,107 @@
+"""Area-light table + sampling for next-event estimation (NEE).
+
+No reference analogue (the reference has no lighting at all — hit pixels
+are shaded by surface normal, `Test.hlsl:26-32`); this implements direct
+light sampling with multiple importance sampling for the progressive path
+tracer, the single biggest variance reducer for interior scenes.
+
+The table holds every emissive *triangle* (area ∝ sampling probability).
+Emissive spheres still light the scene through BSDF-sampled path hits but
+are not NEE-sampled (documented limitation; MIS weights are only applied
+to triangle-light hits, so sphere emitters stay unbiased).
+
+All selection is one-hot matmul over the (small) light table — never a
+device gather (see PERF.md for why gathers are banned on the hot path).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class LightTable(NamedTuple):
+    v0: jnp.ndarray       # (L, 3) f32 triangle corner
+    e1: jnp.ndarray       # (L, 3) f32 edge 1
+    e2: jnp.ndarray       # (L, 3) f32 edge 2
+    normal: jnp.ndarray   # (L, 3) f32 unit geometric normal
+    emit: jnp.ndarray     # (L, 3) f32 radiance
+    cum: jnp.ndarray      # (L,)  f32 inclusive cumulative area fraction
+    total_area: jnp.ndarray  # () f32 — 0.0 means "no lights" (NEE no-op)
+
+
+def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
+                      emissive_type: int) -> LightTable:
+    """Host-side (NumPy) collection of emissive triangles."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    tri_mat = np.asarray(tri_mat)
+    emits = np.asarray(mat_emit, np.float32)[tri_mat]
+    sel = (np.asarray(mat_type)[tri_mat] == emissive_type) | (
+        emits.max(axis=1) > 0.0
+    )
+    lv0, lv1, lv2 = v0[sel], v1[sel], v2[sel]
+    lemit = emits[sel]
+
+    e1 = lv1 - lv0
+    e2 = lv2 - lv0
+    n = np.cross(e1, e2)
+    norm = np.linalg.norm(n, axis=1)
+    area = 0.5 * norm
+    keep = area > 1e-12
+    lv0, e1, e2, n, norm, area, lemit = (
+        lv0[keep], e1[keep], e2[keep], n[keep], norm[keep], area[keep],
+        lemit[keep],
+    )
+
+    if lv0.shape[0] == 0:
+        zero3 = np.zeros((1, 3), np.float32)
+        return LightTable(
+            v0=jnp.asarray(zero3), e1=jnp.asarray(zero3),
+            e2=jnp.asarray(zero3), normal=jnp.asarray(zero3),
+            emit=jnp.asarray(zero3),
+            cum=jnp.ones(1, jnp.float32),
+            total_area=jnp.float32(0.0),
+        )
+
+    total = float(area.sum())
+    cum = np.cumsum(area) / total
+    return LightTable(
+        v0=jnp.asarray(lv0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+        normal=jnp.asarray((n / norm[:, None]).astype(np.float32)),
+        emit=jnp.asarray(lemit),
+        cum=jnp.asarray(cum.astype(np.float32)),
+        total_area=jnp.float32(total),
+    )
+
+
+def sample(lights: LightTable, u):
+    """Area-uniform sample over all lights for a batch.
+
+    u: (R, 3) uniforms. Returns (point (R,3), normal (R,3), emit (R,3)).
+    The per-area pdf is ``1 / total_area`` (uniform over the union).
+    """
+    n_lights = lights.cum.shape[0]
+    idx = jnp.clip(
+        jnp.sum((u[:, 0:1] > lights.cum[None, :]).astype(jnp.int32),
+                axis=1),
+        0, n_lights - 1,
+    )
+    onehot = (
+        jnp.arange(n_lights, dtype=jnp.int32)[None, :] == idx[:, None]
+    ).astype(jnp.float32)                       # (R, L)
+
+    v0 = onehot @ lights.v0
+    e1 = onehot @ lights.e1
+    e2 = onehot @ lights.e2
+    normal = onehot @ lights.normal
+    emit = onehot @ lights.emit
+
+    su = jnp.sqrt(jnp.maximum(u[:, 1:2], 1e-12))
+    a = 1.0 - su
+    b = su * u[:, 2:3]
+    point = v0 + a * e1 + b * e2
+    return point, normal, emit

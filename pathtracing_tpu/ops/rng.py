@@ -18,6 +18,7 @@ STREAM_PIXEL_JITTER = 0x9E37
 STREAM_LENS = 0x7F4A
 STREAM_SCATTER = 0x85EB
 STREAM_RR = 0xC2B2
+STREAM_NEE = 0x5BD1
 
 
 def pixel_sample_key(seed, pixel_index, sample_index):

@@ -45,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["megakernel", "wavefront"])
     p.add_argument("--background", default="black",
                    choices=["black", "gradient", "white"])
+    p.add_argument("--no-nee", action="store_true",
+                   help="disable next-event estimation (direct light "
+                        "sampling); brute-force path tracing only")
+    p.add_argument("--traversal", default="auto",
+                   choices=["auto", "bvh", "cluster_jax", "cluster_pallas",
+                            "cluster_pallas_bf16"],
+                   help="intersection backend (auto: Pallas cluster "
+                        "kernel on TPU, threaded BVH elsewhere)")
     p.add_argument("--out", default="render.png")
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="write the PNG every N steps (0 = only at end)")
@@ -86,6 +94,7 @@ def main(argv=None) -> int:
         samples_per_pixel=args.spp, max_depth=args.max_depth,
         seed=args.seed, samples_per_step=args.spp_per_step,
         engine=args.engine, background=args.background,
+        nee=not args.no_nee, traversal=args.traversal,
     )
     scene, cam_cfg = scenes.get_scene(args.scene)
     camera = build_camera(cam_cfg, args.width / args.height)

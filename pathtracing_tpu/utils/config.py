@@ -48,6 +48,15 @@ class RenderConfig:
     wavefront_pool: int = 0         # wavefront ray-pool slots (0 = auto)
     traversal: str = "auto"         # "auto" | "bvh" | "cluster_jax" |
                                     # "cluster_pallas" | "cluster_interpret"
+    nee: bool = True                # next-event estimation (direct light
+                                    # sampling w/ MIS at diffuse vertices)
+    ray_sort: bool = False          # wavefront: bin rays by origin cell +
+                                    # direction octant each iteration.
+                                    # OFF by default: XLA's TPU sort takes
+                                    # >5 min to compile at pool sizes; the
+                                    # pool is already pixel-order coherent
+                                    # from in-place regeneration. A Pallas
+                                    # binning kernel is the planned fix.
     dtype: str = "float32"
     debug: bool = False             # NaN checks + interpret-mode kernels
                                     # (reference DEBUG validation-layer analogue,

@@ -1,0 +1,119 @@
+"""Next-event estimation: unbiasedness, variance reduction, MIS sanity.
+
+SURVEY.md §4(f) statistical-test strategy applied to the direct-light
+estimator: NEE must converge to the same image as brute-force path
+tracing (it is the same integral, importance-sampled differently), with
+materially lower variance at equal sample counts.
+"""
+
+import numpy as np
+import pytest
+
+from pathtracing_tpu.models import progressive, scenes, wavefront
+from pathtracing_tpu.ops import lights as lights_ops
+from pathtracing_tpu.ops.camera import build_camera
+from pathtracing_tpu.utils.config import RenderConfig
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene, cam_cfg = scenes.cornell_sphere()
+    return scene, build_camera(cam_cfg, 1.0)
+
+
+def render(scene, camera, nee, spp, seed, size=32, depth=5):
+    config = RenderConfig(
+        width=size, height=size, samples_per_pixel=spp, max_depth=depth,
+        samples_per_step=spp, seed=seed, nee=nee,
+    )
+    s = progressive.render_step(
+        progressive.init_state(config), scene, camera, config
+    )
+    return np.asarray(progressive.resolve(s))
+
+
+def test_light_table_contents(cornell):
+    scene, _ = cornell
+    lt = scene.lights
+    # The Cornell ceiling light is a 0.9x0.9 quad = two triangles.
+    assert lt.v0.shape[0] == 2
+    np.testing.assert_allclose(float(lt.total_area), 0.81, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lt.emit), 15.0)
+    # Unit normals, ±y.
+    n = np.asarray(lt.normal)
+    np.testing.assert_allclose(np.abs(n[:, 1]), 1.0, atol=1e-6)
+
+
+def test_light_sampling_uniform(cornell):
+    """Sampled points lie on the light plane, inside its extent."""
+    scene, _ = cornell
+    import jax.numpy as jnp
+
+    u = np.random.RandomState(0).rand(4096, 3).astype(np.float32)
+    p, n, emit = lights_ops.sample(scene.lights, jnp.asarray(u))
+    p = np.asarray(p)
+    np.testing.assert_allclose(p[:, 1], 0.995, atol=1e-5)
+    assert p[:, 0].min() > -0.451 and p[:, 0].max() < 0.451
+    assert p[:, 2].min() > -0.451 and p[:, 2].max() < 0.451
+    # Roughly uniform: quadrant counts within 4 sigma.
+    q = (p[:, 0] > 0).astype(int) * 2 + (p[:, 2] > 0).astype(int)
+    counts = np.bincount(q, minlength=4)
+    assert counts.min() > 4096 / 4 - 4 * np.sqrt(4096 * 3 / 16)
+
+
+def test_nee_unbiased(cornell):
+    """NEE and brute force estimate the same integral."""
+    scene, camera = cornell
+    img_nee = render(scene, camera, True, 128, seed=0)
+    img_ref = render(scene, camera, False, 1024, seed=1)
+    rel = abs(img_nee.mean() - img_ref.mean()) / img_ref.mean()
+    assert rel < 0.03, f"mean mismatch {rel:.3f}"
+
+
+def test_nee_reduces_variance(cornell):
+    scene, camera = cornell
+    oracle = render(scene, camera, True, 512, seed=9)
+    rmse_nee = np.sqrt(((render(scene, camera, True, 8, 3) - oracle) ** 2)
+                       .mean())
+    rmse_brute = np.sqrt(
+        ((render(scene, camera, False, 8, 3) - oracle) ** 2).mean()
+    )
+    assert rmse_nee < 0.75 * rmse_brute, (
+        f"NEE {rmse_nee:.4f} not clearly below brute {rmse_brute:.4f}"
+    )
+
+
+def test_engines_agree_with_nee(cornell):
+    scene, camera = cornell
+    config = RenderConfig(
+        width=24, height=24, samples_per_pixel=4, max_depth=4,
+        samples_per_step=4, seed=3, nee=True,
+    )
+    m = progressive.render_step(
+        progressive.init_state(config), scene, camera, config
+    )
+    w = wavefront.render_step(
+        progressive.init_state(config), scene, camera, config
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.accum), np.asarray(w.accum), atol=3e-4
+    )
+
+
+def test_no_lights_scene_noop():
+    """NEE on a lightless scene must not change the estimator."""
+    scene, cam_cfg = scenes.sphere_demo()
+    camera = build_camera(cam_cfg, 1.0)
+    base = dict(width=16, height=16, samples_per_pixel=4, max_depth=3,
+                samples_per_step=4, seed=0, background="gradient")
+    a = progressive.render_step(
+        progressive.init_state(RenderConfig(nee=True, **base)),
+        scene, camera, RenderConfig(nee=True, **base),
+    )
+    b = progressive.render_step(
+        progressive.init_state(RenderConfig(nee=False, **base)),
+        scene, camera, RenderConfig(nee=False, **base),
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), atol=1e-6
+    )

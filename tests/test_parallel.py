@@ -44,7 +44,15 @@ def test_mesh_matches_single_chip(setup, tiles, samples):
     state = prender.init_sharded_state(mesh, CFG)
     state = step(state, scene, cam)
     got = np.asarray(jax.device_get(state.accum))
-    np.testing.assert_array_equal(got, ref)
+    if samples == 1:
+        # Pure image-tile sharding is a disjoint spatial partition with
+        # per-pixel-identical arithmetic — bitwise equal.
+        np.testing.assert_array_equal(got, ref)
+    else:
+        # Sample-axis shards sum partial estimates in a different order
+        # than the sequential scan ((s0+s2)+(s1+s3) vs ((s0+s1)+s2)+s3);
+        # identical per-sample values, float addition-order only.
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
     assert int(state.spp) == CFG.samples_per_step
 
 
@@ -59,8 +67,9 @@ def test_two_steps_match(setup):
     single = progressive.init_state(CFG)
     single = progressive.render_step(single, scene, cam, CFG)
     single = progressive.render_step(single, scene, cam, CFG)
-    np.testing.assert_array_equal(
-        np.asarray(jax.device_get(state.accum)), np.asarray(single.accum)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state.accum)), np.asarray(single.accum),
+        rtol=1e-6, atol=1e-5,
     )
     img = prender.gather_image(state)
     assert img.shape == (16, 16, 3)
