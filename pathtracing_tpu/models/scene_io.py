@@ -1,0 +1,119 @@
+"""JSON scene descriptions: load/save full scenes as data files.
+
+SURVEY.md §5.6 — the reference hard-codes every scene constant inside the
+compute kernel (`Test.hlsl:8-13`); here scenes are declarative JSON that
+compiles through ``SceneBuilder`` into the device SoA/cluster arrays.
+
+Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
+
+{
+  "camera":   {"position": [x,y,z], "look_at": [..], "vfov_degrees": 40,
+               "up": [..], "aperture": 0.0, "focus_distance": 1.0},
+  "materials": {
+    "white": {"type": "lambertian", "albedo": [r,g,b]},
+    "mirror": {"type": "metal", "albedo": [..], "fuzz": 0.05},
+    "glass":  {"type": "dielectric", "ior": 1.5, "tint": [1,1,1]},
+    "lamp":   {"type": "emissive", "radiance": [15,15,15]}
+  },
+  "objects": [
+    {"type": "sphere", "center": [..], "radius": 0.5, "material": "white"},
+    {"type": "quad", "corner": [..], "edge_u": [..], "edge_v": [..],
+     "material": "white"},
+    {"type": "triangle", "v0": [..], "v1": [..], "v2": [..],
+     "material": "white"},
+    {"type": "mesh", "obj": "bunny.obj", "material": "white",
+     "fit_box": {"center": [0,-0.5,0], "size": 1.0},
+     "transform": {"scale": 1, "rotate_y_degrees": 0,
+                   "translate": [0,0,0]}},
+    {"type": "icosphere", "subdivisions": 4, "radius": 0.5,
+     "center": [0,0,0], "material": "white"}
+  ]
+}
+
+Relative mesh paths resolve against the JSON file's directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Tuple
+
+import numpy as np
+
+from pathtracing_tpu.models import meshes
+from pathtracing_tpu.models.scene import Scene, SceneBuilder
+from pathtracing_tpu.utils.config import CameraConfig
+
+
+def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
+    with open(path) as f:
+        spec = json.load(f)
+    base_dir = os.path.dirname(os.path.abspath(path))
+
+    cam_spec = spec.get("camera", {})
+    camera = CameraConfig(
+        position=tuple(cam_spec.get("position", (0.0, 0.0, 1.0))),
+        look_at=tuple(cam_spec.get("look_at", (0.0, 0.0, 0.0))),
+        up=tuple(cam_spec.get("up", (0.0, 1.0, 0.0))),
+        vfov_degrees=float(cam_spec.get("vfov_degrees", 90.0)),
+        aperture=float(cam_spec.get("aperture", 0.0)),
+        focus_distance=float(cam_spec.get("focus_distance", 1.0)),
+    )
+
+    b = SceneBuilder()
+    mat_ids = {}
+    for name, m in spec.get("materials", {}).items():
+        mtype = m["type"]
+        if mtype == "lambertian":
+            mat_ids[name] = b.lambertian(m["albedo"])
+        elif mtype == "metal":
+            mat_ids[name] = b.metal(m["albedo"], m.get("fuzz", 0.0))
+        elif mtype == "dielectric":
+            mat_ids[name] = b.dielectric(
+                m.get("ior", 1.5), m.get("tint", (1.0, 1.0, 1.0))
+            )
+        elif mtype == "emissive":
+            mat_ids[name] = b.emissive(m["radiance"])
+        else:
+            raise ValueError(f"unknown material type {mtype!r} ({name})")
+
+    def mat(obj):
+        name = obj["material"]
+        if name not in mat_ids:
+            raise ValueError(f"object references unknown material {name!r}")
+        return mat_ids[name]
+
+    for obj in spec.get("objects", []):
+        otype = obj["type"]
+        if otype == "sphere":
+            b.add_sphere(obj["center"], obj["radius"], mat(obj))
+        elif otype == "quad":
+            b.add_quad(obj["corner"], obj["edge_u"], obj["edge_v"],
+                       mat(obj))
+        elif otype == "triangle":
+            b.add_triangle(obj["v0"], obj["v1"], obj["v2"], mat(obj))
+        elif otype == "mesh":
+            mesh_path = obj["obj"]
+            if not os.path.isabs(mesh_path):
+                mesh_path = os.path.join(base_dir, mesh_path)
+            verts, faces = meshes.load_obj(mesh_path)
+            if "fit_box" in obj:
+                fb = obj["fit_box"]
+                verts = meshes.fit_to_box(verts, fb["center"], fb["size"])
+            if "transform" in obj:
+                verts = meshes.transform(verts, **obj["transform"])
+            b.add_mesh(verts, faces, mat(obj))
+        elif otype == "icosphere":
+            from pathtracing_tpu.models.scenes import icosphere
+
+            verts, faces = icosphere(
+                obj.get("subdivisions", 4), obj.get("radius", 1.0)
+            )
+            verts = verts + np.asarray(obj.get("center", (0, 0, 0)),
+                                       np.float64)
+            b.add_mesh(verts, faces, mat(obj))
+        else:
+            raise ValueError(f"unknown object type {otype!r}")
+
+    return b.build(), camera

@@ -32,9 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native progressive path tracer",
     )
     p.add_argument("--scene", default="cornell_bsdf",
-                   choices=sorted(scenes.SCENES) + ["reference"],
-                   help="built-in scene, or 'reference' for the exact "
-                        "reference kernel image (Test.hlsl parity)")
+                   help="built-in scene (%s), 'reference' for the exact "
+                        "reference kernel image (Test.hlsl parity), or a "
+                        "path to a .json scene file"
+                        % ", ".join(sorted(scenes.SCENES)))
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=256, help="total samples/pixel")
@@ -58,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the PNG every N steps (0 = only at end)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file; resumes if it exists")
+    p.add_argument("--tiles", type=int, default=0,
+                   help="render in N independent row bands with per-band "
+                        "completion tracking (resume re-renders only "
+                        "missing bands)")
+    p.add_argument("--inject-fault", type=int, default=None,
+                   help="debug: drop band N mid-render to exercise the "
+                        "tile recovery path (requires --tiles)")
     p.add_argument("--checkpoint-every", type=int, default=8,
                    help="checkpoint every N steps")
     p.add_argument("--metrics-jsonl", default=None)
@@ -96,7 +104,20 @@ def main(argv=None) -> int:
         engine=args.engine, background=args.background,
         nee=not args.no_nee, traversal=args.traversal,
     )
-    scene, cam_cfg = scenes.get_scene(args.scene)
+    if args.scene.endswith(".json"):
+        from pathtracing_tpu.models import scene_io
+
+        try:
+            scene, cam_cfg = scene_io.load_scene(args.scene)
+        except (OSError, ValueError, KeyError) as e:
+            ptlog.log_critical("failed to load scene %s: %s", args.scene, e)
+            return 2
+    else:
+        try:
+            scene, cam_cfg = scenes.get_scene(args.scene)
+        except KeyError as e:
+            ptlog.log_critical("%s", e.args[0])
+            return 2
     camera = build_camera(cam_cfg, args.width / args.height)
 
     if args.engine == "wavefront":
@@ -104,6 +125,9 @@ def main(argv=None) -> int:
         step_fn = engine_mod.render_step
     else:
         step_fn = progressive.render_step
+
+    if args.tiles:
+        return _tiled_main(args, config, scene, camera)
 
     state = progressive.init_state(config)
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -160,6 +184,40 @@ def main(argv=None) -> int:
     image.write_png(args.out, progressive.resolve(state))
     ptlog.log_information(
         "wrote %s (%d spp, %d steps)", args.out, int(state.spp), step
+    )
+    return 0
+
+
+def _tiled_main(args, config, scene, camera) -> int:
+    """Band-tiled render driver: per-band completion tracking + resume +
+    optional fault injection (SURVEY.md §5.3)."""
+    from pathtracing_tpu.utils import tiles
+
+    state = None
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        try:
+            state = tiles.load(args.checkpoint, config, args.tiles)
+        except ValueError as e:
+            ptlog.log_critical("%s", e)
+            return 2
+        ptlog.log_information(
+            "resumed tiled render: band spp %s",
+            list(map(int, state.band_spp)),
+        )
+
+    def progress(band, spp):
+        ptlog.log_information("band %d at %d spp", band, spp)
+
+    state = tiles.render_tiled(
+        scene, camera, config, args.tiles, state=state,
+        checkpoint_path=args.checkpoint,
+        inject_fault_band=args.inject_fault, progress=progress,
+    )
+    mean = state.accum / np.maximum(state.band_spp.min(), 1)
+    image.write_png(args.out, mean)
+    ptlog.log_information(
+        "wrote %s (%d bands x %d spp)", args.out, args.tiles,
+        int(state.band_spp.min()),
     )
     return 0
 
