@@ -188,6 +188,12 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
 
         was_active = pool.active
         pool = bounce_all(pool)
+        if config.nee and scene.lights is not None:
+            # Shadow rays are real traversal work: one per live diffuse
+            # vertex (== prev_diffuse right after the bounce).
+            segments = segments + jnp.sum(
+                pool.prev_diffuse.astype(jnp.int32)
+            )
 
         # Newly terminated paths deposit and zero their slot estimate so a
         # slot that stays dead (stream exhausted) deposits exactly once.

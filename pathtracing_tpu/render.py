@@ -153,7 +153,9 @@ def main(argv=None) -> int:
         while int(state.spp) < config.samples_per_pixel:
             with metrics.Timer() as t:
                 state = step_fn(state, scene, camera, config)
-                jax.block_until_ready(state.accum)
+                # A tiny fetch forces completion; block_until_ready is a
+                # no-op on tunneled platforms (PERF.md methodology notes).
+                np.asarray(state.accum[0, 0])
             step += 1
             rays = metrics.rays_per_sample(
                 config.width, config.height, config.max_depth

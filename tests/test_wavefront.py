@@ -75,14 +75,20 @@ def test_progressive_steps_continue_stream(bsdf_scene):
 
 
 def test_segment_count_below_max(bsdf_scene):
-    """Counted segments must be < pixels*spp*max_depth (paths die early)
-    and >= pixels*spp (every path traces at least one segment)."""
+    """Counted rays (path segments + NEE shadow rays) must be below the
+    2x max_depth ceiling and >= pixels*spp (every path traces at least
+    one segment); disabling NEE drops the count."""
     scene, cam_cfg = bsdf_scene
     config = small_config()
     camera = build_camera(cam_cfg, config.width / config.height)
     segs = int(wavefront.count_segments(scene, camera, config, config.seed))
     n_paths = config.width * config.height * config.samples_per_step
-    assert n_paths <= segs < n_paths * config.max_depth
+    assert n_paths <= segs < n_paths * config.max_depth * 2
+    no_nee = small_config(nee=False)
+    segs_no_nee = int(
+        wavefront.count_segments(scene, camera, no_nee, no_nee.seed)
+    )
+    assert segs_no_nee < segs
 
 
 def test_jit_cache_stable(bsdf_scene):
