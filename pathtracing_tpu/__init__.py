@@ -23,3 +23,27 @@ from pathtracing_tpu.utils.config import (  # noqa: F401
     DeviceConfig,
     RenderConfig,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import pathtracing_tpu` light — no jax
+    import until something real is touched)."""
+    lazy = {
+        "Scene": ("pathtracing_tpu.models.scene", "Scene"),
+        "SceneBuilder": ("pathtracing_tpu.models.scene", "SceneBuilder"),
+        "build_camera": ("pathtracing_tpu.ops.camera", "build_camera"),
+        "render_step": ("pathtracing_tpu.models.progressive",
+                        "render_step"),
+        "render_once": ("pathtracing_tpu.models.progressive",
+                        "render_once"),
+        "init_state": ("pathtracing_tpu.models.progressive", "init_state"),
+        "resolve": ("pathtracing_tpu.models.progressive", "resolve"),
+        "get_scene": ("pathtracing_tpu.models.scenes", "get_scene"),
+        "load_scene": ("pathtracing_tpu.models.scene_io", "load_scene"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -224,9 +224,133 @@ def _tile_kernel(o_ref, d_ref, t0_ref, nbox_ref, nmeta_ref, woop_ref,
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile", "bf16"))
+STACK_CAP = 256
+LEAFQ_CAP = 2048
+
+
+def _tile_kernel8(o_ref, d_ref, t0_ref, wbox_ref, wmeta_ref, woop_ref,
+                  mat_ref, t_ref, slot_ref, normal_ref, hitmat_ref,
+                  stack_ref, leafq_ref, *, tile: int, bf16: bool):
+    """8-wide stack-based tile walk — the production traversal.
+
+    Per-iteration cost on this hardware is dominated by scalar syncs
+    (each vector→scalar reduction or branch ≈ 200-500 ns — PERF.md), so
+    the loop is engineered to exactly ONE reduction and ONE branch per
+    iteration: pop one wide node, slab-test its 8 child AABBs in a
+    single vector block, collapse per-child any-ray-hit bits into one
+    packed scalar, then push internal children / enqueue leaf clusters
+    with fully branchless scalar stores (disabled stores land in
+    reserved garbage slots). One queued leaf cluster is dense-evaluated
+    per iteration under the single ``pl.when``. Children are ordered
+    largest-area-first at build so best_t tightens early.
+    """
+    o_aug = o_ref[:]          # (tile, 4)
+    d_aug = d_ref[:]
+    inv_d = _safe_inv(d_aug[:, 0:3])
+    t_ref[:] = t0_ref[:]
+    slot_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
+    normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
+    hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
+    stack_ref[0] = 0          # root
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, CLUSTER_SIZE), 1)
+
+    def eval_cluster(cid):
+        best_t = t_ref[:]
+        woop_c = woop_ref[cid]
+        t_pair = _pair_eval(o_aug, d_aug, woop_c, best_t, bf16)
+        t_min = jnp.min(t_pair, axis=1, keepdims=True)
+        upd = t_min < best_t
+        pick = t_pair <= t_min
+        slot = jnp.min(
+            jnp.where(pick, lane, CLUSTER_SIZE), axis=1, keepdims=True
+        )
+        first = pick & (lane == slot)
+        k = CLUSTER_SIZE
+        zeros = jnp.zeros((tile, k), jnp.float32)
+        nx = jnp.sum(jnp.where(first, woop_c[0:1, 2 * k:], zeros),
+                     axis=1, keepdims=True)
+        ny = jnp.sum(jnp.where(first, woop_c[1:2, 2 * k:], zeros),
+                     axis=1, keepdims=True)
+        nz = jnp.sum(jnp.where(first, woop_c[2:3, 2 * k:], zeros),
+                     axis=1, keepdims=True)
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+        )
+        mat_sel = jnp.max(
+            jnp.where(first, mat_ref[cid], 0), axis=1, keepdims=True
+        )
+        t_ref[:] = jnp.where(upd, t_min, best_t)
+        slot_ref[:] = jnp.where(
+            upd, cid * CLUSTER_SIZE + slot, slot_ref[:]
+        )
+        n_new = jnp.concatenate(
+            [nx * inv_len, ny * inv_len, nz * inv_len,
+             jnp.zeros((tile, 1), jnp.float32)], axis=1
+        )
+        normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
+        hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
+
+    def cond(carry):
+        sp, lq = carry
+        return (sp > 0) | (lq > 0)
+
+    def body(carry):
+        sp, lq = carry
+
+        # Drain ONE queued leaf cluster — the only branch per iteration.
+        @pl.when(lq > 0)
+        def _():
+            eval_cluster(leafq_ref[lq - 1])
+
+        lq = jnp.maximum(lq - 1, 0)
+
+        # Pop + expand one wide node (fully branchless scalar logic:
+        # disabled stores land in reserved garbage slots).
+        do_node = sp > 0
+        node = stack_ref[jnp.maximum(sp - 1, 0)]
+        sp = jnp.where(do_node, sp - 1, sp)
+        boxes = wbox_ref[jnp.where(do_node, node, 0)]  # (6, 128)
+        best_t = t_ref[:]
+
+        tn = jnp.full((tile, 128), -_BIG)
+        tf = jnp.full((tile, 128), _BIG)
+        for ax in range(3):
+            o = o_aug[:, ax:ax + 1]
+            iv = inv_d[:, ax:ax + 1]
+            t0 = (boxes[ax:ax + 1, :] - o) * iv
+            t1 = (boxes[3 + ax:4 + ax, :] - o) * iv
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit = (tn <= tf) & (tf > T_MIN) & (tn < best_t) & do_node
+
+        # ONE vector→scalar reduction: OR over rays per child slot packed
+        # into 8 bits (padding slots have inverted boxes and never hit;
+        # exp2 of the lane id doubles as the 2^c weight).
+        w = jnp.exp2(jnp.minimum(lane, 30).astype(jnp.float32))
+        bits = jnp.sum(jnp.max(jnp.where(hit, w, 0.0), axis=0)).astype(
+            jnp.int32
+        )
+
+        # Reverse order: LIFO pop visits the largest-area child first.
+        for c in range(7, -1, -1):
+            child = wmeta_ref[node, c]
+            take = ((bits >> c) & 1) == 1
+            is_node = take & (child >= 0)
+            is_leaf = take & (child <= -2)
+            stack_ref[jnp.where(is_node, sp, STACK_CAP - 1)] = child
+            sp = sp + jnp.where(is_node, 1, 0)
+            leafq_ref[jnp.where(is_leaf, lq, LEAFQ_CAP - 1)] = -child - 2
+            lq = lq + jnp.where(is_leaf, 1, 0)
+
+        return sp, lq
+
+    jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "bf16", "wide"))
 def trace_pallas(clusters, origin, direction, t_init, interpret=False,
-                 tile=RAY_TILE, bf16=False):
+                 tile=RAY_TILE, bf16=False, wide=False):
     """Pallas cluster-tree walk; returns (t, slot, normal, mat).
 
     Pads the ray batch to ``tile`` internally. Shading data comes out of
@@ -250,22 +374,20 @@ def trace_pallas(clusters, origin, direction, t_init, interpret=False,
     n_nodes = clusters.node_meta.shape[1]
 
     grid = r_pad // tile
-    t, slot, normal, mat = pl.pallas_call(
-        functools.partial(_tile_kernel, n_nodes=n_nodes, tile=tile,
-                          bf16=bf16),
+    ray_specs = [
+        pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    data_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # woop (C, 4, 384)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # mat (C, 1, 128)
+    ]
+    common = dict(
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((tile, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # node_box (6, N)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # node_meta (2, N)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # woop (C, 4, 384)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mat (C, 1, 128)
-        ],
         out_specs=(
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -286,8 +408,32 @@ def trace_pallas(clusters, origin, direction, t_init, interpret=False,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_aug, d_aug, t_init[:, None], clusters.node_box,
-      clusters.node_meta, clusters.woop, clusters.mat[:, None, :])
+    )
+    if wide:
+        t, slot, normal, mat = pl.pallas_call(
+            functools.partial(_tile_kernel8, tile=tile, bf16=bf16),
+            in_specs=ray_specs + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # wide_box (M,6,8)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # wide_meta (M,8)
+            ] + data_specs,
+            scratch_shapes=[
+                pltpu.SMEM((STACK_CAP,), jnp.int32),   # node stack
+                pltpu.SMEM((LEAFQ_CAP,), jnp.int32),   # leaf cluster queue
+            ],
+            **common,
+        )(o_aug, d_aug, t_init[:, None], clusters.wide_box,
+          clusters.wide_meta, clusters.woop, clusters.mat[:, None, :])
+    else:
+        t, slot, normal, mat = pl.pallas_call(
+            functools.partial(_tile_kernel, n_nodes=n_nodes, tile=tile,
+                              bf16=bf16),
+            in_specs=ray_specs + [
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # node_box (6, N)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # node_meta (2, N)
+            ] + data_specs,
+            **common,
+        )(o_aug, d_aug, t_init[:, None], clusters.node_box,
+          clusters.node_meta, clusters.woop, clusters.mat[:, None, :])
     return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
 
 

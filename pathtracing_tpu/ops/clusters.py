@@ -53,6 +53,9 @@ class ClusterSet(NamedTuple):
     node_meta: (2, N) i32 — [skip_link, cluster_id]; cluster_id == -1 for
                interior nodes. Preorder: hit-successor is node+1, miss
                (or after a leaf) jumps to skip_link; index N terminates.
+    wide_box:  (M, 6, 128) f32 — 8-wide tree child AABBs, lane-padded (see
+               ``build_wide_tree``; the production kernel's structure).
+    wide_meta: (M, 8) i32 — 8-wide child encoding.
     """
 
     aabb_min: np.ndarray
@@ -62,6 +65,8 @@ class ClusterSet(NamedTuple):
     mat: np.ndarray
     node_box: np.ndarray
     node_meta: np.ndarray
+    wide_box: np.ndarray
+    wide_meta: np.ndarray
 
 
 def build_cluster_tree(
@@ -202,11 +207,100 @@ def build_clusters(
         mat[ci, :k] = np.where(dead, 0, matp[sl])
 
     node_box, node_meta = build_cluster_tree(aabb_min, aabb_max)
+    wide_box, wide_meta = build_wide_tree(aabb_min, aabb_max)
     return (
         ClusterSet(
             aabb_min=aabb_min, aabb_max=aabb_max,
             woop=woop, normal=normal, mat=mat,
             node_box=node_box, node_meta=node_meta,
+            wide_box=wide_box, wide_meta=wide_meta,
         ),
         perm,
     )
+
+
+WIDE_FANOUT = 8
+WIDE_LANES = 128  # physical lane padding of the child axis
+
+
+def build_wide_tree(
+    aabb_min: np.ndarray, aabb_max: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """8-wide tree over cluster AABBs for the stack-based tile walk.
+
+    Returns (wide_box (M, 6, 128) f32 — child slots lane-padded, slots
+    >= 8 inverted — and wide_meta (M, 8) i32). Child
+    encoding: -1 empty, >= 0 internal node index, <= -2 leaf with
+    cluster id ``-(child + 2)``. Children are ordered by descending AABB
+    area (big wall-like clusters first) so every ray acquires a finite
+    best_t as early as possible; one vector→scalar reduction then tests
+    all 8 children at once in the kernel — the per-iteration sync is the
+    dominant traversal cost on TPU (PERF.md).
+    """
+    c = aabb_min.shape[0]
+    centroid = (aabb_min + aabb_max) * 0.5
+
+    boxes = []   # (6, 8) rows
+    metas = []   # (8,) rows
+
+    def area(sel):
+        d = np.maximum(aabb_max[sel].max(axis=0) - aabb_min[sel].min(axis=0),
+                       0.0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    def split8(ids):
+        """Partition into up to 8 parts via 3 rounds of median splits."""
+        parts = [ids]
+        for _ in range(3):
+            nxt = []
+            for p in parts:
+                if len(p) <= 1:
+                    nxt.append(p)
+                    continue
+                ext = centroid[p].max(axis=0) - centroid[p].min(axis=0)
+                ax = int(np.argmax(ext))
+                order = np.argsort(centroid[p, ax], kind="stable")
+                half = len(p) // 2
+                nxt.append(p[order[:half]])
+                nxt.append(p[order[half:]])
+            parts = nxt
+        return [p for p in parts if len(p)]
+
+    def empty_box():
+        # Inverted bounds: the slab test can never pass for empty slots.
+        # Lane-padded to 128 so the kernel's (tile, 128) vector ops map
+        # 1:1 onto the physical VPU tile (slots 8..127 always miss).
+        b = np.empty((6, WIDE_LANES), np.float32)
+        b[0:3] = 3.0e38
+        b[3:6] = -3.0e38
+        return b
+
+    def emit(ids) -> int:
+        my = len(metas)
+        boxes.append(empty_box())
+        metas.append(np.full(WIDE_FANOUT, -1, np.int32))
+        parts = split8(ids)
+        parts.sort(key=area, reverse=True)
+        for ci, p in enumerate(parts):
+            boxes[my][0:3, ci] = aabb_min[p].min(axis=0)
+            boxes[my][3:6, ci] = aabb_max[p].max(axis=0)
+            if len(p) == 1:
+                metas[my][ci] = -(int(p[0]) + 2)
+            else:
+                metas[my][ci] = emit(p)
+        return my
+
+    if c == 0:
+        boxes.append(empty_box())
+        metas.append(np.full(WIDE_FANOUT, -1, np.int32))
+    else:
+        import sys
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 100_000))
+        try:
+            emit(np.arange(c))
+        finally:
+            sys.setrecursionlimit(old)
+
+    return np.stack(boxes), np.stack(metas)

@@ -81,6 +81,26 @@ def test_soup_scene_matches_bvh(soup_scene, traversal):
     assert_hits_match(h_ref, h_new)
 
 
+def test_wide_kernel_matches_jax(mesh_scene):
+    """The experimental 8-wide stack kernel (interpret mode) agrees with
+    the sweep oracle (kept correct even though the threaded kernel is the
+    production default — see PERF.md)."""
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.ops import cluster_trace
+
+    o, d = random_rays(600, 2)
+    t0 = jnp.full(600, 3.0e38, jnp.float32)
+    tj = cluster_trace.trace_jax(mesh_scene.clusters, o, d, t0)
+    tw = cluster_trace.trace_pallas(
+        mesh_scene.clusters, o, d, t0, interpret=True, wide=True
+    )
+    np.testing.assert_array_equal(np.asarray(tj[1]), np.asarray(tw[1]))
+    np.testing.assert_allclose(
+        np.asarray(tj[0]), np.asarray(tw[0]), rtol=1e-6
+    )
+
+
 def test_rays_from_inside_geometry(mesh_scene):
     """Secondary-bounce-like rays originating on/near surfaces."""
     o, d = random_rays(512, 7, spread=0.8, center=(0.0, -0.5, 0.0))
