@@ -79,7 +79,10 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         prev_pdf = jnp.zeros(r, jnp.float32)
     if prev_diffuse is None:
         prev_diffuse = jnp.zeros(r, jnp.bool_)
-    hit = scene_mod.intersect_batch(scene, o, d, traversal, active=active)
+    with jax.named_scope("intersect"):
+        hit = scene_mod.intersect_batch(
+            scene, o, d, traversal, active=active
+        )
 
     env = background_radiance(d, background)
     escaped = active & jnp.logical_not(hit.valid)

@@ -46,6 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["megakernel", "wavefront"])
     p.add_argument("--background", default="black",
                    choices=["black", "gradient", "white"])
+    p.add_argument("--aov", default=None,
+                   choices=["normal", "depth", "albedo", "mat_id"],
+                   help="render a single diagnostic pass instead of the "
+                        "path-traced image (the 'normal' AOV is the "
+                        "reference kernel's shading generalized to any "
+                        "scene, Test.hlsl:26-32)")
+    p.add_argument("--aperture", type=float, default=None,
+                   help="override the scene camera's aperture "
+                        "(thin-lens depth of field)")
+    p.add_argument("--focus-distance", type=float, default=None,
+                   help="override the scene camera's focus distance")
     p.add_argument("--no-nee", action="store_true",
                    help="disable next-event estimation (direct light "
                         "sampling); brute-force path tracing only")
@@ -118,7 +129,26 @@ def main(argv=None) -> int:
         except KeyError as e:
             ptlog.log_critical("%s", e.args[0])
             return 2
+    if args.aperture is not None or args.focus_distance is not None:
+        import dataclasses
+
+        cam_cfg = dataclasses.replace(
+            cam_cfg,
+            aperture=(args.aperture if args.aperture is not None
+                      else cam_cfg.aperture),
+            focus_distance=(args.focus_distance
+                            if args.focus_distance is not None
+                            else cam_cfg.focus_distance),
+        )
     camera = build_camera(cam_cfg, args.width / args.height)
+
+    if args.aov:
+        from pathtracing_tpu.models import aov as aov_mod
+
+        img = aov_mod.render_aov(scene, camera, config, args.aov)
+        image.write_png(args.out, img)
+        ptlog.log_information("wrote %s AOV to %s", args.aov, args.out)
+        return 0
 
     if args.engine == "wavefront":
         from pathtracing_tpu.models import wavefront as engine_mod
