@@ -68,12 +68,17 @@ class RenderConfig:
 
     def resolve_traversal(self) -> str:
         """Pick the concrete traversal for "auto": the Pallas cluster
-        sweep on TPU, the threaded-BVH walk elsewhere (CPU tests)."""
+        sweep on TPU, the threaded-BVH walk elsewhere (CPU tests). Debug
+        mode forces the interpreted kernel — the reference's
+        validation-layer analogue for the traversal path
+        (GraphicsDevice.cs:62-67)."""
         if self.traversal != "auto":
             return self.traversal
         import jax
 
-        return "cluster_pallas" if jax.default_backend() == "tpu" else "bvh"
+        if jax.default_backend() != "tpu":
+            return "bvh"
+        return "cluster_interpret" if self.debug else "cluster_pallas"
 
 
 @dataclasses.dataclass(frozen=True)
