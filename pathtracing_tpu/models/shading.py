@@ -1,12 +1,14 @@
 """Shared per-bounce shading core used by every integrator.
 
-One bounce = closest-hit query -> environment/emissive accumulation ->
-branchless BSDF scatter -> Russian roulette. The megakernel engine runs this
-in a ``fori_loop`` over a fixed depth; the wavefront engine vmaps it over a
-persistent ray pool with per-slot depth counters. Keeping the body in one
-place guarantees both engines draw the *same* RNG streams for the same
-(pixel, sample, bounce) counters and therefore produce bit-identical
-per-path radiance estimates (only the accumulation order differs).
+One bounce = batched closest-hit query -> environment/emissive
+accumulation (MIS-weighted) -> optional next-event estimation with a
+shadow ray -> branchless BSDF scatter -> Russian roulette. The megakernel
+engine runs ``bounce_batch`` in a ``fori_loop`` over a fixed depth; the
+wavefront engine calls it once per pool iteration with per-slot depth
+counters. Keeping the body in one place guarantees both engines draw the
+*same* RNG streams for the same (pixel, sample, bounce) counters and
+therefore produce bit-identical per-path radiance estimates (only the
+accumulation order differs).
 
 No reference analogue beyond the single normal-shade in `Test.hlsl:26-32`;
 this implements the BASELINE north-star estimator.

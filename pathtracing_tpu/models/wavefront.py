@@ -149,29 +149,20 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         )
 
     def sort_pool(pool: PathPool) -> PathPool:
-        """Order slots by (origin Morton cell, direction octant) so ray
-        tiles handed to the traversal kernel are spatially coherent —
-        the wavefront analogue of GPU ray-binning, and what makes the
-        per-tile cluster skip fire for secondary bounces."""
+        """Group slots by (coarse origin cell, direction octant) so ray
+        tiles handed to the traversal kernel are coherent — the wavefront
+        analogue of GPU ray-binning, and what makes the per-tile cluster
+        skip fire for secondary bounces. Uses the scatter/sort-free
+        counting-sort permutation (``ops.binning``); XLA's sort is
+        unusable at pool sizes on this platform (PERF.md)."""
+        from pathtracing_tpu.ops import binning
+
         lo = jnp.min(scene.clusters.aabb_min, axis=0)
         hi = jnp.max(scene.clusters.aabb_max, axis=0)
-        q = jnp.clip(
-            (pool.origin - lo) / jnp.maximum(hi - lo, 1e-6) * 127.0,
-            0.0, 127.0,
-        ).astype(jnp.uint32)
-
-        # A concatenated-coordinate cell key (not a true Morton interleave)
-        # is enough: tiles only need *neighborhood* coherence.
-        cell = (q[:, 0] << 14) | (q[:, 1] << 7) | q[:, 2]
-        octant = (
-            (pool.direction[:, 0] > 0).astype(jnp.uint32) * 4
-            + (pool.direction[:, 1] > 0).astype(jnp.uint32) * 2
-            + (pool.direction[:, 2] > 0).astype(jnp.uint32)
+        bins = binning.ray_bin(
+            pool.origin, pool.direction, lo, hi, pool.active
         )
-        key = (cell << 3) | octant
-        # Dead slots sort to the back (stay out of coherent tiles).
-        key = jnp.where(pool.active, key, jnp.uint32(0xFFFFFFFF))
-        order = jnp.argsort(key)
+        order = binning.binning_perm(bins, binning.N_BINS)
         return jax.tree.map(lambda a: a[order], pool)
 
     do_sort = (

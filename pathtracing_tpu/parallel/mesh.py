@@ -38,6 +38,18 @@ def make_mesh(n_tiles: Optional[int] = None, n_samples: int = 1,
     return Mesh(arr, (TILE_AXIS, SAMPLE_AXIS))
 
 
+def mesh_from_config(cfg) -> Mesh:
+    """Build the mesh described by a ``utils.config.DeviceConfig``.
+
+    ``mesh_shape`` entries map onto (tiles, samples); a 1-element shape
+    puts everything on the tiles axis.
+    """
+    shape = tuple(cfg.mesh_shape)
+    n_tiles = shape[0]
+    n_samples = shape[1] if len(shape) > 1 else 1
+    return make_mesh(n_tiles, n_samples)
+
+
 def multihost_init() -> None:
     """Initialize multi-host JAX (DCN) when launched under a cluster
     runtime. Safe no-op in single-process runs."""

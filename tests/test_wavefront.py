@@ -91,6 +91,36 @@ def test_segment_count_below_max(bsdf_scene):
     assert segs_no_nee < segs
 
 
+def test_ray_binning_same_image(bsdf_scene):
+    """Counting-sort ray binning must not change the estimate (slots are
+    permuted; per-path RNG keys travel with the slot)."""
+    scene, cam_cfg = bsdf_scene
+    config = small_config(ray_sort=True, traversal="cluster_jax")
+    ref_config = small_config(traversal="cluster_jax")
+    camera = build_camera(cam_cfg, config.width / config.height)
+    m = progressive.render_step(
+        progressive.init_state(ref_config), scene, camera, ref_config
+    )
+    w = wavefront.render_step(
+        progressive.init_state(config), scene, camera, config
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.accum), np.asarray(w.accum), atol=3e-4
+    )
+
+
+def test_binning_perm_properties():
+    from pathtracing_tpu.ops import binning
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(1)
+    bins = jnp.asarray(rs.randint(0, binning.N_BINS, 3000), jnp.int32)
+    perm = np.asarray(binning.binning_perm(bins, binning.N_BINS))
+    assert sorted(perm.tolist()) == list(range(3000))  # a permutation
+    grouped = np.asarray(bins)[perm]
+    assert (np.diff(grouped) >= 0).all()               # grouped
+
+
 def test_jit_cache_stable(bsdf_scene):
     """Repeated steps reuse the compiled executable (no retrace)."""
     scene, cam_cfg = bsdf_scene
