@@ -50,13 +50,11 @@ class RenderConfig:
                                     # "cluster_pallas" | "cluster_interpret"
     nee: bool = True                # next-event estimation (direct light
                                     # sampling w/ MIS at diffuse vertices)
-    ray_sort: bool = False          # wavefront: bin rays by origin cell +
-                                    # direction octant each iteration.
-                                    # OFF by default: XLA's TPU sort takes
-                                    # >5 min to compile at pool sizes; the
-                                    # pool is already pixel-order coherent
-                                    # from in-place regeneration. A Pallas
-                                    # binning kernel is the planned fix.
+    ray_sort: bool = True           # wavefront: group rays by (origin
+                                    # cell, direction octant) each
+                                    # iteration via the scatter/sort-free
+                                    # counting sort (ops.binning) —
+                                    # measured 1.7x on the mesh scene.
     dtype: str = "float32"
     debug: bool = False             # NaN checks + interpret-mode kernels
                                     # (reference DEBUG validation-layer analogue,
