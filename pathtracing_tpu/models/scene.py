@@ -234,7 +234,7 @@ intersect_scene_batch = jax.vmap(intersect_scene, in_axes=(None, 0, 0))
 
 def intersect_batch(scene: Scene, origin, direction,
                     traversal: str = "bvh", active=None,
-                    t_max=None) -> Hit:
+                    t_max=None, bin_rays: bool = False) -> Hit:
     """Closest hit for a whole (R,3) ray batch — the engine-facing API.
 
     ``traversal`` (static):
@@ -268,19 +268,43 @@ def intersect_batch(scene: Scene, origin, direction,
         t_init = jnp.minimum(t_init, t_max)
     if active is not None:
         t_init = jnp.where(active, t_init, 0.0)
+    # Optional ray binning: feed the traversal kernel in (origin cell,
+    # direction octant) groups so its per-tile cluster skip fires on
+    # incoherent waves; results return in original order, so the render
+    # is bitwise independent of the binning (ops.binning docstring).
+    perm = inv = None
+    if bin_rays and traversal != "cluster_jax":
+        from pathtracing_tpu.ops import binning
+
+        lo = jnp.min(scene.clusters.aabb_min, axis=0)
+        hi = jnp.max(scene.clusters.aabb_max, axis=0)
+        bins = binning.ray_bin(
+            origin, direction, lo, hi, t_init > 0.0
+        )
+        perm, inv = binning.binning_perm(bins, binning.N_BINS)
+        origin_t, direction_t, t_init_t = (
+            origin[perm], direction[perm], t_init[perm]
+        )
+    else:
+        origin_t, direction_t, t_init_t = origin, direction, t_init
+
     if traversal == "cluster_jax":
         tri_t, slot, n_tri, mat_tri = cluster_trace.trace_jax(
-            scene.clusters, origin, direction, t_init
+            scene.clusters, origin_t, direction_t, t_init_t
         )
     elif traversal in ("cluster_pallas", "cluster_pallas_bf16",
                        "cluster_interpret"):
         tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas(
-            scene.clusters, origin, direction, t_init,
+            scene.clusters, origin_t, direction_t, t_init_t,
             interpret=(traversal == "cluster_interpret"),
             bf16=(traversal == "cluster_pallas_bf16"),
         )
     else:
         raise ValueError(f"unknown traversal mode: {traversal!r}")
+
+    if perm is not None:
+        tri_t, slot = tri_t[inv], slot[inv]
+        n_tri, mat_tri = n_tri[inv], mat_tri[inv]
 
     hit_tri = slot >= 0
     t = jnp.where(hit_tri, tri_t, sph_t)

@@ -52,7 +52,8 @@ INV_PI = 0.3183098861837907
 
 def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                  rr_start_depth, background: str, traversal: str,
-                 nee: bool = False, prev_pdf=None, prev_diffuse=None):
+                 nee: bool = False, prev_pdf=None, prev_diffuse=None,
+                 bin_rays: bool = False):
     """One bounce for a whole (R,) ray batch — the production path.
 
     Identical math and RNG streams to the original per-ray form (the
@@ -83,7 +84,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         prev_diffuse = jnp.zeros(r, jnp.bool_)
     with jax.named_scope("intersect"):
         hit = scene_mod.intersect_batch(
-            scene, o, d, traversal, active=active
+            scene, o, d, traversal, active=active, bin_rays=bin_rays
         )
 
     env = background_radiance(d, background)
@@ -136,7 +137,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         t_shadow = dist * (1.0 - 1e-3)
         sh = scene_mod.intersect_batch(
             scene, hit.position, wi, traversal, active=cand,
-            t_max=t_shadow,
+            t_max=t_shadow, bin_rays=bin_rays,
         )
         occluded = sh.valid & (sh.t < t_shadow)
         vis = cand & jnp.logical_not(occluded)

@@ -137,7 +137,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
                 pool.radiance, pool.throughput, pool.active,
                 config.rr_start_depth, config.background, traversal,
                 nee=config.nee, prev_pdf=pool.prev_pdf,
-                prev_diffuse=pool.prev_diffuse,
+                prev_diffuse=pool.prev_diffuse, bin_rays=config.ray_sort,
             )
         )
         depth = pool.depth + 1
@@ -148,33 +148,9 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             depth=depth, active=active, prev_pdf=pdf, prev_diffuse=pdiff,
         )
 
-    def sort_pool(pool: PathPool) -> PathPool:
-        """Group slots by (coarse origin cell, direction octant) so ray
-        tiles handed to the traversal kernel are coherent — the wavefront
-        analogue of GPU ray-binning, and what makes the per-tile cluster
-        skip fire for secondary bounces. Uses the scatter/sort-free
-        counting-sort permutation (``ops.binning``); XLA's sort is
-        unusable at pool sizes on this platform (PERF.md)."""
-        from pathtracing_tpu.ops import binning
-
-        lo = jnp.min(scene.clusters.aabb_min, axis=0)
-        hi = jnp.max(scene.clusters.aabb_max, axis=0)
-        bins = binning.ray_bin(
-            pool.origin, pool.direction, lo, hi, pool.active
-        )
-        order = binning.binning_perm(bins, binning.N_BINS)
-        return jax.tree.map(lambda a: a[order], pool)
-
-    do_sort = (
-        config.resolve_traversal().startswith("cluster")
-        and scene.clusters is not None and config.ray_sort
-    )
-
     def body(carry):
         pool, accum, next_path, segments = carry
         pool, next_path = refill(pool, next_path)
-        if do_sort:
-            pool = sort_pool(pool)
         segments = segments + jnp.sum(pool.active.astype(jnp.int32))
 
         was_active = pool.active

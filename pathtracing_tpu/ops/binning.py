@@ -33,7 +33,9 @@ def binning_perm(bins, n_bins: int):
     """Stable counting-sort permutation: ``x[perm]`` groups equal bins.
 
     bins: (N,) int32 in [0, n_bins). Memory: the (N, n_bins) one-hot —
-    keep n_bins <= ~128 at 1M rays.
+    keep n_bins <= ~256 at 1M rays. Returns (perm, inv) with
+    ``inv`` the inverse permutation (``y[inv]`` restores the original
+    order of ``y = x[perm]``).
     """
     n = bins.shape[0]
     onehot = (
@@ -48,11 +50,12 @@ def binning_perm(bins, n_bins: int):
         [jnp.zeros(1, jnp.int32),
          jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
-    pos = offsets[bins] + rank_in_bin
-    return jnp.zeros(n, jnp.int32).at[pos].set(
+    pos = offsets[bins] + rank_in_bin  # destination of element i == inv
+    perm = jnp.zeros(n, jnp.int32).at[pos].set(
         jnp.arange(n, dtype=jnp.int32),
         unique_indices=True, mode="promise_in_bounds",
     )
+    return perm, pos
 
 
 def ray_bin(origin, direction, scene_lo, scene_hi, active):

@@ -95,8 +95,8 @@ def test_ray_binning_same_image(bsdf_scene):
     """Counting-sort ray binning must not change the estimate (slots are
     permuted; per-path RNG keys travel with the slot)."""
     scene, cam_cfg = bsdf_scene
-    config = small_config(ray_sort=True, traversal="cluster_jax")
-    ref_config = small_config(traversal="cluster_jax")
+    config = small_config(ray_sort=True, traversal="cluster_interpret")
+    ref_config = small_config(ray_sort=False, traversal="cluster_interpret")
     camera = build_camera(cam_cfg, config.width / config.height)
     m = progressive.render_step(
         progressive.init_state(ref_config), scene, camera, ref_config
@@ -115,10 +115,14 @@ def test_binning_perm_properties():
 
     rs = np.random.RandomState(1)
     bins = jnp.asarray(rs.randint(0, binning.N_BINS, 3000), jnp.int32)
-    perm = np.asarray(binning.binning_perm(bins, binning.N_BINS))
+    perm, inv = binning.binning_perm(bins, binning.N_BINS)
+    perm, inv = np.asarray(perm), np.asarray(inv)
     assert sorted(perm.tolist()) == list(range(3000))  # a permutation
     grouped = np.asarray(bins)[perm]
     assert (np.diff(grouped) >= 0).all()               # grouped
+    # inv really inverts: sorted[inv] restores original order.
+    x = rs.randn(3000).astype(np.float32)
+    np.testing.assert_array_equal(x[perm][inv], x)
 
 
 def test_jit_cache_stable(bsdf_scene):
