@@ -66,8 +66,16 @@ def _pair_eval(o_aug, d_aug, woop_c, best_t, bf16: bool = False):
         o_aug = o_aug.astype(jnp.bfloat16)
         d_aug = d_aug.astype(jnp.bfloat16)
         woop_c = woop_c.astype(jnp.bfloat16)
-    op = jnp.dot(o_aug, woop_c, preferred_element_type=jnp.float32)
-    dp = jnp.dot(d_aug, woop_c, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST is load-bearing: TPU f32 dots default to ONE
+    # bf16x bf16 pass (~4e-3 relative t error), which shifts hit points
+    # enough to self-intersect on secondary rays — rendered as concentric
+    # shadow rings on large flat surfaces. The matmuls are far from the
+    # kernel's bottleneck (PERF.md), so full f32 costs ~nothing here.
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    op = jnp.dot(o_aug, woop_c, preferred_element_type=jnp.float32,
+                 precision=prec)
+    dp = jnp.dot(d_aug, woop_c, preferred_element_type=jnp.float32,
+                 precision=prec)
     k = CLUSTER_SIZE
     op_u, op_v, op_w = op[:, :k], op[:, k:2 * k], op[:, 2 * k:]
     dp_u, dp_v, dp_w = dp[:, :k], dp[:, k:2 * k], dp[:, 2 * k:]

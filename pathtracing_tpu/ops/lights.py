@@ -92,13 +92,22 @@ def sample(lights: LightTable, u):
     )
     onehot = (
         jnp.arange(n_lights, dtype=jnp.int32)[None, :] == idx[:, None]
-    ).astype(jnp.float32)                       # (R, L)
+    )                                           # (R, L) bool
 
-    v0 = onehot @ lights.v0
-    e1 = onehot @ lights.e1
-    e2 = onehot @ lights.e2
-    normal = onehot @ lights.normal
-    emit = onehot @ lights.emit
+    def select(table):  # (L, 3) -> (R, 3)
+        # Exact masked-sum selection. NOT a matmul: TPU f32 dots default
+        # to bf16 multiplies, and a light point 4e-3 off its own plane
+        # makes shadow rays hit the light geometry itself — measured as
+        # a ~20% darkening of every NEE estimate.
+        return jnp.sum(
+            jnp.where(onehot[:, :, None], table[None, :, :], 0.0), axis=1
+        )
+
+    v0 = select(lights.v0)
+    e1 = select(lights.e1)
+    e2 = select(lights.e2)
+    normal = select(lights.normal)
+    emit = select(lights.emit)
 
     su = jnp.sqrt(jnp.maximum(u[:, 1:2], 1e-12))
     a = 1.0 - su
