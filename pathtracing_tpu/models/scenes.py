@@ -136,6 +136,46 @@ def cornell_mesh(subdivisions: int = 5) -> Tuple[Scene, CameraConfig]:
     return b.build(), CORNELL_CAMERA
 
 
+def veach_mis() -> Tuple[Scene, CameraConfig]:
+    """Veach-style MIS demo: glossy strips of increasing roughness under
+    three area lights of very different size but similar power. Light
+    sampling alone is noisy on the sharp strips, BSDF sampling alone on
+    the big dim light — the power-heuristic combination (ops.lights +
+    models.shading) handles all nine pairings."""
+    b = SceneBuilder()
+    floor = b.lambertian((0.22, 0.22, 0.24))
+    back = b.lambertian((0.05, 0.05, 0.06))
+    b.add_quad((-12.0, -2.0, -6.0), (24.0, 0.0, 0.0), (0.0, 0.0, 18.0),
+               floor)
+    b.add_quad((-12.0, -2.0, -6.0), (24.0, 0.0, 0.0), (0.0, 14.0, 0.0),
+               back)
+
+    # Three lights, areas 0.04 / 0.36 / 3.24, radiance ~1/area.
+    for x, half, rad in [(-3.0, 0.1, (380.0, 330.0, 280.0)),
+                         (0.0, 0.3, (42.0, 38.0, 30.0)),
+                         (3.0, 0.9, (4.7, 4.2, 3.5))]:
+        light = b.emissive(rad)
+        b.add_quad((x - half, 5.0, -4.0), (2 * half, 0.0, 0.0),
+                   (0.0, 0.0, 2 * half), light)
+
+    # Four long strips, fuzz 0.02..0.3, tilted to reflect the lights
+    # toward the camera.
+    strips = [(0.02, -1.1, 0.0, 18.0), (0.08, -0.4, 1.2, 14.0),
+              (0.18, 0.4, 2.4, 10.0), (0.30, 1.3, 3.6, 6.0)]
+    for fuzz, y, z, tilt_deg in strips:
+        m = b.metal((0.85, 0.82, 0.78), fuzz=fuzz)
+        t = np.radians(tilt_deg)
+        depth = 0.9
+        # Normal (0, cos t, sin t): up, leaning toward the camera, so the
+        # strip mirrors the high back lights into the viewer.
+        edge_v = (0.0, depth * np.sin(t), -depth * np.cos(t))
+        b.add_quad((-5.0, y, z), (10.0, 0.0, 0.0), edge_v, m)
+
+    cam = CameraConfig(position=(0.0, 3.0, 10.0), look_at=(0.0, 1.2, 0.0),
+                       vfov_degrees=40.0)
+    return b.build(), cam
+
+
 def sphere_demo() -> Tuple[Scene, CameraConfig]:
     """The reference's scene (`Test.hlsl:8-13`): r=0.5 sphere at the origin,
     eye at (0,0,1) — rendered with real materials + gradient sky."""
@@ -152,6 +192,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_bsdf": cornell_bsdf,
     "cornell_mesh": cornell_mesh,
     "sphere_demo": sphere_demo,
+    "veach_mis": veach_mis,
 }
 
 
