@@ -28,9 +28,27 @@ def linear_to_srgb(rgb):
 @jax.jit
 def tonemap(linear_rgb):
     """Linear HDR radiance → uint8 sRGB (device-side; one op before host
-    transfer, replacing the reference's blit+swapchain)."""
+    transfer, replacing the reference's blit+swapchain).
+
+    Quantization is dithered with a deterministic per-pixel hash so
+    smooth radial/linear gradients don't contour into visible bands at
+    8 bits (converged renders are noise-free enough to show them)."""
     srgb = linear_to_srgb(linear_rgb)
-    return jnp.clip(srgb * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    if srgb.ndim == 3:
+        h, w, _ = srgb.shape
+        ys = jax.lax.broadcasted_iota(jnp.uint32, (h, w, 1), 0)
+        xs = jax.lax.broadcasted_iota(jnp.uint32, (h, w, 1), 1)
+        cs = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, srgb.shape[2]), 2)
+        key = (ys * jnp.uint32(0x9E3779B1)
+               ^ xs * jnp.uint32(0x85EBCA77)
+               ^ cs * jnp.uint32(0xC2B2AE3D))
+        key = key ^ (key >> 15)
+        key = key * jnp.uint32(0x2C1B3C6D)
+        key = key ^ (key >> 12)
+        dither = (key & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+    else:
+        dither = 0.5
+    return jnp.clip(srgb * 255.0 + dither, 0.0, 255.0).astype(jnp.uint8)
 
 
 def encode_png(rgb8: np.ndarray) -> bytes:
