@@ -366,6 +366,15 @@ def trace_pallas(clusters, origin, direction, t_init, interpret=False,
     Rays with ``t_init <= 0`` (dead lanes) short-circuit: a tile whose
     rays are all dead walks exactly one node.
     """
+    woop_bytes = clusters.woop.size * 4
+    if woop_bytes > 96 * 1024 * 1024:
+        raise ValueError(
+            f"cluster data ({woop_bytes / 1e6:.0f} MB of Woop tensors) "
+            "exceeds the whole-in-VMEM budget of this kernel "
+            "(~1.5M triangles). Split the scene or use traversal="
+            "'cluster_jax'; HBM->VMEM double-buffered streaming is the "
+            "planned extension (PERF.md)."
+        )
     r = origin.shape[0]
     r_pad = -(-r // tile) * tile
     pad = r_pad - r

@@ -1,0 +1,71 @@
+"""End-to-end CLI smoke tests (subprocess — exercises the real entry
+point the way a user runs it, the reference's `Program.cs` analogue)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = {
+    **os.environ,
+    "PALLAS_AXON_POOL_IPS": "",
+    "JAX_PLATFORMS": "cpu",
+}
+
+
+def run_cli(*args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", "pathtracing_tpu.render", *args],
+        cwd=REPO, env=ENV, capture_output=True, text=True,
+        timeout=timeout,
+    )
+
+
+def test_render_and_resume(tmp_path):
+    out = str(tmp_path / "r.png")
+    ck = str(tmp_path / "ck.npz")
+    base = ["--scene", "cornell_sphere", "--width", "16", "--height", "16",
+            "--spp", "4", "--spp-per-step", "2", "--max-depth", "3",
+            "--checkpoint", ck, "--out", out]
+    r = run_cli(*base)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out) and os.path.exists(ck)
+
+    # Resume with a different seed must refuse cleanly (exit 2, no
+    # traceback — SURVEY.md §5.3 fail-fast with a friendly message).
+    r2 = run_cli(*base, "--seed", "7")
+    assert r2.returncode == 2
+    assert "refusing to resume" in r2.stderr + r2.stdout
+    assert "Traceback" not in r2.stderr
+
+
+def test_unknown_scene_exit_code():
+    r = run_cli("--scene", "nope", "--width", "8", "--height", "8",
+                "--spp", "1")
+    assert r.returncode == 2
+    assert "unknown scene" in (r.stderr + r.stdout)
+
+
+def test_aov_flag(tmp_path):
+    out = str(tmp_path / "n.png")
+    r = run_cli("--scene", "cornell_sphere", "--width", "16",
+                "--height", "16", "--aov", "normal", "--out", out)
+    assert r.returncode == 0, r.stderr
+    from pathtracing_tpu.utils import image
+
+    img = image.decode_png(open(out, "rb").read())
+    assert img.shape == (16, 16, 3)
+
+
+@pytest.mark.parametrize("extra", [[], ["--engine", "wavefront"]])
+def test_json_scene_render(tmp_path, extra):
+    out = str(tmp_path / "j.png")
+    r = run_cli("--scene", "examples/cornell.json", "--width", "12",
+                "--height", "12", "--spp", "2", "--spp-per-step", "2",
+                "--max-depth", "2", "--out", out, *extra)
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(out) > 100
