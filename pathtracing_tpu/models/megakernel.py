@@ -81,6 +81,8 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
         radiance, *_ = jax.lax.fori_loop(
             0, config.max_depth, bounce, init
         )
+        if config.clamp > 0.0:
+            radiance = jnp.minimum(radiance, config.clamp)
         return accum + radiance.reshape(block_rows, w, 3), None
 
     accum0 = jnp.zeros((block_rows, w, 3), jnp.float32)

@@ -166,6 +166,8 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         # slot that stays dead (stream exhausted) deposits exactly once.
         finished = was_active & jnp.logical_not(pool.active)
         deposit = jnp.where(finished[:, None], pool.radiance, 0.0)
+        if config.clamp > 0.0:
+            deposit = jnp.minimum(deposit, config.clamp)
         accum = accum.at[pool.pixel].add(
             deposit, mode="drop", unique_indices=False
         )

@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="intersection backend (auto: Pallas cluster "
                         "kernel on TPU, threaded BVH elsewhere)")
     p.add_argument("--out", default="render.png")
+    p.add_argument("--out-hdr", default=None,
+                   help="also write the linear HDR radiance (.npz with "
+                        "'radiance' (H,W,3) f32 and 'spp')")
+    p.add_argument("--clamp", type=float, default=0.0,
+                   help="per-sample radiance clamp (firefly suppression; "
+                        "0 = unbiased/off)")
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="write the PNG every N steps (0 = only at end)")
     p.add_argument("--checkpoint", default=None,
@@ -114,6 +120,7 @@ def main(argv=None) -> int:
         seed=args.seed, samples_per_step=args.spp_per_step,
         engine=args.engine, background=args.background,
         nee=not args.no_nee, traversal=args.traversal,
+        clamp=args.clamp,
     )
     if args.scene.endswith(".json"):
         from pathtracing_tpu.models import scene_io
@@ -213,6 +220,10 @@ def main(argv=None) -> int:
 
     if args.checkpoint:
         ckpt.save(args.checkpoint, state, config)
+    if args.out_hdr:
+        np.savez(args.out_hdr,
+                 radiance=np.asarray(progressive.resolve(state)),
+                 spp=int(state.spp))
     image.write_png(args.out, progressive.resolve(state))
     ptlog.log_information(
         "wrote %s (%d spp, %d steps)", args.out, int(state.spp), step

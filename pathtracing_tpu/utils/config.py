@@ -50,6 +50,9 @@ class RenderConfig:
                                     # "cluster_pallas" | "cluster_interpret"
     nee: bool = True                # next-event estimation (direct light
                                     # sampling w/ MIS at diffuse vertices)
+    clamp: float = 0.0              # per-sample radiance clamp (0 = off);
+                                    # trades a little bias for firefly
+                                    # suppression at low spp
     ray_sort: bool = True           # wavefront: group rays by (origin
                                     # cell, direction octant) each
                                     # iteration via the scatter/sort-free
