@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inject-fault", type=int, default=None,
                    help="debug: drop band N mid-render to exercise the "
                         "tile recovery path (requires --tiles)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="with --tiles: variance-driven sample allocation "
+                        "(noisy bands get more of the spp budget)")
     p.add_argument("--checkpoint-every", type=int, default=8,
                    help="checkpoint every N steps")
     p.add_argument("--metrics-jsonl", default=None)
@@ -233,8 +236,22 @@ def main(argv=None) -> int:
 
 def _tiled_main(args, config, scene, camera) -> int:
     """Band-tiled render driver: per-band completion tracking + resume +
-    optional fault injection (SURVEY.md §5.3)."""
+    optional fault injection (SURVEY.md §5.3), or adaptive sampling."""
     from pathtracing_tpu.utils import tiles
+
+    def progress(band, spp):
+        ptlog.log_information("band %d at %d spp", band, spp)
+
+    if args.adaptive:
+        state = tiles.render_tiled_adaptive(
+            scene, camera, config, args.tiles, progress=progress
+        )
+        image.write_png(args.out, tiles.resolve_tiled(state))
+        ptlog.log_information(
+            "wrote %s (adaptive; band spp %s)", args.out,
+            list(map(int, state.band_spp)),
+        )
+        return 0
 
     state = None
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -247,9 +264,6 @@ def _tiled_main(args, config, scene, camera) -> int:
             "resumed tiled render: band spp %s",
             list(map(int, state.band_spp)),
         )
-
-    def progress(band, spp):
-        ptlog.log_information("band %d at %d spp", band, spp)
 
     state = tiles.render_tiled(
         scene, camera, config, args.tiles, state=state,

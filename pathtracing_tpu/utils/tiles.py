@@ -132,6 +132,60 @@ def inject_fault(state: TiledState, band: int) -> TiledState:
     return TiledState(accum=accum, band_spp=band_spp, seed=state.seed)
 
 
+def resolve_tiled(state: TiledState) -> np.ndarray:
+    """Mean-radiance image with PER-BAND normalization (bands may hold
+    different sample counts under adaptive scheduling)."""
+    accum = np.asarray(state.accum)
+    n_bands = len(state.band_spp)
+    rows = accum.shape[0] // n_bands
+    out = np.empty_like(accum)
+    for b in range(n_bands):
+        out[b * rows:(b + 1) * rows] = (
+            accum[b * rows:(b + 1) * rows]
+            / max(int(state.band_spp[b]), 1)
+        )
+    return out
+
+
+def render_tiled_adaptive(scene, camera, config: RenderConfig,
+                          n_bands: int, progress=None) -> TiledState:
+    """Variance-driven adaptive sampling over bands.
+
+    Budget = n_bands * config.samples_per_pixel rounds-worth of samples,
+    spent greedily on the band whose round-to-round estimate still moves
+    the most (relative luminance delta between consecutive per-band
+    means — a cheap convergence proxy that needs no second-moment
+    buffer). Every band gets at least ``samples_per_step`` twice so the
+    proxy exists; resolve with ``resolve_tiled`` (per-band spp differ).
+    """
+    state = init_tiled(config, n_bands)
+    step = config.samples_per_step
+    budget = n_bands * config.samples_per_pixel
+    rows = config.height // n_bands
+
+    prev_mean = np.zeros(n_bands)
+    score = np.full(n_bands, np.inf)  # unexplored bands first
+    spent = 0
+    while spent + step <= budget:
+        band = int(np.argmax(score))
+        before = prev_mean[band]
+        state = render_band(scene, camera, config, state, band, step)
+        spent += step
+
+        block = np.asarray(
+            state.accum[band * rows:(band + 1) * rows]
+        )
+        mean_now = float(block.mean()) / max(int(state.band_spp[band]), 1)
+        if int(state.band_spp[band]) >= 2 * step:
+            rel_delta = abs(mean_now - before) / max(abs(mean_now), 1e-6)
+            # Error shrinks ~1/sqrt(n): damp the score as spp grows.
+            score[band] = rel_delta / np.sqrt(int(state.band_spp[band]))
+        prev_mean[band] = mean_now
+        if progress is not None:
+            progress(band, int(state.band_spp[band]))
+    return state
+
+
 def render_tiled(scene, camera, config: RenderConfig, n_bands: int,
                  state: Optional[TiledState] = None,
                  checkpoint_path: Optional[str] = None,

@@ -81,3 +81,26 @@ def test_load_rejects_config_change(tmp_path, setup):
 def test_bad_band_count_rejected():
     with pytest.raises(ValueError, match="not divisible"):
         tiles.init_tiled(CFG, 3)
+
+
+def test_adaptive_respects_budget_and_minimum(setup):
+    scene, cam, _ = setup
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=16,
+                       max_depth=3, samples_per_step=2, seed=4)
+    st = tiles.render_tiled_adaptive(scene, cam, cfg, 4)
+    assert int(st.band_spp.sum()) == 4 * 16
+    assert st.band_spp.min() >= 4  # every band explored at least twice
+    img = tiles.resolve_tiled(st)
+    assert np.isfinite(img).all() and img.mean() > 0
+
+
+def test_adaptive_prefers_noisy_bands(setup):
+    """The band containing the bright ceiling light (top band) converges
+    differently from the floor; allocation must not be uniform when the
+    budget is large enough to differentiate."""
+    scene, cam, _ = setup
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=32,
+                       max_depth=4, samples_per_step=2, seed=1)
+    st = tiles.render_tiled_adaptive(scene, cam, cfg, 4)
+    assert int(st.band_spp.sum()) == 4 * 32
+    assert len(set(map(int, st.band_spp))) > 1, "allocation stayed uniform"
