@@ -6,18 +6,21 @@ of the same contract:
 
   trace_jax    — fori over clusters, every cluster evaluated masked for the
                  whole ray batch. Correct everywhere; the CPU/test path.
-  trace_pallas — grid over 1024-ray tiles; per tile, clusters whose AABB no
-                 ray in the tile can improve on are SKIPPED with @pl.when,
+  trace_pallas — grid over RAY_TILE-ray tiles; each tile walks the
+                 threaded cluster tree with one scalar register, and
+                 subtrees no ray in the tile can improve on are skipped,
                  so work scales with rays' actual cluster footprints
                  (coherent tiles touch a handful of the C clusters). The
-                 two (R,4)x(4,384) Woop matmuls run on the MXU.
+                 two (R,4)x(4,384) Woop matmuls run on the MXU at full
+                 f32 precision (see the bf16 gotcha in PERF.md).
 
-Contract: trace(clusters, origin, direction, t_init) -> (t, slot) where
-``t_init`` is the per-ray closest hit found so far (e.g. from the sphere
-set — used for culling), ``t`` improves on it or passes it through, and
+Contract: trace(clusters, origin, direction, t_init) -> (t, slot,
+normal, mat) where ``t_init`` is the per-ray closest hit found so far
+(e.g. from the sphere set — used for culling; 0 marks a dead lane that
+short-circuits), ``t`` improves on it or passes it through, and
 ``slot = cluster*128 + lane`` indexes the padded cluster slots (-1 = no
-triangle hit). ``lookup_hit`` resolves (normal, material) from slots with
-one batched gather.
+triangle hit). Shading data is selected in-kernel (Pallas) or via one
+batched gather (``lookup_hit``, CPU oracle path).
 """
 
 from __future__ import annotations

@@ -19,9 +19,9 @@ compute:
     tile are TWO (R,4)x(4,384) matmuls (MXU work, no gathers).
   * Traversal = sweep: for each cluster, a broadcast ray-tile × AABB slab
     test culls, then the dense pair evaluation updates per-ray best-t.
-    The Pallas kernel (``ops.cluster_trace``) skips whole clusters per
-    1024-ray tile with ``@pl.when``; the pure-JAX fallback evaluates all
-    clusters masked (correctness oracle + CPU path).
+    The Pallas kernel (``ops.cluster_trace``) walks a threaded tree over
+    clusters per ray tile, skipping subtrees with ``@pl.when``; the
+    pure-JAX fallback evaluates all clusters masked (oracle + CPU path).
   * Degenerate padding triangles use M = 0, b = (-1, -1, 1): barycentric
     u evaluates to -1 for every ray, an unconditional miss.
 
