@@ -57,9 +57,13 @@ def render_aov(scene, camera, config: RenderConfig, kind: str):
             * jnp.ones((1, 3), jnp.float32), bg,
         )
     elif kind == "albedo":
-        _, alb, _, emit = materials.gather(
+        mtype, alb, par, emit = materials.gather(
             scene.material_table, hit.mat_id
         )
+        alb = materials.effective_albedo(
+            mtype, alb, par, emit, hit.position
+        )
+        emit = materials.effective_emission(mtype, emit)
         # Emitters display as (clipped) white in the albedo pass.
         img = jnp.where(hit.valid[:, None], jnp.clip(alb + emit, 0.0, 1.0),
                         bg)

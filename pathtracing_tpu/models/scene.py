@@ -96,6 +96,13 @@ class SceneBuilder:
             materials.TYPE_EMISSIVE, (0.0, 0.0, 0.0), 0.0, radiance
         )
 
+    def checker(self, color1, color2, frequency: float = 3.0) -> int:
+        """Procedural two-tone Lambertian (world-space checkerboard);
+        the emit columns carry the second color, param the frequency."""
+        return self.add_material(
+            materials.TYPE_CHECKER, color1, frequency, color2
+        )
+
     # -- geometry ----------------------------------------------------------
     def add_sphere(self, center, radius, mat_id) -> None:
         self._sph.append((tuple(center), float(radius), int(mat_id)))

@@ -136,6 +136,24 @@ def cornell_mesh(subdivisions: int = 5) -> Tuple[Scene, CameraConfig]:
     return b.build(), CORNELL_CAMERA
 
 
+def checker_demo() -> Tuple[Scene, CameraConfig]:
+    """Ray-Tracing-in-One-Weekend-style hero shot: three spheres on a
+    procedural checkerboard ground under the gradient sky — exercises
+    every BSDF plus the checker material with no lights (pure
+    BSDF-sampled environment lighting)."""
+    b = SceneBuilder()
+    ground = b.checker((0.85, 0.85, 0.85), (0.15, 0.25, 0.15),
+                       frequency=1.5)
+    b.add_quad((-30.0, 0.0, -30.0), (60.0, 0.0, 0.0), (0.0, 0.0, 60.0),
+               ground)
+    b.add_sphere((0.0, 1.0, 0.0), 1.0, b.dielectric(1.5))
+    b.add_sphere((-2.2, 1.0, 0.0), 1.0, b.lambertian((0.4, 0.2, 0.1)))
+    b.add_sphere((2.2, 1.0, 0.0), 1.0, b.metal((0.7, 0.6, 0.5), 0.03))
+    cam = CameraConfig(position=(0.0, 1.6, 6.5), look_at=(0.0, 0.9, 0.0),
+                       vfov_degrees=35.0)
+    return b.build(), cam
+
+
 def veach_mis() -> Tuple[Scene, CameraConfig]:
     """Veach-style MIS demo: glossy strips of increasing roughness under
     three area lights of very different size but similar power. Light
@@ -193,6 +211,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_mesh": cornell_mesh,
     "sphere_demo": sphere_demo,
     "veach_mis": veach_mis,
+    "checker_demo": checker_demo,
 }
 
 

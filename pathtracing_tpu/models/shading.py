@@ -92,6 +92,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     radiance = radiance + jnp.where(escaped[:, None], throughput * env, 0.0)
 
     mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
+    alb = materials.effective_albedo(mtype, alb, par, emit, hit.position)
+    emit = materials.effective_emission(mtype, emit)
     live = active & hit.valid
 
     nee_on = nee and scene.lights is not None
@@ -112,7 +114,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         live[:, None], throughput * emit * emit_w[:, None], 0.0
     )
 
-    is_diffuse = mtype == materials.TYPE_LAMBERTIAN
+    is_diffuse = materials.is_diffuse_type(mtype)
 
     if nee_on:
         # Next-event estimation: sample a light point, cast a shadow ray.

@@ -40,9 +40,9 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
     v2 = np.asarray(v2, np.float32)
     tri_mat = np.asarray(tri_mat)
     emits = np.asarray(mat_emit, np.float32)[tri_mat]
-    sel = (np.asarray(mat_type)[tri_mat] == emissive_type) | (
-        emits.max(axis=1) > 0.0
-    )
+    # Select by TYPE only: the checker material reuses the emit columns
+    # as its second color and must not be classed as a light.
+    sel = np.asarray(mat_type)[tri_mat] == emissive_type
     lv0, lv1, lv2 = v0[sel], v1[sel], v2[sel]
     lemit = emits[sel]
 

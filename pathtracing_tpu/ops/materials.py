@@ -25,6 +25,37 @@ TYPE_LAMBERTIAN = 0
 TYPE_METAL = 1
 TYPE_DIELECTRIC = 2
 TYPE_EMISSIVE = 3
+TYPE_CHECKER = 4   # procedural two-tone Lambertian: albedo = color1,
+                   # the emit columns are reused as color2, param = the
+                   # checker frequency (cells per world unit)
+
+
+def is_diffuse_type(mat_type):
+    """Types shaded as Lambertian (cosine lobe + NEE-eligible)."""
+    return (mat_type == TYPE_LAMBERTIAN) | (mat_type == TYPE_CHECKER)
+
+
+def effective_albedo(mat_type, albedo, param, emit, position):
+    """Surface color at a hit point (procedural checker evaluated here;
+    plain materials pass through). emit doubles as the checker's second
+    color, so callers must also use ``effective_emission``."""
+    freq = jnp.maximum(param, 1e-6)[..., None]
+    # Half-cell offset keeps axis-aligned geometry (a ground plane at
+    # y = 0) in the middle of a cell instead of exactly on a boundary,
+    # where float jitter in hit positions would render as parity noise.
+    cell = jnp.floor(position * freq + 0.5)
+    parity = (
+        (cell[..., 0] + cell[..., 1] + cell[..., 2]).astype(jnp.int32) & 1
+    )
+    checker = jnp.where(parity[..., None] == 0, albedo, emit)
+    return jnp.where(
+        (mat_type == TYPE_CHECKER)[..., None], checker, albedo
+    )
+
+
+def effective_emission(mat_type, emit):
+    """Emitted radiance (zero for checker, whose emit slot is color2)."""
+    return jnp.where((mat_type == TYPE_CHECKER)[..., None], 0.0, emit)
 
 
 def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u):
@@ -73,7 +104,7 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u):
     )
 
     # --- Select by type (branchless).
-    is_diffuse = mat_type == TYPE_LAMBERTIAN
+    is_diffuse = is_diffuse_type(mat_type)
     is_metal = mat_type == TYPE_METAL
     is_dielectric = mat_type == TYPE_DIELECTRIC
 

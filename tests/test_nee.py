@@ -117,3 +117,41 @@ def test_no_lights_scene_noop():
     np.testing.assert_allclose(
         np.asarray(a.accum), np.asarray(b.accum), atol=1e-6
     )
+
+
+def test_checker_material_not_a_light():
+    """The checker material reuses the emit columns as its second color;
+    it must not register in the light table nor emit radiance."""
+    from pathtracing_tpu.models.scene import SceneBuilder
+
+    b = SceneBuilder()
+    ch = b.checker((1.0, 0.0, 0.0), (0.0, 0.0, 1.0), frequency=1.0)
+    b.add_quad((-1, 0, -1), (2, 0, 0), (0, 0, 2), ch)
+    scene = b.build()
+    assert float(scene.lights.total_area) == 0.0
+
+
+def test_checker_two_tones():
+    """Adjacent cells alternate between the two colors (albedo AOV)."""
+    import numpy as np
+
+    from pathtracing_tpu.models import aov
+    from pathtracing_tpu.models.scene import SceneBuilder
+    from pathtracing_tpu.ops.camera import build_camera
+    from pathtracing_tpu.utils.config import CameraConfig, RenderConfig
+
+    b = SceneBuilder()
+    ch = b.checker((1.0, 0.0, 0.0), (0.0, 0.0, 1.0), frequency=1.0)
+    b.add_quad((-4, 0, -4), (8, 0, 0), (0, 0, 8), ch)
+    scene = b.build()
+    cam = build_camera(
+        CameraConfig(position=(0, 6, 0.01), look_at=(0, 0, 0),
+                     vfov_degrees=60.0), 1.0,
+    )
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=1,
+                       max_depth=1, seed=0)
+    img = np.asarray(aov.render_aov(scene, cam, cfg, "albedo"))
+    # Pure tones: red cells have no blue and vice versa.
+    red_cells = (img[..., 0] > 0.5) & (img[..., 2] < 0.1)
+    blue_cells = (img[..., 2] > 0.5) & (img[..., 0] < 0.1)
+    assert red_cells.sum() > 100 and blue_cells.sum() > 100
