@@ -1,0 +1,152 @@
+"""Host-side traversal simulator: visits/evals per tile by kernel policy.
+
+Answers "where does the kernel's time go" without touching the TPU: for a
+given wave (camera / bounce / shadow) and binning, simulate the tile-
+uniform threaded walk and count tree-node visits and dense leaf evals per
+256-ray tile, for the unordered (area-first) and octant-ordered link
+tables. Also reports the per-tile cluster-footprint lower bound (clusters
+any ray in the tile actually needs = those overlapping [0, t_hit]),
+which no tile-uniform traversal can beat.
+
+Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python benchmarks/walk_stats.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+T_MIN = 1e-4
+TILE = 256
+
+
+def slab(o, inv_d, lo, hi, cap):
+    """(R,) rays vs one AABB; returns (hit mask, tn)."""
+    t0 = (lo[None, :] - o) * inv_d
+    t1 = (hi[None, :] - o) * inv_d
+    tn = np.minimum(t0, t1).max(axis=1)
+    tf = np.maximum(t0, t1).min(axis=1)
+    return (tn <= tf) & (tf > T_MIN) & (tn < cap), tn
+
+
+def eval_cluster(cl, c, o, d, cap):
+    """Best-t update for one cluster (vectorized Woop eval, numpy)."""
+    w = cl.woop[c]  # (4, 384)
+    o4 = np.concatenate([o, np.ones((o.shape[0], 1), np.float32)], axis=1)
+    d4 = np.concatenate([d, np.zeros((d.shape[0], 1), np.float32)], axis=1)
+    op = o4 @ w
+    dp = d4 @ w
+    k = 128
+    t = -op[:, 2 * k:] / np.where(
+        np.abs(dp[:, 2 * k:]) < 1e-30, 1e-30, dp[:, 2 * k:]
+    )
+    u = op[:, :k] + t * dp[:, :k]
+    v = op[:, k:2 * k] + t * dp[:, k:2 * k]
+    ok = (u >= 0) & (v >= 0) & (u + v <= 1) & (t > T_MIN) & (t < cap[:, None])
+    return np.where(ok, t, np.inf).min(axis=1)
+
+
+def walk_tile(cl, o, d, t0, ordered: bool, oct: int):
+    nb = cl.node_box  # (6, N)
+    nm = cl.node_meta
+    links = cl.oct_links
+    n = nm.shape[1]
+    inv_d = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+    cap = t0.copy()
+    idx, visits, evals = 0, 0, 0
+    lo_all, hi_all = nb[0:3].T, nb[3:6].T
+    while idx < n:
+        visits += 1
+        hit, _ = slab(o, inv_d, lo_all[idx], hi_all[idx], cap)
+        any_hit = hit.any()
+        cid = nm[1, idx]
+        if any_hit and cid >= 0:
+            evals += 1
+            t = eval_cluster(cl, cid, o, d, cap)
+            cap = np.minimum(cap, t.astype(np.float32))
+        if ordered:
+            idx = links[0 if any_hit else 1, oct, idx]
+        else:
+            idx = idx + 1 if any_hit else nm[0, idx]
+    return visits, evals
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.models import scenes, scene as scene_mod
+    from pathtracing_tpu.ops import binning
+    from pathtracing_tpu.ops.camera import build_camera, generate_ray
+
+    level = int(os.environ.get("WS_SCENE", "6"))
+    res = int(os.environ.get("WS_RES", "128"))  # rays = res^2
+    scene, cam_cfg = scenes.cornell_mesh(level)
+    camera = build_camera(cam_cfg, 1.0)
+    n = res * res
+
+    px = jnp.arange(n, dtype=jnp.int32)
+    s = ((px % res).astype(jnp.float32) + 0.5) / res
+    t = ((px // res).astype(jnp.float32) + 0.5) / res
+    o_cam, d_cam = jax.vmap(
+        lambda a, b: generate_ray(camera, a, b, 0.5, 0.5)
+    )(s, t)
+    hit = scene_mod.intersect_batch(scene, o_cam, d_cam, "cluster_jax")
+    key = jax.random.key(0)
+    u = jax.random.uniform(key, (n, 2))
+    nrm = hit.normal
+    tang = jnp.where(jnp.abs(nrm[:, 0:1]) > 0.9,
+                     jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
+    tx = tang - nrm * jnp.sum(tang * nrm, axis=1, keepdims=True)
+    tx = tx / jnp.linalg.norm(tx, axis=1, keepdims=True)
+    ty = jnp.cross(nrm, tx)
+    r = jnp.sqrt(u[:, 0])
+    phi = 2 * jnp.pi * u[:, 1]
+    z = jnp.sqrt(jnp.maximum(1 - u[:, 0], 0))
+    d_b = (r * jnp.cos(phi))[:, None] * tx + (r * jnp.sin(phi))[:, None] * ty \
+        + z[:, None] * nrm
+    o_b, t0_b = hit.position, jnp.where(hit.valid, 3e38, 0.0)
+
+    cl = jax.tree.map(np.asarray, scene.clusters)
+    lo = cl.aabb_min.min(axis=0)
+    hi = cl.aabb_max.max(axis=0)
+
+    for wave, (o, d, t0) in {
+        "camera": (o_cam, d_cam, jnp.full(n, 3e38, jnp.float32)),
+        "bounce": (o_b, d_b, t0_b),
+    }.items():
+        for bins in (0, 216):
+            if bins:
+                perm, _ = binning.sort_rays(
+                    o, d, jnp.asarray(lo), jnp.asarray(hi), t0 > 0, bins
+                )
+                o_s, d_s, t0_s = o[perm], d[perm], t0[perm]
+            else:
+                o_s, d_s, t0_s = o, d, t0
+            o_np, d_np = np.asarray(o_s), np.asarray(d_s)
+            t0_np = np.asarray(t0_s)
+            rows = {False: [], True: []}
+            for i in range(n // TILE):
+                sl = slice(i * TILE, (i + 1) * TILE)
+                oct = (int(d_np[sl][0, 0] > 0) * 4
+                       + int(d_np[sl][0, 1] > 0) * 2
+                       + int(d_np[sl][0, 2] > 0))
+                for ordered in (False, True):
+                    rows[ordered].append(
+                        walk_tile(cl, o_np[sl], d_np[sl], t0_np[sl],
+                                  ordered, oct)
+                    )
+            for ordered in (False, True):
+                v = np.array(rows[ordered])
+                print(f"{wave:7s} bins={bins:4d} ordered={int(ordered)}: "
+                      f"visits/tile={v[:, 0].mean():7.1f}  "
+                      f"evals/tile={v[:, 1].mean():6.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -147,9 +147,10 @@ def trace_jax(clusters, origin, direction, t_init):
     return best_t, best_slot, normal, mat
 
 
-def _tile_kernel(o_ref, d_ref, t0_ref, nbox_ref, nmeta_ref, woop_ref,
-                 mat_ref, t_ref, slot_ref, normal_ref, hitmat_ref,
-                 *, n_nodes: int, tile: int, bf16: bool):
+def _tile_kernel(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
+                 links_ref, woop_ref, mat_ref, t_ref, slot_ref,
+                 normal_ref, hitmat_ref,
+                 *, n_nodes: int, tile: int, bf16: bool, ordered: bool):
     """One ray tile walking the threaded cluster tree.
 
     The walk is tile-uniform: ONE scalar node index for the whole tile
@@ -160,6 +161,12 @@ def _tile_kernel(o_ref, d_ref, t0_ref, nbox_ref, nmeta_ref, woop_ref,
     touches, and closing ``best_t`` culls subtrees behind the nearest
     hits. Woop data lives whole in VMEM (v1 — DMA streaming is the
     follow-up for scenes whose cluster data exceeds VMEM).
+
+    With ``ordered`` the walk follows the tile's direction-octant links
+    (``ClusterSet.oct_links``): true front-to-back descent, so best_t
+    snaps to the nearest geometry after the first leaf evals and the
+    ``tn < best_t`` test culls everything behind — the big win on
+    binned secondary waves whose cluster footprint is otherwise huge.
     """
     o_aug = o_ref[:]          # (tile, 4)
     d_aug = d_ref[:]
@@ -169,6 +176,7 @@ def _tile_kernel(o_ref, d_ref, t0_ref, nbox_ref, nmeta_ref, woop_ref,
     normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
     hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, CLUSTER_SIZE), 1)
+    oct = oct_ref[0, pl.program_id(0)]
 
     def cond(idx):
         return idx < n_nodes
@@ -230,30 +238,53 @@ def _tile_kernel(o_ref, d_ref, t0_ref, nbox_ref, nmeta_ref, woop_ref,
             normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
             hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
 
+        if ordered:
+            return jnp.where(
+                any_hit, links_ref[oct, idx], links_ref[8 + oct, idx]
+            )
         return jnp.where(any_hit, idx + 1, nmeta_ref[0, idx])
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-STACK_CAP = 256
 LEAFQ_CAP = 2048
 
 
-def _tile_kernel8(o_ref, d_ref, t0_ref, wbox_ref, wmeta_ref, woop_ref,
-                  mat_ref, t_ref, slot_ref, normal_ref, hitmat_ref,
-                  stack_ref, leafq_ref, *, tile: int, bf16: bool):
-    """8-wide stack-based tile walk — the production traversal.
+def _tile_kernel_la(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
+                    links_ref, cbox_ref, woop_ref, mat_ref, t_ref,
+                    slot_ref, normal_ref, hitmat_ref, leafq_ref, *,
+                    n_nodes: int, tile: int, bf16: bool, lookahead: int,
+                    drain: int, drain_always: bool, leafq_cap: int):
+    """Octant-ordered walk advancing K = ``lookahead`` nodes/iteration.
 
-    Per-iteration cost on this hardware is dominated by scalar syncs
-    (each vector→scalar reduction or branch ≈ 200-500 ns — PERF.md), so
-    the loop is engineered to exactly ONE reduction and ONE branch per
-    iteration: pop one wide node, slab-test its 8 child AABBs in a
-    single vector block, collapse per-child any-ray-hit bits into one
-    packed scalar, then push internal children / enqueue leaf clusters
-    with fully branchless scalar stores (disabled stores land in
-    reserved garbage slots). One queued leaf cluster is dense-evaluated
-    per iteration under the single ``pl.when``. Children are ordered
-    largest-area-first at build so best_t tightens early.
+    PERF.md's round-1 numbers said the wall was per-iteration scalar
+    sync cost (~264 ns loop + ~200 ns/reduction + ~500 ns/branch);
+    round-2 measurement added a second wall: EVERY scalar op counts —
+    speculative meta loads and O(2^K) select-tree decodes cost ~3 µs an
+    iteration on their own. This kernel amortizes the syncs over K tree
+    steps while keeping the scalar work O(K):
+
+      * All 2^K - 1 nodes the next K octant-ordered steps COULD visit
+        are slab-tested in ONE (tile, 128) vector block fed by ONE
+        dynamic VMEM load (``ClusterSet.cand_box`` precomputes each
+        node's candidate heap per octant), and their any-ray-hit bits
+        collapse into a single packed scalar — one reduction per K
+        steps.
+      * Only the REALIZED path is decoded: heap position ci doubles as
+        the packed-bit index (one dynamic shift per step), and one SMEM
+        link load follows the realized edge — ~8 scalar ops per tree
+        step, no speculative loads, no select trees, no extra branches.
+      * Hit leaves push their cluster id into an SMEM queue (branchless
+        clamped stores); up to ``drain`` queued clusters are
+        dense-evaluated per iteration under the single ``pl.when``
+        (or unconditionally with ``drain_always`` — duplicates are
+        idempotent). Short queues re-evaluate the tail cluster.
+
+    Speculation is conservative: candidates are tested against the
+    best_t at iteration start, so a subtree the sequential walk would
+    have culled by a mid-window leaf eval may still be entered — extra
+    visits, never wrong answers. Drains run at the top of the iteration
+    so culling uses the freshest best_t available.
     """
     o_aug = o_ref[:]          # (tile, 4)
     d_aug = d_ref[:]
@@ -262,8 +293,23 @@ def _tile_kernel8(o_ref, d_ref, t0_ref, wbox_ref, wmeta_ref, woop_ref,
     slot_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
     normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
     hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
-    stack_ref[0] = 0          # root
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, CLUSTER_SIZE), 1)
+
+    n_cand = 2 ** lookahead - 1  # speculative heap size
+    oct = oct_ref[0, pl.program_id(0)]
+    if drain_always:
+        leafq_ref[0] = 0  # empty-queue drains read a valid cluster id
+
+    # Loop-invariant packed-bit weights: exp2 of the lane's position
+    # inside ITS 16-lane window (transcendentals inside the loop cost
+    # ~0.5 µs/iteration on a (tile, 128) block). The per-iteration
+    # window select is a single integer compare against win // 16.
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+    lane_win = lane128 // 16
+    w_fixed = jnp.where(
+        (lane128 % 16) < n_cand,
+        jnp.exp2((lane128 % 16).astype(jnp.float32)), 0.0,
+    )
 
     def eval_cluster(cid):
         best_t = t_ref[:]
@@ -302,72 +348,350 @@ def _tile_kernel8(o_ref, d_ref, t0_ref, wbox_ref, wmeta_ref, woop_ref,
         hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
 
     def cond(carry):
-        sp, lq = carry
-        return (sp > 0) | (lq > 0)
+        idx, head, tail = carry
+        return (idx < n_nodes) | (head < tail)
 
     def body(carry):
-        sp, lq = carry
+        idx, head, tail = carry
 
-        # Drain ONE queued leaf cluster — the only branch per iteration.
-        @pl.when(lq > 0)
-        def _():
-            eval_cluster(leafq_ref[lq - 1])
+        # Drain up to ``drain`` queued leaf clusters first (freshest
+        # best_t for this iteration's culling) — FIFO: with front-to-
+        # back pushes the OLDEST queued leaf is the nearest one, and
+        # evaluating it first is what snaps best_t shut (a LIFO drain
+        # evaluates far leaves first and measured ~3x extra node visits
+        # from the stale best_t). ``drain_always`` trades the ~500 ns
+        # pl.when branch for an occasional duplicate eval (closest-hit
+        # updates are idempotent; leafq[0] is pre-initialized so an
+        # empty queue reads a valid id).
+        if drain_always:
+            for j in range(drain):
+                eval_cluster(
+                    leafq_ref[jnp.minimum(head + j, jnp.maximum(tail - 1, 0))]
+                )
+        else:
+            @pl.when(head < tail)
+            def _():
+                for j in range(drain):
+                    eval_cluster(
+                        leafq_ref[
+                            jnp.minimum(head + j, jnp.maximum(tail - 1, 0))
+                        ]
+                    )
 
-        lq = jnp.maximum(lq - 1, 0)
+        head = jnp.minimum(head + drain, tail)
 
-        # Pop + expand one wide node (fully branchless scalar logic:
-        # disabled stores land in reserved garbage slots).
-        do_node = sp > 0
-        node = stack_ref[jnp.maximum(sp - 1, 0)]
-        sp = jnp.where(do_node, sp - 1, sp)
-        boxes = wbox_ref[jnp.where(do_node, node, 0)]  # (6, 128)
+        # ONE dynamic VMEM load fetches the precomputed candidate-heap
+        # AABB block for this (octant, node): every node reachable in
+        # the next K octant-ordered steps, slab-tested in one (tile,
+        # 128) vector block (the row packs 8 nodes × 16-lane windows).
+        valid0 = idx < n_nodes
+        base = jnp.where(valid0, idx, 0)
         best_t = t_ref[:]
-
+        row = cbox_ref[oct, base // 8]   # (6, 128)
         tn = jnp.full((tile, 128), -_BIG)
         tf = jnp.full((tile, 128), _BIG)
         for ax in range(3):
             o = o_aug[:, ax:ax + 1]
             iv = inv_d[:, ax:ax + 1]
-            t0 = (boxes[ax:ax + 1, :] - o) * iv
-            t1 = (boxes[3 + ax:4 + ax, :] - o) * iv
+            t0 = (row[ax:ax + 1, :] - o) * iv
+            t1 = (row[3 + ax:4 + ax, :] - o) * iv
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        hit = (tn <= tf) & (tf > T_MIN) & (tn < best_t) & do_node
+        hit = (tn <= tf) & (tf > T_MIN) & (tn < best_t)
+        hit = hit & (lane_win == base % 8)
 
-        # ONE vector→scalar reduction: OR over rays per child slot packed
-        # into 8 bits (padding slots have inverted boxes and never hit;
-        # exp2 of the lane id doubles as the 2^c weight).
-        w = jnp.exp2(jnp.minimum(lane, 30).astype(jnp.float32))
-        bits = jnp.sum(jnp.max(jnp.where(hit, w, 0.0), axis=0)).astype(
-            jnp.int32
+        # THE one vector→scalar reduction: P any-bits in one packed sum
+        # (only this node's 16-lane window survives the mask above).
+        bits = jnp.sum(
+            jnp.max(jnp.where(hit, w_fixed, 0.0), axis=0)
+        ).astype(jnp.int32)
+
+        # Decode ONLY the realized path — no speculative meta loads, no
+        # per-slot select trees (the round-2 scalar wall: O(2^K) selects
+        # measured ~3 µs/iteration at K=4). Heap position ci tracks
+        # which packed bit belongs to the realized node; one dynamic
+        # shift extracts it, one SMEM load follows the realized link.
+        def push(ok, cid):
+            nonlocal tail
+            ok = ok & (cid >= 0) & (tail < leafq_cap)
+            leafq_ref[jnp.where(ok, tail, leafq_cap - 1)] = cid
+            tail = tail + jnp.where(ok, 1, 0)
+
+        ci = jnp.int32(0)              # realized heap position
+        node = base
+        hitb = (bits & 1) == 1
+        ended = jnp.logical_not(valid0)
+        push(jnp.logical_not(ended) & hitb, nmeta_ref[1, node])
+
+        def succ(node_c, take_hit):
+            return links_ref[jnp.where(take_hit, oct, 8 + oct), node_c]
+
+        for _ in range(1, lookahead):
+            node_n = succ(node, hitb)
+            ended = ended | (node_n >= n_nodes)
+            live = jnp.logical_not(ended)
+            node = jnp.where(live, node_n, node)
+            ci = 2 * ci + jnp.where(hitb, 1, 2)
+            hitb = ((bits >> ci) & 1) == 1
+            push(live & hitb, nmeta_ref[1, node])
+
+        nxt = jnp.where(
+            ended, jnp.int32(n_nodes), succ(node, hitb)
         )
+        return nxt, head, tail
 
-        # Reverse order: LIFO pop visits the largest-area child first.
-        for c in range(7, -1, -1):
-            child = wmeta_ref[node, c]
-            take = ((bits >> c) & 1) == 1
-            is_node = take & (child >= 0)
-            is_leaf = take & (child <= -2)
-            stack_ref[jnp.where(is_node, sp, STACK_CAP - 1)] = child
-            sp = sp + jnp.where(is_node, 1, 0)
-            leafq_ref[jnp.where(is_leaf, lq, LEAFQ_CAP - 1)] = -child - 2
-            lq = lq + jnp.where(is_leaf, 1, 0)
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
 
-        return sp, lq
 
-    jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+def _tile_kernel_occ_la(o_ref, d_ref, t0_ref, oct_ref, nbox_ref,
+                        nmeta_ref, links_ref, cbox_ref, woop_ref, occ_ref,
+                        leafq_ref, *, n_nodes: int, tile: int,
+                        lookahead: int, drain: int, leafq_cap: int):
+    """Any-hit occlusion walk with the K-step lookahead structure of
+    ``_tile_kernel_la`` (same cand_box blocks, same packed-bits decode)
+    but a far lighter leaf evaluation: flip the per-lane occlusion bit,
+    no slot/normal/material bookkeeping. Occluded lanes drop their
+    t-cap to 0 and vanish from every later slab test."""
+    o_aug = o_ref[:]
+    d_aug = d_ref[:]
+    inv_d = _safe_inv(d_aug[:, 0:3])
+    occ_ref[:] = jnp.zeros((tile, 1), jnp.float32)
+    t_cap0 = t0_ref[:]
+    oct = oct_ref[0, pl.program_id(0)]
+    n_cand = 2 ** lookahead - 1
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+    lane_win = lane128 // 16
+    w_fixed = jnp.where(
+        (lane128 % 16) < n_cand,
+        jnp.exp2((lane128 % 16).astype(jnp.float32)), 0.0,
+    )
+
+    def eval_cluster(cid, cap):
+        t_pair = _pair_eval(o_aug, d_aug, woop_ref[cid], cap)
+        t_min = jnp.min(t_pair, axis=1, keepdims=True)
+        occ_ref[:] = jnp.where(t_min < cap, 1.0, occ_ref[:])
+
+    def cond(carry):
+        idx, head, tail = carry
+        return (idx < n_nodes) | (head < tail)
+
+    def body(carry):
+        idx, head, tail = carry
+        cap = jnp.where(occ_ref[:] > 0.0, 0.0, t_cap0)
+
+        @pl.when(head < tail)
+        def _():
+            for j in range(drain):
+                eval_cluster(
+                    leafq_ref[
+                        jnp.minimum(head + j, jnp.maximum(tail - 1, 0))
+                    ], cap,
+                )
+
+        head = jnp.minimum(head + drain, tail)
+        cap = jnp.where(occ_ref[:] > 0.0, 0.0, t_cap0)
+
+        valid0 = idx < n_nodes
+        base = jnp.where(valid0, idx, 0)
+        row = cbox_ref[oct, base // 8]
+        tn = jnp.full((tile, 128), -_BIG)
+        tf = jnp.full((tile, 128), _BIG)
+        for ax in range(3):
+            o = o_aug[:, ax:ax + 1]
+            iv = inv_d[:, ax:ax + 1]
+            t0 = (row[ax:ax + 1, :] - o) * iv
+            t1 = (row[3 + ax:4 + ax, :] - o) * iv
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit = (tn <= tf) & (tf > T_MIN) & (tn < cap)
+        hit = hit & (lane_win == base % 8)
+        bits = jnp.sum(
+            jnp.max(jnp.where(hit, w_fixed, 0.0), axis=0)
+        ).astype(jnp.int32)
+
+        def push(ok, cid):
+            nonlocal tail
+            ok = ok & (cid >= 0) & (tail < leafq_cap)
+            leafq_ref[jnp.where(ok, tail, leafq_cap - 1)] = cid
+            tail = tail + jnp.where(ok, 1, 0)
+
+        ci = jnp.int32(0)
+        node = base
+        hitb = (bits & 1) == 1
+        ended = jnp.logical_not(valid0)
+        push(jnp.logical_not(ended) & hitb, nmeta_ref[1, node])
+
+        def succ(node_c, take_hit):
+            return links_ref[jnp.where(take_hit, oct, 8 + oct), node_c]
+
+        for _ in range(1, lookahead):
+            node_n = succ(node, hitb)
+            ended = ended | (node_n >= n_nodes)
+            live = jnp.logical_not(ended)
+            node = jnp.where(live, node_n, node)
+            ci = 2 * ci + jnp.where(hitb, 1, 2)
+            hitb = ((bits >> ci) & 1) == 1
+            push(live & hitb, nmeta_ref[1, node])
+
+        nxt = jnp.where(ended, jnp.int32(n_nodes), succ(node, hitb))
+        return nxt, head, tail
+
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+
+
+def _tile_kernel_occ(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
+                     links_ref, woop_ref, occ_ref,
+                     *, n_nodes: int, tile: int, ordered: bool):
+    """Any-hit occlusion walk (shadow rays): is there ANY triangle hit
+    with T_MIN < t < t0? No closest-hit bookkeeping, no shading
+    epilogue — a lane flips its occlusion bit and drops its t-cap to 0,
+    which short-circuits it out of every later slab test; once every
+    lane is occluded the walk degenerates to the miss-link chain
+    (O(depth) hops to the terminator). t0 <= 0 marks dead lanes.
+    """
+    o_aug = o_ref[:]          # (tile, 4)
+    d_aug = d_ref[:]
+    inv_d = _safe_inv(d_aug[:, 0:3])
+    occ_ref[:] = jnp.zeros((tile, 1), jnp.float32)
+    oct = oct_ref[0, pl.program_id(0)]
+    t_cap0 = t0_ref[:]
+
+    def cond(idx):
+        return idx < n_nodes
+
+    def body(idx):
+        cap = jnp.where(occ_ref[:] > 0.0, 0.0, t_cap0)
+        b = (nbox_ref[0, idx], nbox_ref[1, idx], nbox_ref[2, idx],
+             nbox_ref[3, idx], nbox_ref[4, idx], nbox_ref[5, idx])
+        hit = _slab6(o_aug, inv_d, b, cap)
+        any_hit = jnp.any(hit)
+        cid = nmeta_ref[1, idx]
+
+        @pl.when(any_hit & (cid >= 0))
+        def _():
+            t_pair = _pair_eval(o_aug, d_aug, woop_ref[cid], cap)
+            t_min = jnp.min(t_pair, axis=1, keepdims=True)
+            occ_ref[:] = jnp.where(t_min < cap, 1.0, occ_ref[:])
+
+        if ordered:
+            return jnp.where(
+                any_hit, links_ref[oct, idx], links_ref[8 + oct, idx]
+            )
+        return jnp.where(any_hit, idx + 1, nmeta_ref[0, idx])
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "bf16", "wide"))
+                   static_argnames=("interpret", "tile", "ordered",
+                                    "lookahead", "drain"))
+def occluded_pallas(clusters, origin, direction, t_max, interpret=False,
+                    tile=RAY_TILE, ordered=True, lookahead=4, drain=1):
+    """Any-hit occlusion query: (R,) bool, True where some triangle lies
+    strictly inside (T_MIN, t_max) along the ray. ``t_max <= 0`` marks
+    dead lanes (always unoccluded). The shadow-ray fast path: ~half of a
+    NEE render's traced segments need only this yes/no answer, not the
+    closest hit with shading data (SURVEY.md north-star estimator)."""
+    r = origin.shape[0]
+    r_pad = -(-r // tile) * tile
+    pad = r_pad - r
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(
+            direction, ((0, pad), (0, 0)), constant_values=1.0
+        )
+        t_max = jnp.pad(t_max, (0, pad))
+
+    o_aug, d_aug = _augment(origin, direction)
+    n_nodes = clusters.node_meta.shape[1]
+    grid = r_pad // tile
+    d0 = direction.reshape(grid, tile, 3)[:, 0, :]
+    # (1, G) layout: SMEM windows pad the LAST dim to 128 lanes, so a
+    # (G, 1) array would cost G*512 bytes of the 1 MB SMEM (measured:
+    # a 4096-tile wave OOM'd SMEM at 2 MB).
+    octs = (
+        (d0[:, 0] > 0).astype(jnp.int32) * 4
+        + (d0[:, 1] > 0).astype(jnp.int32) * 2
+        + (d0[:, 2] > 0).astype(jnp.int32)
+    )[None, :]
+    links = clusters.oct_links.reshape(16, n_nodes)
+
+    base_specs = [
+        pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # per-tile octants
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # node_box
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # node_meta
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # oct_links
+    ]
+    common = dict(
+        grid=(grid,),
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    if lookahead and not (ordered and lookahead <= 4
+                          and clusters.cand_box.shape[1] * 8 >= n_nodes):
+        lookahead = 0
+    if lookahead:
+        leafq_cap = max(LEAFQ_CAP, clusters.woop.shape[0] + 8)
+        occ = pl.pallas_call(
+            functools.partial(_tile_kernel_occ_la, n_nodes=n_nodes,
+                              tile=tile, lookahead=lookahead, drain=drain,
+                              leafq_cap=leafq_cap),
+            in_specs=base_specs + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # cand_box
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # woop
+            ],
+            scratch_shapes=[pltpu.SMEM((leafq_cap,), jnp.int32)],
+            **common,
+        )(o_aug, d_aug, t_max[:, None], octs, clusters.node_box,
+          clusters.node_meta, links, clusters.cand_box, clusters.woop)
+    else:
+        occ = pl.pallas_call(
+            functools.partial(_tile_kernel_occ, n_nodes=n_nodes,
+                              tile=tile, ordered=ordered),
+            in_specs=base_specs + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # woop
+            ],
+            **common,
+        )(o_aug, d_aug, t_max[:, None], octs, clusters.node_box,
+          clusters.node_meta, links, clusters.woop)
+    return occ[:r, 0] > 0.0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "bf16",
+                                    "lookahead", "drain", "ordered",
+                                    "blocks", "drain_always"))
 def trace_pallas(clusters, origin, direction, t_init, interpret=False,
-                 tile=RAY_TILE, bf16=False, wide=False):
+                 tile=RAY_TILE, bf16=False, lookahead=0, drain=2,
+                 ordered=True, blocks=True, drain_always=False):
     """Pallas cluster-tree walk; returns (t, slot, normal, mat).
 
     Pads the ray batch to ``tile`` internally. Shading data comes out of
     the kernel (in-kernel argmin selection) so the caller never gathers.
     Rays with ``t_init <= 0`` (dead lanes) short-circuit: a tile whose
     rays are all dead walks exactly one node.
+
+    ``ordered`` (default): each tile follows the threaded links for its
+    direction octant (taken from the tile's first ray — exact for
+    octant-binned waves, a harmless heuristic otherwise), giving
+    front-to-back traversal. ``lookahead=K`` switches to the K-step
+    speculative kernel with a ``drain``-wide leaf queue.
     """
     woop_bytes = clusters.woop.size * 4
     if woop_bytes > 96 * 1024 * 1024:
@@ -394,6 +718,19 @@ def trace_pallas(clusters, origin, direction, t_init, interpret=False,
     n_nodes = clusters.node_meta.shape[1]
 
     grid = r_pad // tile
+    # Per-tile direction octant (from the tile's first ray; bit layout
+    # matches ops.binning._dir_bin and ClusterSet.oct_links).
+    d0 = direction.reshape(grid, tile, 3)[:, 0, :]
+    # (1, G) layout: SMEM windows pad the LAST dim to 128 lanes, so a
+    # (G, 1) array would cost G*512 bytes of the 1 MB SMEM (measured:
+    # a 4096-tile wave OOM'd SMEM at 2 MB).
+    octs = (
+        (d0[:, 0] > 0).astype(jnp.int32) * 4
+        + (d0[:, 1] > 0).astype(jnp.int32) * 2
+        + (d0[:, 2] > 0).astype(jnp.int32)
+    )[None, :]
+    links = clusters.oct_links.reshape(16, n_nodes)
+
     ray_specs = [
         pl.BlockSpec((tile, 4), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -401,6 +738,12 @@ def trace_pallas(clusters, origin, direction, t_init, interpret=False,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, 1), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # per-tile octants (G, 1)
+    ]
+    tree_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # node_box (6, N)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # node_meta (2, N)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # oct_links (16, N)
     ]
     data_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),   # woop (C, 4, 384)
@@ -429,31 +772,317 @@ def trace_pallas(clusters, origin, direction, t_init, interpret=False,
         ),
         interpret=interpret,
     )
-    if wide:
+    # The lookahead kernel needs the precomputed cand_box blocks (built
+    # only for ordered links and trees under CAND_MAX_NODES); fall back
+    # to the plain ordered walk otherwise.
+    if lookahead and not (ordered and lookahead <= 4
+                          and clusters.cand_box.shape[1] * 8 >= n_nodes):
+        lookahead = 0
+    if lookahead:
+        leafq_cap = max(LEAFQ_CAP, clusters.woop.shape[0] + 8)
         t, slot, normal, mat = pl.pallas_call(
-            functools.partial(_tile_kernel8, tile=tile, bf16=bf16),
-            in_specs=ray_specs + [
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # wide_box (M,6,8)
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # wide_meta (M,8)
+            functools.partial(_tile_kernel_la, n_nodes=n_nodes, tile=tile,
+                              bf16=bf16, lookahead=lookahead, drain=drain,
+                              drain_always=drain_always,
+                              leafq_cap=leafq_cap),
+            in_specs=ray_specs + tree_specs + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # cand_box
             ] + data_specs,
             scratch_shapes=[
-                pltpu.SMEM((STACK_CAP,), jnp.int32),   # node stack
-                pltpu.SMEM((LEAFQ_CAP,), jnp.int32),   # leaf cluster queue
+                # FIFO leaf queue, no wraparound: each leaf is visited
+                # (hence pushed) at most once per tile walk, so cluster
+                # count bounds the tail.
+                pltpu.SMEM((leafq_cap,), jnp.int32),
             ],
             **common,
-        )(o_aug, d_aug, t_init[:, None], clusters.wide_box,
-          clusters.wide_meta, clusters.woop, clusters.mat[:, None, :])
+        )(o_aug, d_aug, t_init[:, None], octs, clusters.node_box,
+          clusters.node_meta, links, clusters.cand_box, clusters.woop,
+          clusters.mat[:, None, :])
     else:
         t, slot, normal, mat = pl.pallas_call(
             functools.partial(_tile_kernel, n_nodes=n_nodes, tile=tile,
-                              bf16=bf16),
-            in_specs=ray_specs + [
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # node_box (6, N)
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # node_meta (2, N)
-            ] + data_specs,
+                              bf16=bf16, ordered=ordered),
+            in_specs=ray_specs + tree_specs + data_specs,
             **common,
-        )(o_aug, d_aug, t_init[:, None], clusters.node_box,
-          clusters.node_meta, clusters.woop, clusters.mat[:, None, :])
+        )(o_aug, d_aug, t_init[:, None], octs, clusters.node_box,
+          clusters.node_meta, links, clusters.woop,
+          clusters.mat[:, None, :])
+    return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
+
+
+def _tile_kernel_paged(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
+                       links_ref, cbox_ref, woop_ref, mat_ref,
+                       t_ref, slot_ref, normal_ref, hitmat_ref,
+                       leafq_ref, ts_ref, slots_ref, norms_ref, hmats_ref,
+                       *, n_nodes: int, tile: int, bf16: bool,
+                       lookahead: int, drain: int, leafq_cap: int,
+                       page_size: int):
+    """One (page, ray-tile) step of the HBM-paged walk.
+
+    Identical traversal structure to ``_tile_kernel_la`` but over ONE
+    page's subtree with page-local cluster ids; per-ray state (best t /
+    slot / normal / mat) rides along as aliased input/output blocks so
+    it carries across pages (pages are the OUTER grid dim — each page's
+    Woop block is DMA'd into VMEM once per wave and double-buffered by
+    the Pallas pipeline). best_t tightening in earlier pages culls
+    later pages: a page whose root box no live ray improves costs one
+    loop iteration.
+    """
+    page = pl.program_id(0)
+    tid = pl.program_id(1)
+    oct = oct_ref[0, tid]
+    sl = pl.ds(tid * tile, tile)
+
+    # Per-ray state lives in persistent VMEM scratch for the whole wave
+    # (Pallas scratch is allocated once per kernel, not per grid step):
+    # restore this tile's slice into the fast output blocks, walk, then
+    # save back at the end. No HBM round-trips, no aliasing semantics.
+    @pl.when(page == 0)
+    def _():
+        t_ref[:] = t0_ref[:]
+        slot_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
+        normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
+        hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
+
+    @pl.when(page > 0)
+    def _():
+        t_ref[:] = ts_ref[sl]
+        slot_ref[:] = slots_ref[sl]
+        normal_ref[:] = norms_ref[sl]
+        hitmat_ref[:] = hmats_ref[sl]
+
+    o_aug = o_ref[:]
+    d_aug = d_ref[:]
+    inv_d = _safe_inv(d_aug[:, 0:3])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, CLUSTER_SIZE), 1)
+    n_cand = 2 ** lookahead - 1
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+    lane_win = lane128 // 16
+    w_fixed = jnp.where(
+        (lane128 % 16) < n_cand,
+        jnp.exp2((lane128 % 16).astype(jnp.float32)), 0.0,
+    )
+
+    def eval_cluster(cid):
+        best_t = t_ref[:]
+        woop_c = woop_ref[0, cid]
+        t_pair = _pair_eval(o_aug, d_aug, woop_c, best_t, bf16)
+        t_min = jnp.min(t_pair, axis=1, keepdims=True)
+        upd = t_min < best_t
+        pick = t_pair <= t_min
+        slot = jnp.min(
+            jnp.where(pick, lane, CLUSTER_SIZE), axis=1, keepdims=True
+        )
+        first = pick & (lane == slot)
+        k = CLUSTER_SIZE
+        zeros = jnp.zeros((tile, k), jnp.float32)
+        nx = jnp.sum(jnp.where(first, woop_c[0:1, 2 * k:], zeros),
+                     axis=1, keepdims=True)
+        ny = jnp.sum(jnp.where(first, woop_c[1:2, 2 * k:], zeros),
+                     axis=1, keepdims=True)
+        nz = jnp.sum(jnp.where(first, woop_c[2:3, 2 * k:], zeros),
+                     axis=1, keepdims=True)
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+        )
+        mat_sel = jnp.max(
+            jnp.where(first, mat_ref[0, cid], 0), axis=1, keepdims=True
+        )
+        t_ref[:] = jnp.where(upd, t_min, best_t)
+        gslot = (page * page_size + cid) * CLUSTER_SIZE + slot
+        slot_ref[:] = jnp.where(upd, gslot, slot_ref[:])
+        n_new = jnp.concatenate(
+            [nx * inv_len, ny * inv_len, nz * inv_len,
+             jnp.zeros((tile, 1), jnp.float32)], axis=1
+        )
+        normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
+        hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
+
+    def cond(carry):
+        idx, head, tail = carry
+        return (idx < n_nodes) | (head < tail)
+
+    def body(carry):
+        idx, head, tail = carry
+
+        @pl.when(head < tail)
+        def _():
+            for j in range(drain):
+                eval_cluster(
+                    leafq_ref[
+                        jnp.minimum(head + j, jnp.maximum(tail - 1, 0))
+                    ]
+                )
+
+        head = jnp.minimum(head + drain, tail)
+
+        valid0 = idx < n_nodes
+        base = jnp.where(valid0, idx, 0)
+        best_t = t_ref[:]
+        row = cbox_ref[oct, base // 8]
+        tn = jnp.full((tile, 128), -_BIG)
+        tf = jnp.full((tile, 128), _BIG)
+        for ax in range(3):
+            o = o_aug[:, ax:ax + 1]
+            iv = inv_d[:, ax:ax + 1]
+            t0 = (row[ax:ax + 1, :] - o) * iv
+            t1 = (row[3 + ax:4 + ax, :] - o) * iv
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit = (tn <= tf) & (tf > T_MIN) & (tn < best_t)
+        hit = hit & (lane_win == base % 8)
+        bits = jnp.sum(
+            jnp.max(jnp.where(hit, w_fixed, 0.0), axis=0)
+        ).astype(jnp.int32)
+
+        def push(ok, cid):
+            nonlocal tail
+            ok = ok & (cid >= 0) & (tail < leafq_cap)
+            leafq_ref[jnp.where(ok, tail, leafq_cap - 1)] = cid
+            tail = tail + jnp.where(ok, 1, 0)
+
+        ci = jnp.int32(0)
+        node = base
+        hitb = (bits & 1) == 1
+        ended = jnp.logical_not(valid0)
+        push(jnp.logical_not(ended) & hitb, nmeta_ref[0, 1, node])
+
+        def succ(node_c, take_hit):
+            return links_ref[0, jnp.where(take_hit, oct, 8 + oct), node_c]
+
+        for _ in range(1, lookahead):
+            node_n = succ(node, hitb)
+            ended = ended | (node_n >= n_nodes)
+            live = jnp.logical_not(ended)
+            node = jnp.where(live, node_n, node)
+            ci = 2 * ci + jnp.where(hitb, 1, 2)
+            hitb = ((bits >> ci) & 1) == 1
+            push(live & hitb, nmeta_ref[0, 1, node])
+
+        nxt = jnp.where(ended, jnp.int32(n_nodes), succ(node, hitb))
+        return nxt, head, tail
+
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+
+    ts_ref[sl] = t_ref[:]
+    slots_ref[sl] = slot_ref[:]
+    norms_ref[sl] = normal_ref[:]
+    hmats_ref[sl] = hitmat_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "bf16",
+                                    "lookahead", "drain"))
+def trace_pallas_paged(clusters, pages, origin, direction, t_init,
+                       interpret=False, tile=RAY_TILE, bf16=False,
+                       lookahead=4, drain=1):
+    """HBM-paged cluster walk for scenes past the whole-in-VMEM budget.
+
+    ``pages`` is the ``ClusterSet``-companion ``ops.clusters.PageSet``;
+    the grid is (pages, ray tiles) with pages OUTERMOST, so each page's
+    12 MB Woop block streams HBM→VMEM exactly once per wave (Pallas
+    double-buffers the DMA against the previous page's walk — SURVEY §7
+    hard-part 2's "HBM-resident node array" north star). Per-ray state
+    carries across pages through aliased input/output blocks.
+    """
+    r = origin.shape[0]
+    # At least 4 ray tiles: page i+1's aliased state-read of tile j must
+    # land after page i's write of the same block — the T-step gap
+    # between them is the safety margin against the pipeline's input
+    # prefetch (interpret mode is sequential and needs none, but keep
+    # the layout identical).
+    r_pad = max(-(-r // tile), 4) * tile
+    pad = r_pad - r
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(
+            direction, ((0, pad), (0, 0)), constant_values=1.0
+        )
+        t_init = jnp.pad(t_init, (0, pad))
+
+    o_aug, d_aug = _augment(origin, direction)
+    n_pages = pages.node_box.shape[0]
+    n_nodes = pages.node_box.shape[2]
+    c_pad = clusters.woop.shape[0]
+    page_size = c_pad // n_pages
+    grid_t = r_pad // tile
+    leafq_cap = max(LEAFQ_CAP, page_size + 8)
+
+    d0 = direction.reshape(grid_t, tile, 3)[:, 0, :]
+    octs = (
+        (d0[:, 0] > 0).astype(jnp.int32) * 4
+        + (d0[:, 1] > 0).astype(jnp.int32) * 2
+        + (d0[:, 2] > 0).astype(jnp.int32)
+    )[None, :]
+
+    woop_paged = clusters.woop.reshape(n_pages, page_size, 4,
+                                       3 * CLUSTER_SIZE)
+    mat_paged = clusters.mat.reshape(n_pages, page_size, 1, CLUSTER_SIZE)
+    r8 = pages.cand_box.shape[1]
+
+    state_specs = [
+        pl.BlockSpec((tile, 1), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 4), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    t, slot, normal, mat = pl.pallas_call(
+        functools.partial(
+            _tile_kernel_paged, n_nodes=n_nodes, tile=tile, bf16=bf16,
+            lookahead=lookahead, drain=drain, leafq_cap=leafq_cap,
+            page_size=page_size,
+        ),
+        grid=(n_pages, grid_t),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # octants (1, T)
+            pl.BlockSpec((1, 6, n_nodes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),        # page tree boxes
+            pl.BlockSpec((1, 2, n_nodes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),        # page tree meta
+            pl.BlockSpec((1, 16, n_nodes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),        # page oct links
+            pl.BlockSpec((8, r8, 6, 128), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # page cand_box
+            pl.BlockSpec((1, page_size, 4, 3 * CLUSTER_SIZE),
+                         lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # page woop
+            pl.BlockSpec((1, page_size, 1, CLUSTER_SIZE),
+                         lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # page mat
+        ],
+        out_specs=tuple(state_specs),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((leafq_cap,), jnp.int32),
+            pltpu.VMEM((r_pad, 1), jnp.float32),   # best-t carry
+            pltpu.VMEM((r_pad, 1), jnp.int32),     # slot carry
+            pltpu.VMEM((r_pad, 4), jnp.float32),   # normal carry
+            pltpu.VMEM((r_pad, 1), jnp.int32),     # mat carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_aug, d_aug, t_init[:, None], octs, pages.node_box,
+      pages.node_meta, pages.oct_links, pages.cand_box, woop_paged,
+      mat_paged)
     return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
 
 

@@ -53,9 +53,23 @@ class ClusterSet(NamedTuple):
     node_meta: (2, N) i32 — [skip_link, cluster_id]; cluster_id == -1 for
                interior nodes. Preorder: hit-successor is node+1, miss
                (or after a leaf) jumps to skip_link; index N terminates.
-    wide_box:  (M, 6, 128) f32 — 8-wide tree child AABBs, lane-padded (see
-               ``build_wide_tree``; the production kernel's structure).
-    wide_meta: (M, 8) i32 — 8-wide child encoding.
+    oct_links: (2, 8, N) i32 — per-direction-octant threaded links over
+               the SAME node ids: [0] = hit_next (the octant's NEAR child
+               first — true front-to-back descent), [1] = miss_next
+               (continuation). Front-to-back order makes the kernel's
+               ``tn < best_t`` test cull everything behind the first hits,
+               which the static area-first order cannot (see
+               ``build_octant_trees``).
+    cand_box:  (8, ceil(N/8), 6, 128) f32 — per-octant speculative
+               candidate-heap AABBs for the lookahead kernel: node n's
+               15-node heap (itself + every node reachable in ≤ 3 more
+               octant-ordered steps) lives in lanes [(n%8)*16, +15) of
+               row n//8, so ONE dynamic vector load feeds the whole
+               per-iteration slab block (scalar-assembled boxes measured
+               ~2.5 µs/iteration — the round-2 wall after the round-1
+               sync wall fell). Slot 15 and out-of-tree ids hold
+               inverted boxes (never hit). Built only when N <=
+               CAND_MAX_NODES; a (8, 1, 6, 128) dummy otherwise.
     """
 
     aabb_min: np.ndarray
@@ -65,25 +79,32 @@ class ClusterSet(NamedTuple):
     mat: np.ndarray
     node_box: np.ndarray
     node_meta: np.ndarray
-    wide_box: np.ndarray
-    wide_meta: np.ndarray
+    oct_links: np.ndarray
+    cand_box: np.ndarray
 
 
 def build_cluster_tree(
     aabb_min: np.ndarray, aabb_max: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Threaded binary tree over cluster AABBs (median split, leaf = 1).
 
-    Returns (node_box (6, N) f32, node_meta (2, N) i32). The per-tile
-    kernel walks this with ONE scalar register (node index) while the
+    Returns (node_box (6, N) f32, node_meta (2, N) i32, child (N, 2) i32,
+    axis (N,) i8, first_is_lower (N,) bool). The per-tile kernel walks
+    the threaded links with ONE scalar register (node index) while the
     vector lanes evaluate the tile-vs-AABB test — the tile-uniform
-    analogue of the per-ray stackless walk the VPU can't do.
+    analogue of the per-ray stackless walk the VPU can't do. The extra
+    topology arrays (children in emission order, split axis, whether the
+    first-emitted child is the lower-centroid one) feed
+    ``build_octant_trees``.
     """
     c = aabb_min.shape[0]
     centroid = (aabb_min + aabb_max) * 0.5
     max_nodes = 2 * c - 1 if c else 1
     box = np.empty((max_nodes, 6), np.float32)
     meta = np.empty((max_nodes, 2), np.int32)
+    child = np.full((max_nodes, 2), -1, np.int32)
+    axis_arr = np.zeros(max_nodes, np.int8)
+    first_lower = np.zeros(max_nodes, np.bool_)
     count = 0
 
     def emit(ids):
@@ -94,7 +115,7 @@ def build_cluster_tree(
         box[my, 3:] = aabb_max[ids].max(axis=0)
         if len(ids) == 1:
             meta[my] = (count, ids[0])
-            return
+            return my
         ext = centroid[ids].max(axis=0) - centroid[ids].min(axis=0)
         axis = int(np.argmax(ext))
         order = np.argsort(centroid[ids, axis], kind="stable")
@@ -108,16 +129,20 @@ def build_cluster_tree(
             )
             return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
 
-        # Visit the larger-area child first: big clusters (walls, floors)
+        # Emit the larger-area child first: big clusters (walls, floors)
         # are hit by almost every ray, so establishing their best_t early
         # lets the tn < best_t test cull the small-cluster subtrees behind
         # them — the direction-independent stand-in for front-to-back
-        # ordering, which a tile-uniform walk cannot do per ray.
-        if area(right) > area(left):
+        # ordering (the per-octant links in oct_links do it properly).
+        lower_first = area(left) >= area(right)
+        if not lower_first:
             left, right = right, left
-        emit(left)
-        emit(right)
+        child[my, 0] = emit(left)
+        child[my, 1] = emit(right)
+        axis_arr[my] = axis
+        first_lower[my] = lower_first
         meta[my, 0] = count  # skip = end of subtree
+        return my
 
     if c == 0:
         box[0] = 0.0
@@ -133,7 +158,249 @@ def build_cluster_tree(
         finally:
             sys.setrecursionlimit(old)
 
-    return box[:count].T.copy(), meta[:count].T.copy()
+    return (box[:count].T.copy(), meta[:count].T.copy(), child[:count],
+            axis_arr[:count], first_lower[:count])
+
+
+CAND_MAX_NODES = 16384  # cand_box VMEM ceiling (~100 MB at the cap / 8)
+CAND_HEAP = 15          # binary heap of candidates: lookahead <= 4 steps
+
+PAGE_CLUSTERS = 2048    # clusters per HBM page (12 MB of Woop data)
+
+
+class PageSet(NamedTuple):
+    """Per-page traversal structures for HBM-resident scenes.
+
+    Scenes whose Woop tensors exceed VMEM stream through the Pallas
+    pipeline page by page (grid = pages × ray tiles, pages outermost →
+    each page's Woop block is DMA'd into VMEM exactly once per wave and
+    double-buffered against compute). Clusters are renumbered
+    page-contiguously at build time, so the paged Woop/mat views are
+    free reshapes of the flat ClusterSet arrays — no HBM duplication.
+
+    node_box:  (G, 6, Np) f32 per-page threaded-tree AABBs (trees padded
+               to the max page-node count with inverted never-hit nodes
+               whose links all point at the terminator).
+    node_meta: (G, 2, Np) i32 [skip, PAGE-LOCAL cluster id].
+    oct_links: (G, 16, Np) i32 per-octant hit/miss links (flattened 2x8).
+    cand_box:  (G*8, R8, 6, 128) f32 stacked per-page candidate blocks.
+    """
+
+    node_box: np.ndarray
+    node_meta: np.ndarray
+    oct_links: np.ndarray
+    cand_box: np.ndarray
+
+
+def partition_pages(aabb_min: np.ndarray, aabb_max: np.ndarray,
+                    page_size: int):
+    """Spatial median partition of clusters into lists of <= page_size
+    ids (recursion order keeps pages spatially coherent)."""
+    centroid = (aabb_min + aabb_max) * 0.5
+    pages = []
+    stack = [np.arange(aabb_min.shape[0])]
+    while stack:
+        ids = stack.pop()
+        if len(ids) <= page_size:
+            pages.append(ids)
+            continue
+        ext = centroid[ids].max(axis=0) - centroid[ids].min(axis=0)
+        ax = int(np.argmax(ext))
+        order = np.argsort(centroid[ids, ax], kind="stable")
+        half = len(ids) // 2
+        stack.append(ids[order[half:]])
+        stack.append(ids[order[:half]])
+    return pages
+
+
+def build_pages(cs: ClusterSet, page_size: int = PAGE_CLUSTERS):
+    """Repack a ClusterSet page-contiguously and build per-page trees.
+
+    Returns (flat ClusterSet in page order — padded to G*page_size
+    clusters, slot ids shift accordingly — and the PageSet). The flat
+    set's global tree (node_*/oct_links/cand_box) is rebuilt over the
+    padded cluster list so non-paged kernels keep working on the same
+    object.
+    """
+    pages = partition_pages(cs.aabb_min, cs.aabb_max, page_size)
+    g = len(pages)
+    c_pad = g * page_size
+
+    def pad_rows(arr, miss_fill):
+        out = np.empty((c_pad,) + arr.shape[1:], arr.dtype)
+        out[:] = miss_fill
+        for p, ids in enumerate(pages):
+            out[p * page_size: p * page_size + len(ids)] = arr[ids]
+        return out
+
+    aabb_min = pad_rows(cs.aabb_min, 3.0e38)
+    aabb_max = pad_rows(cs.aabb_max, -3.0e38)
+    woop = np.zeros((c_pad, 4, 3 * CLUSTER_SIZE), np.float32)
+    # Degenerate always-miss Woop pattern for padding clusters.
+    woop[:, 3, 0 * CLUSTER_SIZE: 1 * CLUSTER_SIZE] = -1.0
+    woop[:, 3, 1 * CLUSTER_SIZE: 2 * CLUSTER_SIZE] = -1.0
+    woop[:, 3, 2 * CLUSTER_SIZE: 3 * CLUSTER_SIZE] = 1.0
+    normal = np.zeros((c_pad, 3, CLUSTER_SIZE), np.float32)
+    mat = np.zeros((c_pad, CLUSTER_SIZE), np.int32)
+    for p, ids in enumerate(pages):
+        sl = slice(p * page_size, p * page_size + len(ids))
+        woop[sl] = cs.woop[ids]
+        normal[sl] = cs.normal[ids]
+        mat[sl] = cs.mat[ids]
+
+    # Per-page trees over the REAL clusters (page-local ids 0..len-1).
+    boxes, metas, links_l, cands = [], [], [], []
+    np_max = max(2 * max(len(ids) for ids in pages) - 1, 1)
+    for p, ids in enumerate(pages):
+        nb, nm, child, axis, flo = build_cluster_tree(
+            cs.aabb_min[ids], cs.aabb_max[ids]
+        )
+        ol = build_octant_trees(child, axis, flo)
+        n = nb.shape[1]
+        pad = np_max - n
+        if pad:
+            nb_pad = np.empty((6, pad), np.float32)
+            nb_pad[0:3] = 3.0e38
+            nb_pad[3:6] = -3.0e38
+            nb = np.concatenate([nb, nb_pad], axis=1)
+            nm_pad = np.empty((2, pad), np.int32)
+            nm_pad[0] = np_max
+            nm_pad[1] = -1
+            nm = np.concatenate([nm, nm_pad], axis=1)
+            ol = np.concatenate(
+                [ol, np.full((2, 8, pad), np_max, np.int32)], axis=2
+            )
+        # Real links that pointed at the page terminator (n) must point
+        # past the padded tree too; any id >= n terminates at np_max.
+        nm[0] = np.where(nm[0] >= n, np_max, nm[0])
+        ol = np.where(ol >= n, np_max, ol)
+        boxes.append(nb)
+        metas.append(nm)
+        links_l.append(ol.reshape(16, np_max))
+        cands.append(build_candidate_blocks(nb, ol))
+
+    flat = ClusterSet(
+        aabb_min=aabb_min, aabb_max=aabb_max, woop=woop, normal=normal,
+        mat=mat, node_box=None, node_meta=None, oct_links=None,
+        cand_box=None,
+    )
+    # Rebuild the global tree over real clusters only (padded clusters
+    # are unreachable: their ids never appear in any tree).
+    nb, nm, child, axis, flo = build_cluster_tree(
+        cs.aabb_min, cs.aabb_max
+    )
+    # Remap global cluster ids to the new page order.
+    remap = np.full(cs.aabb_min.shape[0], -1, np.int64)
+    for p, ids in enumerate(pages):
+        remap[ids] = p * page_size + np.arange(len(ids))
+    cid = nm[1]
+    nm = nm.copy()
+    nm[1] = np.where(cid >= 0, remap[np.maximum(cid, 0)], -1)
+    ol = build_octant_trees(child, axis, flo)
+    flat = flat._replace(
+        node_box=nb, node_meta=nm, oct_links=ol,
+        cand_box=build_candidate_blocks(nb, ol),
+    )
+    pageset = PageSet(
+        node_box=np.stack(boxes),
+        node_meta=np.stack(metas),
+        oct_links=np.stack(links_l),
+        cand_box=np.concatenate(cands, axis=0),
+    )
+    return flat, pageset, remap
+
+
+def build_candidate_blocks(
+    node_box: np.ndarray, oct_links: np.ndarray
+) -> np.ndarray:
+    """(8, ceil(N/8), 6, 128) f32 candidate-heap AABB blocks (see
+    ClusterSet.cand_box). Heap layout per (octant o, node n): slot 0 is
+    n; slot 2j+1 = hit_next[o, slot j], slot 2j+2 = miss_next[o, slot j]
+    (ids >= N — the terminator — yield inverted never-hit boxes).
+    Vectorized numpy; O(8 * 15 * N) gathers.
+    """
+    n = node_box.shape[1]
+    if n > CAND_MAX_NODES:
+        out = np.empty((8, 1, 6, 128), np.float32)
+        out[:, :, 0:3] = 3.0e38
+        out[:, :, 3:6] = -3.0e38
+        return out
+    # Pad column N with an inverted box so terminator ids gather a miss.
+    nb = np.concatenate(
+        [node_box,
+         np.array([[3e38], [3e38], [3e38], [-3e38], [-3e38], [-3e38]],
+                  np.float32)], axis=1,
+    )  # (6, N+1)
+    heap = np.empty((8, CAND_HEAP, n), np.int64)
+    heap[:, 0] = np.arange(n)
+    for o in range(8):
+        hn = np.append(oct_links[0, o], n)  # hit_next with terminator row
+        mn = np.append(oct_links[1, o], n)
+        for j in range((CAND_HEAP - 1) // 2):
+            heap[o, 2 * j + 1] = hn[heap[o, j]]
+            heap[o, 2 * j + 2] = mn[heap[o, j]]
+    heap = np.minimum(heap, n)  # terminator children stay at the pad col
+    boxes = nb[:, heap]                       # (6, 8, 15, N)
+    r8 = -(-n // 8)
+    pad_n = r8 * 8 - n
+    boxes = np.transpose(boxes, (1, 3, 0, 2))  # (8, N, 6, 15)
+    if pad_n:
+        fill = np.empty((8, pad_n, 6, CAND_HEAP), np.float32)
+        fill[:, :, 0:3] = 3.0e38
+        fill[:, :, 3:6] = -3.0e38
+        boxes = np.concatenate([boxes, fill], axis=1)
+    # Slot 15 (window padding) also inverted.
+    slot_pad = np.empty((8, r8 * 8, 6, 1), np.float32)
+    slot_pad[:, :, 0:3] = 3.0e38
+    slot_pad[:, :, 3:6] = -3.0e38
+    boxes = np.concatenate(
+        [boxes.astype(np.float32), slot_pad], axis=3
+    )  # (8, r8*8, 6, 16)
+    boxes = boxes.reshape(8, r8, 8, 6, 16)
+    boxes = np.transpose(boxes, (0, 1, 3, 2, 4))  # (8, r8, 6, 8, 16)
+    return np.ascontiguousarray(boxes.reshape(8, r8, 6, 128))
+
+
+def build_octant_trees(
+    child: np.ndarray, axis: np.ndarray, first_lower: np.ndarray
+) -> np.ndarray:
+    """Per-direction-octant threaded links: (2, 8, N) i32.
+
+    ``[0, o, n]`` = hit_next (descend into the octant's NEAR child — the
+    lower-coordinate child along the node's split axis when the octant's
+    direction is positive on that axis, else the upper), ``[1, o, n]`` =
+    miss_next (the continuation after skipping/finishing ``n``'s
+    subtree). All eight orderings share node ids (and therefore
+    node_box / cluster ids); index N terminates. A tile whose rays share
+    a direction octant (guaranteed by ray binning up to tile-boundary
+    mixing, which costs order quality but never correctness) therefore
+    walks the cluster tree truly front-to-back: the first leaf
+    evaluations tighten best_t to the nearest geometry and the
+    ``tn < best_t`` slab test culls every subtree behind it.
+    """
+    n = child.shape[0]
+    links = np.empty((2, 8, n), np.int32)
+    # Octant bit layout matches ops.binning._dir_bin: x>0 → +4, y>0 → +2,
+    # z>0 → +1.
+    for o in range(8):
+        pos = ((o >> 2) & 1, (o >> 1) & 1, o & 1)
+        # Iterative DFS carrying the continuation (explicit stack; the
+        # tree is ~2C nodes and Python recursion limits are a footgun).
+        stack = [(0, n)]
+        while stack:
+            m, cont = stack.pop()
+            a, b = int(child[m, 0]), int(child[m, 1])
+            if a < 0:
+                links[0, o, m] = cont
+                links[1, o, m] = cont
+                continue
+            lower, upper = (a, b) if first_lower[m] else (b, a)
+            near, far = (lower, upper) if pos[axis[m]] else (upper, lower)
+            links[0, o, m] = near
+            links[1, o, m] = cont
+            stack.append((near, far))
+            stack.append((far, cont))
+    return links
 
 
 def build_clusters(
@@ -206,101 +473,17 @@ def build_clusters(
         normal[ci, :, :k] = n_unit.T
         mat[ci, :k] = np.where(dead, 0, matp[sl])
 
-    node_box, node_meta = build_cluster_tree(aabb_min, aabb_max)
-    wide_box, wide_meta = build_wide_tree(aabb_min, aabb_max)
+    node_box, node_meta, child, axis, first_lower = build_cluster_tree(
+        aabb_min, aabb_max
+    )
+    oct_links = build_octant_trees(child, axis, first_lower)
+    cand_box = build_candidate_blocks(node_box, oct_links)
     return (
         ClusterSet(
             aabb_min=aabb_min, aabb_max=aabb_max,
             woop=woop, normal=normal, mat=mat,
-            node_box=node_box, node_meta=node_meta,
-            wide_box=wide_box, wide_meta=wide_meta,
+            node_box=node_box, node_meta=node_meta, oct_links=oct_links,
+            cand_box=cand_box,
         ),
         perm,
     )
-
-
-WIDE_FANOUT = 8
-WIDE_LANES = 128  # physical lane padding of the child axis
-
-
-def build_wide_tree(
-    aabb_min: np.ndarray, aabb_max: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """8-wide tree over cluster AABBs for the stack-based tile walk.
-
-    Returns (wide_box (M, 6, 128) f32 — child slots lane-padded, slots
-    >= 8 inverted — and wide_meta (M, 8) i32). Child
-    encoding: -1 empty, >= 0 internal node index, <= -2 leaf with
-    cluster id ``-(child + 2)``. Children are ordered by descending AABB
-    area (big wall-like clusters first) so every ray acquires a finite
-    best_t as early as possible; one vector→scalar reduction then tests
-    all 8 children at once in the kernel — the per-iteration sync is the
-    dominant traversal cost on TPU (PERF.md).
-    """
-    c = aabb_min.shape[0]
-    centroid = (aabb_min + aabb_max) * 0.5
-
-    boxes = []   # (6, 8) rows
-    metas = []   # (8,) rows
-
-    def area(sel):
-        d = np.maximum(aabb_max[sel].max(axis=0) - aabb_min[sel].min(axis=0),
-                       0.0)
-        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
-
-    def split8(ids):
-        """Partition into up to 8 parts via 3 rounds of median splits."""
-        parts = [ids]
-        for _ in range(3):
-            nxt = []
-            for p in parts:
-                if len(p) <= 1:
-                    nxt.append(p)
-                    continue
-                ext = centroid[p].max(axis=0) - centroid[p].min(axis=0)
-                ax = int(np.argmax(ext))
-                order = np.argsort(centroid[p, ax], kind="stable")
-                half = len(p) // 2
-                nxt.append(p[order[:half]])
-                nxt.append(p[order[half:]])
-            parts = nxt
-        return [p for p in parts if len(p)]
-
-    def empty_box():
-        # Inverted bounds: the slab test can never pass for empty slots.
-        # Lane-padded to 128 so the kernel's (tile, 128) vector ops map
-        # 1:1 onto the physical VPU tile (slots 8..127 always miss).
-        b = np.empty((6, WIDE_LANES), np.float32)
-        b[0:3] = 3.0e38
-        b[3:6] = -3.0e38
-        return b
-
-    def emit(ids) -> int:
-        my = len(metas)
-        boxes.append(empty_box())
-        metas.append(np.full(WIDE_FANOUT, -1, np.int32))
-        parts = split8(ids)
-        parts.sort(key=area, reverse=True)
-        for ci, p in enumerate(parts):
-            boxes[my][0:3, ci] = aabb_min[p].min(axis=0)
-            boxes[my][3:6, ci] = aabb_max[p].max(axis=0)
-            if len(p) == 1:
-                metas[my][ci] = -(int(p[0]) + 2)
-            else:
-                metas[my][ci] = emit(p)
-        return my
-
-    if c == 0:
-        boxes.append(empty_box())
-        metas.append(np.full(WIDE_FANOUT, -1, np.int32))
-    else:
-        import sys
-
-        old = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(old, 100_000))
-        try:
-            emit(np.arange(c))
-        finally:
-            sys.setrecursionlimit(old)
-
-    return np.stack(boxes), np.stack(metas)

@@ -81,24 +81,38 @@ def test_soup_scene_matches_bvh(soup_scene, traversal):
     assert_hits_match(h_ref, h_new)
 
 
-def test_wide_kernel_matches_jax(mesh_scene):
-    """The experimental 8-wide stack kernel (interpret mode) agrees with
-    the sweep oracle (kept correct even though the threaded kernel is the
-    production default — see PERF.md)."""
+@pytest.mark.parametrize("kw", [
+    dict(ordered=False),
+    dict(ordered=True),
+    dict(lookahead=3, drain=2, ordered=False),
+    dict(lookahead=3, drain=2, ordered=True),
+    dict(lookahead=4, drain=1, ordered=True),
+])
+def test_kernel_variants_match_jax(mesh_scene, kw):
+    """Every traversal-kernel variant (octant-ordered walk, K-step
+    lookahead with leaf-queue drain) agrees with the sweep oracle in
+    interpret mode. Hit t must match exactly; the winning slot may
+    differ only where two triangles tie at the exact same t (shared
+    edges) — any visit order legitimately picks either."""
     import jax.numpy as jnp
 
     from pathtracing_tpu.ops import cluster_trace
 
     o, d = random_rays(600, 2)
     t0 = jnp.full(600, 3.0e38, jnp.float32)
+    t0 = t0.at[::11].set(0.0)  # dead lanes short-circuit
     tj = cluster_trace.trace_jax(mesh_scene.clusters, o, d, t0)
     tw = cluster_trace.trace_pallas(
-        mesh_scene.clusters, o, d, t0, interpret=True, wide=True
+        mesh_scene.clusters, o, d, t0, interpret=True, **kw
     )
-    np.testing.assert_array_equal(np.asarray(tj[1]), np.asarray(tw[1]))
+    live = np.asarray(t0) > 0
     np.testing.assert_allclose(
-        np.asarray(tj[0]), np.asarray(tw[0]), rtol=1e-6
+        np.where(live, np.asarray(tj[0]), 0.0),
+        np.where(live, np.asarray(tw[0]), 0.0), rtol=1e-6,
     )
+    slot_match = np.asarray(tj[1]) == np.asarray(tw[1])
+    tie = np.asarray(tj[0]) == np.asarray(tw[0])
+    assert np.all(slot_match | tie | ~live)
 
 
 def test_rays_from_inside_geometry(mesh_scene):
@@ -132,3 +146,45 @@ def test_render_image_cluster_vs_bvh(mesh_scene):
     a, b = imgs["bvh"], imgs["cluster_jax"]
     close = np.isclose(a, b, rtol=1e-3, atol=1e-3).mean()
     assert close > 0.98, f"only {close:.3f} of pixels match"
+
+
+@pytest.fixture(scope="module")
+def paged_scene():
+    """Cornell mesh rebuilt with a tiny page size so the HBM-paged
+    traversal path exercises multiple pages without a huge scene."""
+    from pathtracing_tpu.models.scenes import _cornell_mesh_builder
+
+    b = _cornell_mesh_builder(3)
+    scene = b.build(page_clusters=16)
+    assert scene.pages is not None
+    assert scene.pages.node_box.shape[0] >= 2  # really multi-page
+    return scene
+
+
+def test_paged_traversal_matches_oracle(paged_scene):
+    """The page-streaming kernel agrees with the dense sweep over the
+    SAME (page-reordered, padded) cluster set: identical t everywhere,
+    identical slots except exact-t ties."""
+    o, d = random_rays(1500, 4)
+    h_ref = scene_mod.intersect_batch(paged_scene, o, d, "cluster_jax")
+    h_new = scene_mod.intersect_batch(
+        paged_scene, o, d, "cluster_interpret"
+    )
+    assert_hits_match(h_ref, h_new)
+
+
+def test_paged_occlusion_matches(paged_scene):
+    import jax
+
+    o, d = random_rays(700, 8, spread=0.8, center=(0.0, -0.3, 0.5))
+    tmax = jnp.asarray(
+        np.random.RandomState(3).rand(700).astype(np.float32) * 2.0
+    )
+    occ = scene_mod.occluded_batch(
+        paged_scene, o, d, tmax, "cluster_interpret", active=tmax > 0
+    )
+    hit = scene_mod.intersect_batch(
+        paged_scene, o, d, "cluster_jax", active=tmax > 0, t_max=tmax
+    )
+    ref = np.asarray(hit.valid & (hit.t < tmax))
+    np.testing.assert_array_equal(np.asarray(occ), ref)
