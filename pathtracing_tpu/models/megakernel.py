@@ -65,7 +65,7 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
             return shading.bounce_batch(
                 scene, o, d, keys, depth, radiance, throughput, active,
                 config.rr_start_depth, config.background, traversal,
-                nee=config.nee, prev_pdf=pdf, prev_diffuse=pdiff,
+                nee=config.nee, prev_pdf=pdf, prev_nee=pdiff,
                 bin_rays=config.ray_sort,
             )
 

@@ -121,19 +121,24 @@ def icosphere(subdivisions: int = 4, radius: float = 1.0):
     return verts * radius, faces
 
 
-def cornell_mesh(subdivisions: int = 5) -> Tuple[Scene, CameraConfig]:
-    """BASELINE config 3: high-poly mesh in the Cornell box (BVH workload).
-
-    ``subdivisions=5`` → 20,480 triangles (tests); the benchmark uses 6
-    (81,920 — Stanford-bunny scale).
-    """
+def _cornell_mesh_builder(subdivisions: int) -> SceneBuilder:
     b = SceneBuilder()
     _cornell_walls(b)
     body = b.lambertian((0.6, 0.55, 0.45))
     verts, faces = icosphere(subdivisions, radius=0.5)
     verts = verts + np.array([0.0, -0.5, 0.0])
     b.add_mesh(verts, faces, body)
-    return b.build(), CORNELL_CAMERA
+    return b
+
+
+def cornell_mesh(subdivisions: int = 5) -> Tuple[Scene, CameraConfig]:
+    """BASELINE config 3: high-poly mesh in the Cornell box (BVH workload).
+
+    ``subdivisions=5`` → 20,480 triangles (tests); the benchmark uses 6
+    (81,920 — Stanford-bunny scale); 9 → 5.24M (the HBM-paged scale
+    demo, past the whole-in-VMEM budget).
+    """
+    return _cornell_mesh_builder(subdivisions).build(), CORNELL_CAMERA
 
 
 def checker_demo() -> Tuple[Scene, CameraConfig]:
@@ -176,12 +181,14 @@ def veach_mis() -> Tuple[Scene, CameraConfig]:
         b.add_quad((x - half, 5.0, -4.0), (2 * half, 0.0, 0.0),
                    (0.0, 0.0, 2 * half), light)
 
-    # Four long strips, fuzz 0.02..0.3, tilted to reflect the lights
-    # toward the camera.
+    # Four long strips, GGX roughness 0.02..0.3, tilted to reflect the
+    # lights toward the camera. GGX (not the RTiOW fuzz metal) so the
+    # glossy vertices carry a real pdf: light sampling fires on them and
+    # MIS blends both estimators — the actual Veach construction.
     strips = [(0.02, -1.1, 0.0, 18.0), (0.08, -0.4, 1.2, 14.0),
               (0.18, 0.4, 2.4, 10.0), (0.30, 1.3, 3.6, 6.0)]
-    for fuzz, y, z, tilt_deg in strips:
-        m = b.metal((0.85, 0.82, 0.78), fuzz=fuzz)
+    for rough, y, z, tilt_deg in strips:
+        m = b.ggx((0.85, 0.82, 0.78), roughness=rough)
         t = np.radians(tilt_deg)
         depth = 0.9
         # Normal (0, cos t, sin t): up, leaning toward the camera, so the

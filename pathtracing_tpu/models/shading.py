@@ -52,7 +52,7 @@ INV_PI = 0.3183098861837907
 
 def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                  rr_start_depth, background: str, traversal: str,
-                 nee: bool = False, prev_pdf=None, prev_diffuse=None,
+                 nee: bool = False, prev_pdf=None, prev_nee=None,
                  bin_rays: bool = False):
     """One bounce for a whole (R,) ray batch — the production path.
 
@@ -67,11 +67,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     scene's area-light table (``ops.lights``) with a shadow ray, combined
     with BSDF sampling by the power heuristic: BSDF-sampled hits on light
     triangles are down-weighted by the light pdf, and light samples by
-    the cosine pdf. ``prev_pdf``/``prev_diffuse`` carry the previous
+    the cosine pdf. ``prev_pdf``/``prev_nee`` carry the previous
     vertex's BSDF pdf across bounces (init: zeros / False — camera hits
     on lights then count fully).
 
-    Returns (radiance, throughput, o, d, active, prev_pdf, prev_diffuse).
+    Returns (radiance, throughput, o, d, active, prev_pdf, prev_nee).
     """
     from pathtracing_tpu.models import scene as scene_mod
     from pathtracing_tpu.ops import lights as lights_ops
@@ -80,8 +80,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     depth = jnp.broadcast_to(depth, (r,))
     if prev_pdf is None:
         prev_pdf = jnp.zeros(r, jnp.float32)
-    if prev_diffuse is None:
-        prev_diffuse = jnp.zeros(r, jnp.bool_)
+    if prev_nee is None:
+        prev_nee = jnp.zeros(r, jnp.bool_)
     with jax.named_scope("intersect"):
         hit = scene_mod.intersect_batch(
             scene, o, d, traversal, active=active, bin_rays=bin_rays
@@ -106,18 +106,26 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         cos_l = jnp.abs(linalg.dot(d, hit.normal))
         pdf_l = hit.t * hit.t / (cos_l * total_area + 1e-20)
         w = prev_pdf**2 / (prev_pdf**2 + pdf_l**2 + 1e-30)
-        is_light_tri = hit.tri & (jnp.max(emit, axis=-1) > 0.0)
+        # Every emissive primitive (triangle or sphere) is in the NEE
+        # light table, so every emissive hit is the "other estimator":
+        # pdf_l above is the area-uniform pdf converted to solid angle,
+        # valid for both kinds (sphere rows use the full 4πr² surface).
+        is_light = hit.valid & (jnp.max(emit, axis=-1) > 0.0)
         emit_w = jnp.where(
-            prev_diffuse & is_light_tri & (total_area > 0.0), w, 1.0
+            prev_nee & is_light & (total_area > 0.0), w, 1.0
         )
     radiance = radiance + jnp.where(
         live[:, None], throughput * emit * emit_w[:, None], 0.0
     )
 
-    is_diffuse = materials.is_diffuse_type(mtype)
+    nee_lobe = materials.is_nee_type(mtype)
 
     if nee_on:
-        # Next-event estimation: sample a light point, cast a shadow ray.
+        # Next-event estimation: sample a light point, cast a shadow
+        # ray. Fires at every vertex with a finite-pdf lobe: diffuse
+        # (f = albedo/π, pdf_b = cosine) AND GGX glossy (f/pdf_b from
+        # ops.materials.ggx_eval) — glossy NEE is what tames the
+        # veach_mis scene's variance.
         ul = jax.vmap(
             lambda k, dp: jax.random.uniform(
                 rng.stream_key(k, dp, rng.STREAM_NEE), (3,),
@@ -133,22 +141,28 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         cos_l = jnp.abs(linalg.dot(ln, wi))
         total_area = scene.lights.total_area
         cand = (
-            live & is_diffuse & (cos_s > 1e-6) & (cos_l > 1e-6)
+            live & nee_lobe & (cos_s > 1e-6) & (cos_l > 1e-6)
             & (dist2 > 1e-8) & (total_area > 0.0)
         )
         t_shadow = dist * (1.0 - 1e-3)
-        sh = scene_mod.intersect_batch(
-            scene, hit.position, wi, traversal, active=cand,
-            t_max=t_shadow, bin_rays=bin_rays,
+        # Any-hit occlusion query — not a full closest-hit intersect:
+        # shadow rays need a yes/no answer only, and the dedicated
+        # kernel short-circuits occluded lanes (scene.occluded_batch).
+        occluded = scene_mod.occluded_batch(
+            scene, hit.position, wi, t_shadow, traversal, active=cand,
+            bin_rays=bin_rays,
         )
-        occluded = sh.valid & (sh.t < t_shadow)
         vis = cand & jnp.logical_not(occluded)
 
+        is_ggx = mtype == materials.TYPE_GGX
+        f_ggx, pdf_ggx = materials.ggx_eval(alb, par, hit.normal, -d, wi)
+        f_lobe = jnp.where(is_ggx[:, None], f_ggx, alb * INV_PI)
+        pdf_b = jnp.where(is_ggx, pdf_ggx, cos_s * INV_PI)
+
         pdf_l = dist2 / (cos_l * total_area + 1e-20)
-        pdf_b = cos_s * INV_PI
         w = pdf_l**2 / (pdf_l**2 + pdf_b**2 + 1e-30)
         scale = cos_s / jnp.maximum(pdf_l, 1e-20) * w
-        contrib = throughput * (alb * INV_PI) * lemit * scale[:, None]
+        contrib = throughput * f_lobe * lemit * scale[:, None]
         radiance = radiance + jnp.where(vis[:, None], contrib, 0.0)
 
     u = jax.vmap(
@@ -157,7 +171,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             dtype=jnp.float32,
         )
     )(keys, depth)
-    d_out, atten, scattered, _ = materials.scatter(
+    d_out, atten, scattered, scatter_pdf = materials.scatter(
         mtype, alb, par, emit, hit.normal, d, hit.front, u
     )
 
@@ -181,9 +195,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
 
     o = hit.position
     d = jnp.where(active[:, None], d_out, d)
-    prev_pdf = jnp.maximum(linalg.dot(hit.normal, d_out), 1e-6) * INV_PI
-    prev_diffuse = live & is_diffuse
-    return radiance, throughput, o, d, active, prev_pdf, prev_diffuse
+    # The lobe's actual sampling pdf (cosine for diffuse, GGX NDF for
+    # glossy, 0 for delta lobes) feeds the next vertex's MIS weight.
+    prev_pdf = jnp.maximum(scatter_pdf, 1e-6)
+    prev_nee = live & nee_lobe
+    return radiance, throughput, o, d, active, prev_pdf, prev_nee
 
 
 def camera_sample(camera, config, seed, pixel_index, sample_index):

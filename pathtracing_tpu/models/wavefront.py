@@ -53,7 +53,7 @@ class PathPool(NamedTuple):
     depth: jnp.ndarray       # (N,) i32 bounce counter
     active: jnp.ndarray      # (N,) bool
     prev_pdf: jnp.ndarray    # (N,) f32 BSDF pdf at the previous vertex
-    prev_diffuse: jnp.ndarray  # (N,) bool previous vertex was diffuse
+    prev_nee: jnp.ndarray  # (N,) bool previous vertex was diffuse
 
 
 def _empty_pool(n: int) -> PathPool:
@@ -67,7 +67,7 @@ def _empty_pool(n: int) -> PathPool:
         depth=jnp.zeros(n, jnp.int32),
         active=jnp.zeros(n, jnp.bool_),
         prev_pdf=jnp.zeros(n, jnp.float32),
-        prev_diffuse=jnp.zeros(n, jnp.bool_),
+        prev_nee=jnp.zeros(n, jnp.bool_),
     )
 
 
@@ -119,7 +119,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             depth=jnp.where(take, 0, pool.depth),
             active=pool.active | take,
             prev_pdf=jnp.where(take, 0.0, pool.prev_pdf),
-            prev_diffuse=jnp.where(take, False, pool.prev_diffuse),
+            prev_nee=jnp.where(take, False, pool.prev_nee),
         ), jnp.minimum(next_path + jnp.sum(dead.astype(jnp.int32)), total)
 
     traversal = config.resolve_traversal()
@@ -137,7 +137,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
                 pool.radiance, pool.throughput, pool.active,
                 config.rr_start_depth, config.background, traversal,
                 nee=config.nee, prev_pdf=pool.prev_pdf,
-                prev_diffuse=pool.prev_diffuse, bin_rays=config.ray_sort,
+                prev_nee=pool.prev_nee, bin_rays=config.ray_sort,
             )
         )
         depth = pool.depth + 1
@@ -145,22 +145,27 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         return PathPool(
             origin=o, direction=d, radiance=radiance,
             throughput=throughput, pixel=pool.pixel, sample=pool.sample,
-            depth=depth, active=active, prev_pdf=pdf, prev_diffuse=pdiff,
+            depth=depth, active=active, prev_pdf=pdf, prev_nee=pdiff,
         )
 
     def body(carry):
         pool, accum, next_path, segments = carry
         pool, next_path = refill(pool, next_path)
-        segments = segments + jnp.sum(pool.active.astype(jnp.int32))
+        # f32 accumulation: int32 would overflow past ~2.1e9 traced
+        # segments in one call (large res × spp); f32 keeps exact counts
+        # to 2^24 per-iteration increments and ~0.5% at the extreme end.
+        segments = segments + jnp.sum(pool.active.astype(jnp.int32)).astype(
+            jnp.float32
+        )
 
         was_active = pool.active
         pool = bounce_all(pool)
         if config.nee and scene.lights is not None:
             # Shadow rays are real traversal work: one per live diffuse
-            # vertex (== prev_diffuse right after the bounce).
+            # vertex (== prev_nee right after the bounce).
             segments = segments + jnp.sum(
-                pool.prev_diffuse.astype(jnp.int32)
-            )
+                pool.prev_nee.astype(jnp.int32)
+            ).astype(jnp.float32)
 
         # Newly terminated paths deposit and zero their slot estimate so a
         # slot that stays dead (stream exhausted) deposits exactly once.
@@ -182,9 +187,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
 
     pool0 = _empty_pool(n)
     accum_flat, segments = jax.lax.while_loop(
-        cond, body,
-        (pool0, accum_flat, jnp.int32(0), jnp.int64(0)
-         if jax.config.jax_enable_x64 else jnp.int32(0)),
+        cond, body, (pool0, accum_flat, jnp.int32(0), jnp.float32(0))
     )[1::2]
     return accum_flat, segments
 

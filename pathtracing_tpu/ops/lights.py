@@ -5,13 +5,16 @@ are shaded by surface normal, `Test.hlsl:26-32`); this implements direct
 light sampling with multiple importance sampling for the progressive path
 tracer, the single biggest variance reducer for interior scenes.
 
-The table holds every emissive *triangle* (area ∝ sampling probability).
-Emissive spheres still light the scene through BSDF-sampled path hits but
-are not NEE-sampled (documented limitation; MIS weights are only applied
-to triangle-light hits, so sphere emitters stay unbiased).
+The table holds every emissive *primitive* — triangles AND spheres —
+with per-area sampling probability (area ∝ selection weight; sphere rows
+use the full 4πr² surface and are sampled area-uniformly, so far-side
+samples are killed by the occlusion test — standard, unbiased, ~2× the
+sphere-light noise of visible-cap sampling; documented trade).
 
-All selection is one-hot matmul over the (small) light table — never a
-device gather (see PERF.md for why gathers are banned on the hot path).
+All selection is one-hot masked-sum over the (small) light table — never
+a device gather (see PERF.md for why gathers are banned on the hot
+path), and never a matmul (bf16 default dots put sampled points off the
+light plane; PERF.md "Correctness gotcha").
 """
 
 from __future__ import annotations
@@ -21,28 +24,34 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+KIND_TRI = 0
+KIND_SPHERE = 1
+
 
 class LightTable(NamedTuple):
-    v0: jnp.ndarray       # (L, 3) f32 triangle corner
-    e1: jnp.ndarray       # (L, 3) f32 edge 1
-    e2: jnp.ndarray       # (L, 3) f32 edge 2
-    normal: jnp.ndarray   # (L, 3) f32 unit geometric normal
+    v0: jnp.ndarray       # (L, 3) f32 triangle corner / sphere center
+    e1: jnp.ndarray       # (L, 3) f32 edge 1 / (radius, 0, 0)
+    e2: jnp.ndarray       # (L, 3) f32 edge 2 / zeros
+    normal: jnp.ndarray   # (L, 3) f32 unit geometric normal (tri only)
     emit: jnp.ndarray     # (L, 3) f32 radiance
+    kind: jnp.ndarray     # (L,)  i32 KIND_TRI | KIND_SPHERE
     cum: jnp.ndarray      # (L,)  f32 inclusive cumulative area fraction
     total_area: jnp.ndarray  # () f32 — 0.0 means "no lights" (NEE no-op)
 
 
 def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
-                      emissive_type: int) -> LightTable:
-    """Host-side (NumPy) collection of emissive triangles."""
+                      emissive_type: int, sph_center=None, sph_radius=None,
+                      sph_mat=None) -> LightTable:
+    """Host-side (NumPy) collection of emissive triangles + spheres."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
     tri_mat = np.asarray(tri_mat)
+    types = np.asarray(mat_type)
     emits = np.asarray(mat_emit, np.float32)[tri_mat]
     # Select by TYPE only: the checker material reuses the emit columns
     # as its second color and must not be classed as a light.
-    sel = np.asarray(mat_type)[tri_mat] == emissive_type
+    sel = types[tri_mat] == emissive_type
     lv0, lv1, lv2 = v0[sel], v1[sel], v2[sel]
     lemit = emits[sel]
 
@@ -56,6 +65,29 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
         lv0[keep], e1[keep], e2[keep], n[keep], norm[keep], area[keep],
         lemit[keep],
     )
+    normal = (n / np.maximum(norm[:, None], 1e-20)).astype(np.float32)
+    kind = np.zeros(lv0.shape[0], np.int32)
+
+    if sph_center is not None and len(sph_center):
+        sc = np.asarray(sph_center, np.float32)
+        sr = np.asarray(sph_radius, np.float32)
+        sm = np.asarray(sph_mat)
+        ssel = (types[sm] == emissive_type) & (sr > 1e-12)
+        if ssel.any():
+            k = int(ssel.sum())
+            lv0 = np.concatenate([lv0, sc[ssel]])
+            se1 = np.zeros((k, 3), np.float32)
+            se1[:, 0] = sr[ssel]
+            e1 = np.concatenate([e1, se1])
+            e2 = np.concatenate([e2, np.zeros((k, 3), np.float32)])
+            normal = np.concatenate([normal, np.zeros((k, 3), np.float32)])
+            lemit = np.concatenate(
+                [lemit, np.asarray(mat_emit, np.float32)[sm[ssel]]]
+            )
+            area = np.concatenate(
+                [area, 4.0 * np.pi * sr[ssel] * sr[ssel]]
+            )
+            kind = np.concatenate([kind, np.ones(k, np.int32)])
 
     if lv0.shape[0] == 0:
         zero3 = np.zeros((1, 3), np.float32)
@@ -63,6 +95,7 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
             v0=jnp.asarray(zero3), e1=jnp.asarray(zero3),
             e2=jnp.asarray(zero3), normal=jnp.asarray(zero3),
             emit=jnp.asarray(zero3),
+            kind=jnp.zeros(1, jnp.int32),
             cum=jnp.ones(1, jnp.float32),
             total_area=jnp.float32(0.0),
         )
@@ -71,8 +104,9 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
     cum = np.cumsum(area) / total
     return LightTable(
         v0=jnp.asarray(lv0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
-        normal=jnp.asarray((n / norm[:, None]).astype(np.float32)),
+        normal=jnp.asarray(normal),
         emit=jnp.asarray(lemit),
+        kind=jnp.asarray(kind),
         cum=jnp.asarray(cum.astype(np.float32)),
         total_area=jnp.float32(total),
     )
@@ -108,9 +142,23 @@ def sample(lights: LightTable, u):
     e2 = select(lights.e2)
     normal = select(lights.normal)
     emit = select(lights.emit)
+    is_sph = jnp.sum(
+        jnp.where(onehot, lights.kind[None, :], 0), axis=1
+    ) == KIND_SPHERE
 
+    # Triangle: sqrt-warped uniform barycentrics.
     su = jnp.sqrt(jnp.maximum(u[:, 1:2], 1e-12))
     a = 1.0 - su
     b = su * u[:, 2:3]
-    point = v0 + a * e1 + b * e2
+    p_tri = v0 + a * e1 + b * e2
+
+    # Sphere: area-uniform surface point (v0 = center, e1.x = radius).
+    z = 1.0 - 2.0 * u[:, 1]
+    rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * u[:, 2]
+    dir_s = jnp.stack([rxy * jnp.cos(phi), rxy * jnp.sin(phi), z], axis=1)
+    p_sph = v0 + e1[:, 0:1] * dir_s
+
+    point = jnp.where(is_sph[:, None], p_sph, p_tri)
+    normal = jnp.where(is_sph[:, None], dir_s, normal)
     return point, normal, emit

@@ -28,11 +28,91 @@ TYPE_EMISSIVE = 3
 TYPE_CHECKER = 4   # procedural two-tone Lambertian: albedo = color1,
                    # the emit columns are reused as color2, param = the
                    # checker frequency (cells per world unit)
+TYPE_GGX = 5       # microfacet conductor: albedo = F0 (Schlick),
+                   # param = GGX roughness alpha. Unlike the RTiOW fuzz
+                   # metal it has a proper pdf, so glossy vertices are
+                   # NEE/MIS-eligible (the veach_mis workload).
+
+INV_PI = 0.3183098861837907
+GGX_MIN_ALPHA = 1e-3   # below this the lobe is numerically a mirror
 
 
 def is_diffuse_type(mat_type):
     """Types shaded as Lambertian (cosine lobe + NEE-eligible)."""
     return (mat_type == TYPE_LAMBERTIAN) | (mat_type == TYPE_CHECKER)
+
+
+def is_nee_type(mat_type):
+    """Types with a finite BSDF pdf — eligible for light sampling with
+    MIS (diffuse lobes + GGX; delta lobes are BSDF-sampling-only)."""
+    return is_diffuse_type(mat_type) | (mat_type == TYPE_GGX)
+
+
+def _ggx_d(alpha2, cos_h):
+    c2 = jnp.square(jnp.maximum(cos_h, 0.0))
+    denom = c2 * (alpha2 - 1.0) + 1.0
+    return alpha2 * INV_PI / jnp.maximum(denom * denom, 1e-12)
+
+
+def _smith_g1(alpha2, cos_x):
+    c = jnp.maximum(cos_x, 1e-6)
+    return 2.0 * c / (c + jnp.sqrt(alpha2 + (1.0 - alpha2) * c * c))
+
+
+def ggx_eval(f0, alpha, normal, view, light):
+    """Evaluate the GGX conductor BRDF for given directions.
+
+    f0: (...,3) Fresnel normal reflectance; alpha: (...,) roughness;
+    normal/view/light: (...,3) unit vectors, ``view`` pointing AWAY from
+    the surface toward the previous vertex, ``light`` toward the sample.
+    Returns (f (...,3), pdf (...,)) — both zero outside the upper
+    hemisphere. pdf is the half-vector NDF sampling density mapped to
+    solid angle: D(h) (n·h) / (4 (v·h)).
+    """
+    alpha = jnp.maximum(alpha, GGX_MIN_ALPHA)
+    alpha2 = alpha * alpha
+    cos_v = linalg.dot(normal, view)
+    cos_l = linalg.dot(normal, light)
+    h = linalg.normalize(view + light)
+    cos_h = linalg.dot(normal, h)
+    vh = linalg.dot(view, h)
+    d = _ggx_d(alpha2, cos_h)
+    g = _smith_g1(alpha2, cos_v) * _smith_g1(alpha2, cos_l)
+    fres = f0 + (1.0 - f0) * jnp.power(
+        jnp.clip(1.0 - vh, 0.0, 1.0), 5.0
+    )[..., None]
+    ok = (cos_v > 1e-6) & (cos_l > 1e-6) & (vh > 1e-6)
+    f = fres * (d * g / jnp.maximum(4.0 * cos_v * cos_l, 1e-12))[..., None]
+    pdf = d * jnp.maximum(cos_h, 0.0) / jnp.maximum(4.0 * vh, 1e-12)
+    return (
+        jnp.where(ok[..., None], f, 0.0),
+        jnp.where(ok, pdf, 0.0),
+    )
+
+
+def ggx_sample(alpha, normal, d_in, u1, u2):
+    """Sample a GGX half-vector (NDF sampling) and reflect.
+
+    Returns (d_out (...,3), cos_h (...,), vh (...,)) — callers compute
+    the throughput weight F * G2 * (v·h) / ((n·v)(n·h)) (Walter 2007
+    eq. 41) and the pdf via ``ggx_eval``.
+    """
+    alpha = jnp.maximum(alpha, GGX_MIN_ALPHA)
+    # tan^2(theta_h) = alpha^2 u / (1 - u)
+    u1 = jnp.clip(u1, 0.0, 1.0 - 1e-6)
+    cos_h = 1.0 / jnp.sqrt(1.0 + alpha * alpha * u1 / (1.0 - u1))
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    phi = 2.0 * jnp.pi * u2
+    tx, ty = linalg.orthonormal_basis(normal)
+    h = (
+        (sin_h * jnp.cos(phi))[..., None] * tx
+        + (sin_h * jnp.sin(phi))[..., None] * ty
+        + cos_h[..., None] * normal
+    )
+    d_out = linalg.normalize(
+        d_in - 2.0 * linalg.dot(d_in, h)[..., None] * h
+    )
+    return d_out, cos_h, linalg.dot(-d_in, h)
 
 
 def effective_albedo(mat_type, albedo, param, emit, position):
@@ -68,17 +148,40 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u):
         the incident direction.
       d_in: (..., 3) unit incident direction (toward the surface).
       front_face: (...,) bool — ray hit the geometric front side.
-      u: (..., 5) uniforms in [0,1): 2 diffuse, 3 metal-fuzz / dielectric.
+      u: (..., 5) uniforms in [0,1): 2 diffuse/GGX, 3 metal-fuzz /
+        dielectric.
 
     Returns:
-      (d_out, attenuation, scattered, emitted):
+      (d_out, attenuation, scattered, pdf):
         d_out (..., 3) unit outgoing direction,
-        attenuation (..., 3) throughput multiplier,
+        attenuation (..., 3) throughput multiplier (f·cos/pdf),
         scattered (...,) bool — path continues,
-        emitted (..., 3) radiance added at this vertex.
+        pdf (...,) solid-angle density of d_out under the lobe's
+          sampler (0 for delta lobes: mirror/fuzz metal, dielectric) —
+          feeds the MIS power-heuristic weight at emissive hits.
     """
     # --- Lambertian: cosine-weighted hemisphere (pdf cancels the cosine).
     d_diffuse = sampling.cosine_hemisphere(normal, u[..., 0], u[..., 1])
+    pdf_diffuse = jnp.maximum(linalg.dot(normal, d_diffuse), 1e-6) * INV_PI
+
+    # --- GGX conductor: NDF-sampled half vector, reflect; weight =
+    # F G2 (v·h) / ((n·v)(n·h)) (Walter 2007 eq. 41).
+    view = -d_in
+    alpha = jnp.maximum(param, GGX_MIN_ALPHA)
+    alpha2 = alpha * alpha
+    d_ggx, cos_h, vh = ggx_sample(alpha, normal, d_in, u[..., 0], u[..., 1])
+    cos_v = linalg.dot(normal, view)
+    cos_lg = linalg.dot(normal, d_ggx)
+    ggx_ok = (cos_lg > 1e-6) & (cos_v > 1e-6) & (vh > 1e-6)
+    fres_g = albedo + (1.0 - albedo) * jnp.power(
+        jnp.clip(1.0 - vh, 0.0, 1.0), 5.0
+    )[..., None]
+    g2 = _smith_g1(alpha2, cos_v) * _smith_g1(alpha2, cos_lg)
+    w_ggx = fres_g * (
+        g2 * vh / jnp.maximum(cos_v * jnp.maximum(cos_h, 1e-6), 1e-9)
+    )[..., None]
+    pdf_ggx = _ggx_d(alpha2, cos_h) * jnp.maximum(cos_h, 0.0) \
+        / jnp.maximum(4.0 * vh, 1e-9)
 
     # --- Metal: mirror + fuzz * point-in-ball, rejected if driven below
     # the horizon (standard RTiOW-style lobe).
@@ -107,24 +210,28 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u):
     is_diffuse = is_diffuse_type(mat_type)
     is_metal = mat_type == TYPE_METAL
     is_dielectric = mat_type == TYPE_DIELECTRIC
+    is_ggx = mat_type == TYPE_GGX
 
     d_out = jnp.where(
         is_diffuse[..., None],
         d_diffuse,
-        jnp.where(is_metal[..., None], d_metal, d_dielectric),
+        jnp.where(
+            is_metal[..., None],
+            d_metal,
+            jnp.where(is_ggx[..., None], d_ggx, d_dielectric),
+        ),
     )
-    attenuation = jnp.where(
-        is_dielectric[..., None],
-        albedo,  # tint only — no cosine term for specular transmission
-        albedo,
-    )
+    attenuation = jnp.where(is_ggx[..., None], w_ggx, albedo)
     scattered = jnp.where(
         is_metal,
         metal_ok,
-        is_diffuse | is_dielectric,  # emissive terminates the path
+        jnp.where(is_ggx, ggx_ok,
+                  is_diffuse | is_dielectric),  # emissive terminates
     )
-    emitted = emit
-    return d_out, attenuation, scattered, emitted
+    pdf = jnp.where(
+        is_diffuse, pdf_diffuse, jnp.where(is_ggx, pdf_ggx, 0.0)
+    )
+    return d_out, attenuation, scattered, pdf
 
 
 def gather(mat_table, mat_id):

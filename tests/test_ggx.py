@@ -1,0 +1,205 @@
+"""GGX microfacet BSDF + glossy NEE + sphere lights (round-2 additions).
+
+The MIS-critical invariant is sample/eval CONSISTENCY: the throughput
+weight used when BSDF-sampling must equal f·cos/pdf with the same f and
+pdf that NEE's MIS weighting uses — otherwise the two estimators
+disagree and the combined image is biased. These tests pin that, plus
+energy conservation and NEE-vs-brute-force agreement on glossy scenes
+and sphere emitters (VERDICT r1 items 5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracing_tpu.models import progressive, scenes
+from pathtracing_tpu.models.scene import SceneBuilder
+from pathtracing_tpu.ops import linalg, materials
+from pathtracing_tpu.ops.camera import CameraConfig, build_camera
+from pathtracing_tpu.utils.config import RenderConfig
+
+
+def render(scene, camera, nee, spp, seed, size=32, depth=5, bg="black"):
+    config = RenderConfig(
+        width=size, height=size, samples_per_pixel=spp, max_depth=depth,
+        samples_per_step=min(spp, 256), seed=seed, nee=nee, background=bg,
+    )
+    state = progressive.init_state(config)
+    while int(state.spp) < spp:
+        state = progressive.render_step(state, scene, camera, config)
+    return np.asarray(progressive.resolve(state))
+
+
+def test_ggx_sample_eval_consistent():
+    """weight(scatter) == f·cos/pdf (ggx_eval) for the sampled dirs."""
+    n = 4096
+    key = jax.random.key(0)
+    normal = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (n, 1))
+    # Incident directions from the upper hemisphere (toward surface).
+    d_in = jax.random.normal(key, (n, 3))
+    d_in = d_in / jnp.linalg.norm(d_in, axis=1, keepdims=True)
+    d_in = d_in.at[:, 1].set(-jnp.abs(d_in[:, 1]) - 0.05)
+    d_in = d_in / jnp.linalg.norm(d_in, axis=1, keepdims=True)
+    u = jax.random.uniform(jax.random.key(1), (n, 5))
+    f0 = jnp.tile(jnp.array([[0.9, 0.7, 0.5]]), (n, 1))
+    alpha = jnp.full(n, 0.2)
+
+    mtype = jnp.full(n, materials.TYPE_GGX, jnp.int32)
+    d_out, atten, scattered, pdf = materials.scatter(
+        mtype, f0, alpha, jnp.zeros((n, 3)), normal, d_in,
+        jnp.ones(n, bool), u,
+    )
+    f, pdf_e = materials.ggx_eval(f0, alpha, normal, -d_in, d_out)
+    ok = np.asarray(scattered)
+    cos_l = np.asarray(linalg.dot(normal, d_out))
+    w_ref = np.asarray(f) * cos_l[:, None] / np.asarray(pdf_e)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(atten)[ok], w_ref[ok], rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pdf)[ok], np.asarray(pdf_e)[ok], rtol=2e-3, atol=1e-6
+    )
+    assert ok.mean() > 0.8  # most samples land in the upper hemisphere
+
+
+@pytest.mark.parametrize("rough", [0.05, 0.3])
+def test_ggx_furnace_bounded(rough):
+    """A f0=1 GGX plane under a uniform white sky: single-scattering GGX
+    loses energy to masking (no multiple-scattering compensation) but
+    must never GAIN energy."""
+    b = SceneBuilder()
+    m = b.ggx((1.0, 1.0, 1.0), roughness=rough)
+    b.add_quad((-50, 0, -50), (100, 0, 0), (0, 0, 100), m)
+    scene = b.build()
+    cam = build_camera(
+        CameraConfig(position=(0, 3, 8), look_at=(0, 0, 0),
+                     vfov_degrees=50.0), 1.0,
+    )
+    img = render(scene, cam, nee=False, spp=256, seed=0, depth=3,
+                 bg="white")
+    # Lower rows of the image see the plane; its reflected radiance must
+    # average in (0.6, 1.005] of the unit environment (per-pixel MC
+    # noise puts individual pixels slightly above 1 at 256 spp).
+    plane = img[24:, :, :]
+    assert plane.mean() <= 1.005
+    assert plane.max() <= 1.10
+    assert plane.mean() > 0.6
+
+
+def test_glossy_nee_unbiased():
+    """NEE+MIS and brute-force BSDF sampling agree on veach_mis."""
+    scene, cam_cfg = scenes.veach_mis()
+    camera = build_camera(cam_cfg, 1.0)
+    img_nee = render(scene, camera, True, 256, seed=0, depth=3)
+    img_ref = render(scene, camera, False, 2048, seed=1, depth=3)
+    rel = abs(img_nee.mean() - img_ref.mean()) / img_ref.mean()
+    assert rel < 0.05, f"mean mismatch {rel:.3f}"
+
+
+def test_glossy_nee_reduces_variance_plate():
+    """The canonical glossy-NEE case — a rough GGX plate under a tiny
+    bright light — where BSDF sampling almost never finds the light.
+    Measured ratio ~0.003; assert an order of magnitude to be safe."""
+    b = SceneBuilder()
+    g = b.ggx((0.9, 0.9, 0.9), roughness=0.35)
+    b.add_quad((-4, 0, -4), (8, 0, 0), (0, 0, 8), g)
+    light = b.emissive((600.0, 600.0, 600.0))
+    b.add_quad((-0.15, 3.0, -0.15), (0.3, 0, 0), (0, 0, 0.3), light)
+    scene = b.build()
+    cam = build_camera(
+        CameraConfig(position=(0, 2, 6), look_at=(0, 0.5, 0),
+                     vfov_degrees=45.0), 1.0,
+    )
+    oracle = render(scene, cam, True, 1024, seed=9, depth=2)
+    rmse_nee = np.sqrt(
+        ((render(scene, cam, True, 16, 3, depth=2) - oracle) ** 2).mean()
+    )
+    rmse_brute = np.sqrt(
+        ((render(scene, cam, False, 16, 3, depth=2) - oracle) ** 2).mean()
+    )
+    assert rmse_nee < 0.1 * rmse_brute, (
+        f"glossy NEE {rmse_nee:.4f} vs brute {rmse_brute:.4f}"
+    )
+
+
+def test_glossy_nee_reduces_variance_veach():
+    """On veach_mis, MIS helps the rough strips; the near-mirror strips
+    rightly lean on BSDF sampling, so the win is regional: measure
+    tone-clamped RMSE below the light row (measured ratio ~0.71)."""
+    scene, cam_cfg = scenes.veach_mis()
+    camera = build_camera(cam_cfg, 1.0)
+
+    def clamped(nee, spp, seed):
+        return np.minimum(
+            render(scene, camera, nee, spp, seed, depth=3), 2.0
+        )
+
+    oracle = clamped(True, 1024, 9)
+    lo = 12  # rows below the directly-viewed lights
+    rmse_nee = np.sqrt(((clamped(True, 16, 3) - oracle)[lo:] ** 2).mean())
+    rmse_brute = np.sqrt(
+        ((clamped(False, 16, 3) - oracle)[lo:] ** 2).mean()
+    )
+    assert rmse_nee < 0.85 * rmse_brute, (
+        f"MIS {rmse_nee:.4f} not below brute {rmse_brute:.4f}"
+    )
+
+
+@pytest.fixture(scope="module")
+def sphere_light_scene():
+    b = SceneBuilder()
+    white = b.lambertian((0.73, 0.73, 0.73))
+    glow = b.emissive((12.0, 11.0, 9.0))
+    b.add_quad((-3, 0, -3), (6, 0, 0), (0, 0, 6), white)
+    b.add_quad((-3, 0, -3), (6, 0, 0), (0, 4, 0), white)
+    b.add_sphere((0.0, 2.2, 0.0), 0.4, glow)
+    b.add_sphere((-1.0, 0.5, 0.5), 0.5, white)
+    scene = b.build()
+    cam = build_camera(
+        CameraConfig(position=(0, 1.5, 5.5), look_at=(0, 1, 0),
+                     vfov_degrees=45.0), 1.0,
+    )
+    return scene, cam
+
+
+def test_sphere_light_in_table(sphere_light_scene):
+    scene, _ = sphere_light_scene
+    lt = scene.lights
+    kinds = np.asarray(lt.kind)
+    assert (kinds == 1).sum() == 1           # the emissive sphere
+    r = 0.4
+    np.testing.assert_allclose(
+        float(lt.total_area), 4 * np.pi * r * r, rtol=1e-5
+    )
+    # Sampled points lie on the sphere surface.
+    from pathtracing_tpu.ops import lights as lights_ops
+
+    u = jnp.asarray(np.random.RandomState(1).rand(2048, 3), jnp.float32)
+    p, n, emit = lights_ops.sample(lt, u)
+    d = np.linalg.norm(np.asarray(p) - np.array([0.0, 2.2, 0.0]), axis=1)
+    np.testing.assert_allclose(d, r, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(linalg.dot(n, n)), 1.0, atol=1e-5
+    )
+
+
+def test_sphere_light_nee_unbiased(sphere_light_scene):
+    """Sphere-light NEE converges to the BSDF-only estimate."""
+    scene, camera = sphere_light_scene
+    img_nee = render(scene, camera, True, 128, seed=0, depth=4)
+    img_ref = render(scene, camera, False, 1024, seed=1, depth=4)
+    rel = abs(img_nee.mean() - img_ref.mean()) / img_ref.mean()
+    assert rel < 0.05, f"mean mismatch {rel:.3f}"
+
+
+def test_sphere_light_nee_reduces_variance(sphere_light_scene):
+    scene, camera = sphere_light_scene
+    oracle = render(scene, camera, True, 512, seed=9, depth=4)
+    rmse_nee = np.sqrt(
+        ((render(scene, camera, True, 8, 3, depth=4) - oracle) ** 2).mean()
+    )
+    rmse_brute = np.sqrt(
+        ((render(scene, camera, False, 8, 3, depth=4) - oracle) ** 2).mean()
+    )
+    assert rmse_nee < 0.75 * rmse_brute
