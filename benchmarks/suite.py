@@ -163,8 +163,13 @@ def main() -> int:
     st = step(st, scene5, cam)
     sync(st.accum)
     dt = time.perf_counter() - t0
+    # Honest segment count for the same config on one device (the sharded
+    # step follows identical paths; segments are engine-independent).
+    from pathtracing_tpu.models import wavefront as wf
+
+    segs5 = int(wf.count_segments(scene5, cam, cfg5, cfg5.seed))
     report("5-multichip", f"{n_dev}-device tile mesh {res}x{res}",
-           res * res * 4 * 3.0 / dt / 1e6, dt)
+           segs5 / dt / 1e6, dt)
 
     # ---- Emit the table ------------------------------------------------
     out = os.path.join(REPO, "benchmarks", "RESULTS.md")

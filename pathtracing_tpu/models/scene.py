@@ -47,6 +47,11 @@ class Scene(NamedTuple):
     # Area-light table for next-event estimation (ops.lights); total_area
     # 0 disables NEE for the scene.
     lights: lights.LightTable = None
+    # HBM page tables (ops.clusters.PageSet) for scenes whose Woop data
+    # exceeds the whole-in-VMEM budget; None for small scenes. When set,
+    # clusters are renumbered page-contiguously and the Pallas traversal
+    # streams pages (cluster_trace.trace_pallas_paged).
+    pages: cluster_ops.PageSet = None
 
     @property
     def material_table(self):
@@ -88,6 +93,12 @@ class SceneBuilder:
     def metal(self, albedo, fuzz=0.0) -> int:
         return self.add_material(materials.TYPE_METAL, albedo, fuzz)
 
+    def ggx(self, f0, roughness=0.1) -> int:
+        """Microfacet conductor: f0 = Fresnel normal reflectance,
+        roughness = GGX alpha. Unlike ``metal`` it has a real pdf, so
+        glossy vertices participate in NEE/MIS."""
+        return self.add_material(materials.TYPE_GGX, f0, roughness)
+
     def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0)) -> int:
         return self.add_material(materials.TYPE_DIELECTRIC, tint, ior)
 
@@ -127,7 +138,11 @@ class SceneBuilder:
             self._tri.append((tuple(v0), tuple(v1), tuple(v2), int(mat_id)))
 
     # -- finalize ----------------------------------------------------------
-    def build(self) -> Scene:
+    def build(self, page_clusters: int = 0) -> Scene:
+        """Build device arrays. ``page_clusters`` forces HBM paging with
+        that page size (testing); by default paging kicks in when the
+        Woop tensors exceed the whole-in-VMEM budget (~64 MB) or the
+        cluster tree exceeds the flat kernel's SMEM/cand_box ceiling."""
         if not self._mat:
             self.lambertian((0.5, 0.5, 0.5))
 
@@ -151,6 +166,13 @@ class SceneBuilder:
 
         (node_min, node_max, node_meta), perm = bvh_ops.build_bvh(v0, e1, e2)
         cl, _ = cluster_ops.build_clusters(v0, e1, e2, tri_mat)
+        pages = None
+        woop_mb = cl.woop.size * 4 / 1e6
+        if page_clusters or woop_mb > 64.0 or (
+                cl.node_meta.shape[1] > cluster_ops.CAND_MAX_NODES):
+            cl, pages, _ = cluster_ops.build_pages(
+                cl, page_clusters or cluster_ops.PAGE_CLUSTERS
+            )
         v0, e1, e2, tri_mat = v0[perm], e1[perm], e2[perm], tri_mat[perm]
 
         mat_type = np.array([m[0] for m in self._mat], np.int32)
@@ -175,9 +197,13 @@ class SceneBuilder:
             mat_param=jnp.asarray(mat_param),
             mat_emit=jnp.asarray(mat_emit),
             clusters=jax.tree.map(jnp.asarray, cl),
+            pages=(jax.tree.map(jnp.asarray, pages)
+                   if pages is not None else None),
             lights=lights.build_light_table(
                 v0, v0 + e1, v0 + e2, tri_mat, mat_type, mat_emit,
                 materials.TYPE_EMISSIVE,
+                sph_center=sph_center, sph_radius=sph_radius,
+                sph_mat=sph_mat,
             ),
         )
 
@@ -237,6 +263,66 @@ def intersect_scene(scene: Scene, origin, direction) -> Hit:
 
 
 intersect_scene_batch = jax.vmap(intersect_scene, in_axes=(None, 0, 0))
+
+
+def occluded_batch(scene: Scene, origin, direction, t_max,
+                   traversal: str = "bvh", active=None,
+                   bin_rays: bool = False):
+    """Any-hit occlusion for a (R,3) ray batch: True where ANY primitive
+    lies strictly inside (T_MIN, t_max). The shadow-ray fast path — a
+    yes/no answer needs no closest-hit ordering, no normals, no material
+    ids, and lets the Pallas kernel short-circuit lanes on first hit
+    (``cluster_trace.occluded_pallas``). Equivalent by construction to
+    ``intersect_batch(...).t < t_max`` (tests pin this).
+    """
+    ts = intersect.ray_sphere(
+        origin[:, None, :], direction[:, None, :],
+        scene.sph_center[None, :, :], scene.sph_radius[None, :],
+    )
+    occ_sph = jnp.min(ts, axis=1) < t_max
+    if active is not None:
+        occ_sph = occ_sph & active
+
+    cap = t_max
+    if active is not None:
+        cap = jnp.where(active, cap, 0.0)
+
+    if traversal == "bvh" or scene.clusters is None:
+        hit = intersect_scene_batch(scene, origin, direction)
+        occ = hit.valid & (hit.t < t_max)
+        return (occ & active) if active is not None else occ
+
+    perm = inv = None
+    if bin_rays and traversal != "cluster_jax":
+        from pathtracing_tpu.ops import binning
+
+        lo = jnp.min(scene.clusters.aabb_min, axis=0)
+        hi = jnp.max(scene.clusters.aabb_max, axis=0)
+        bins = binning.ray_bin(origin, direction, lo, hi, cap > 0.0)
+        perm, inv = binning.binning_perm(bins, binning.N_BINS)
+        origin, direction, cap = origin[perm], direction[perm], cap[perm]
+
+    if traversal == "cluster_jax":
+        _, slot, _, _ = cluster_trace.trace_jax(
+            scene.clusters, origin, direction, cap
+        )
+        occ_tri = slot >= 0
+    elif scene.pages is not None:
+        # Paged scenes reuse the closest-hit page streamer (a dedicated
+        # paged any-hit kernel would only save the epilogue).
+        _, slot, _, _ = cluster_trace.trace_pallas_paged(
+            scene.clusters, scene.pages, origin, direction, cap,
+            interpret=(traversal == "cluster_interpret"),
+        )
+        occ_tri = slot >= 0
+    else:
+        occ_tri = cluster_trace.occluded_pallas(
+            scene.clusters, origin, direction, cap,
+            interpret=(traversal == "cluster_interpret"),
+        )
+    if inv is not None:
+        occ_tri = occ_tri[inv]
+    return occ_sph | occ_tri
 
 
 def intersect_batch(scene: Scene, origin, direction,
@@ -301,11 +387,24 @@ def intersect_batch(scene: Scene, origin, direction,
         )
     elif traversal in ("cluster_pallas", "cluster_pallas_bf16",
                        "cluster_interpret"):
-        tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas(
-            scene.clusters, origin_t, direction_t, t_init_t,
-            interpret=(traversal == "cluster_interpret"),
-            bf16=(traversal == "cluster_pallas_bf16"),
-        )
+        if scene.pages is not None:
+            # HBM-resident scene: stream Woop pages through VMEM.
+            tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas_paged(
+                scene.clusters, scene.pages, origin_t, direction_t,
+                t_init_t,
+                interpret=(traversal == "cluster_interpret"),
+                bf16=(traversal == "cluster_pallas_bf16"),
+            )
+        else:
+            # Production path: octant-ordered 4-step lookahead kernel
+            # (falls back to the plain ordered walk past the cand_box
+            # ceiling — see cluster_trace.trace_pallas).
+            tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas(
+                scene.clusters, origin_t, direction_t, t_init_t,
+                interpret=(traversal == "cluster_interpret"),
+                bf16=(traversal == "cluster_pallas_bf16"),
+                lookahead=4, drain=1,
+            )
     else:
         raise ValueError(f"unknown traversal mode: {traversal!r}")
 

@@ -75,6 +75,12 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             )
         elif mtype == "emissive":
             mat_ids[name] = b.emissive(m["radiance"])
+        elif mtype == "ggx":
+            mat_ids[name] = b.ggx(m["albedo"], m.get("roughness", 0.1))
+        elif mtype == "checker":
+            mat_ids[name] = b.checker(
+                m["color1"], m["color2"], m.get("frequency", 3.0)
+            )
         else:
             raise ValueError(f"unknown material type {mtype!r} ({name})")
 

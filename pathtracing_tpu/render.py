@@ -167,6 +167,14 @@ def main(argv=None) -> int:
         step_fn = progressive.render_step
 
     if args.tiles:
+        if args.engine == "wavefront":
+            # The tiled path renders bands through the megakernel only;
+            # silently "benchmarking wavefront + tiles" would measure the
+            # wrong engine (ADVICE r1).
+            ptlog.log_warning(
+                "--tiles always renders via the megakernel engine; "
+                "--engine wavefront is ignored for tiled renders"
+            )
         return _tiled_main(args, config, scene, camera)
 
     state = progressive.init_state(config)
