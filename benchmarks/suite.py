@@ -79,14 +79,28 @@ def main() -> int:
 
     scale = 4 if quick else 1
     rows = []
+    failures = []
 
-    def report(name, desc, mrays, seconds, rmse_val=None):
+    def report(name, desc, mrays, seconds, rmse_val=None, gate=None):
+        """``gate`` = (threshold, kind): the suite FAILS (exit 1) when
+        rmse_val exceeds it — the per-config quality gate that catches
+        silent rendering regressions (VERDICT r1 item 4)."""
+        status = None
+        if gate is not None and rmse_val is not None:
+            threshold, kind = gate
+            status = "pass" if rmse_val <= threshold else "FAIL"
+            if status == "FAIL":
+                failures.append(
+                    f"{name}: {kind} RMSE {rmse_val:.5f} > {threshold}"
+                )
         row = {
             "config": name, "description": desc,
             "mrays_per_s": round(mrays, 3),
             "seconds": round(seconds, 2),
             "rmse_vs_converged": (round(rmse_val, 5)
                                   if rmse_val is not None else None),
+            "gate": (f"{status} (<= {gate[0]}, {gate[1]})"
+                     if status else None),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -103,8 +117,13 @@ def main() -> int:
                            max_depth=5,
                            samples_per_step=32 if quick else 64, seed=1)
     ref_img, _, _ = run_progressive(scene, camera, ref_cfg)
+    # Threshold = ~1.5x the healthy MC noise floor at 4 spp (measured
+    # 0.23 full / 0.40 quick, where the 64-spp quick reference is itself
+    # noisy); a broken estimator (bias, black regions, NaNs) lands far
+    # above either.
     report("1-cornell-sphere", f"{res}x{res} 4spp Lambertian+NEE",
-           segs / dt / 1e6, dt, rmse(img, ref_img))
+           segs / dt / 1e6, dt, rmse(img, ref_img),
+           gate=(0.55 if quick else 0.40, "vs converged"))
 
     # ---- Config 2: full BSDF set, 512x512 progressive ------------------
     res = 512 // scale
@@ -118,7 +137,8 @@ def main() -> int:
                            max_depth=6, samples_per_step=32, seed=1)
     ref_img, _, _ = run_progressive(scene, camera, ref_cfg)
     report("2-cornell-bsdf", f"{res}x{res} 16spp diffuse+metal+glass",
-           segs * (16 // 4) / dt / 1e6, dt, rmse(img, ref_img))
+           segs * (16 // 4) / dt / 1e6, dt, rmse(img, ref_img),
+           gate=(0.40 if quick else 0.30, "vs converged"))
 
     # ---- Config 3: triangle mesh + BVH/clusters ------------------------
     scene, cam_cfg = scenes.cornell_mesh(4 if quick else 6)
@@ -128,8 +148,20 @@ def main() -> int:
                        max_depth=6, samples_per_step=1, seed=0)
     _, dt, segs = run_progressive(scene, camera, cfg)
     ntri = int(scene.tri_v0.shape[0])
+    # Oracle gate: the production Pallas traversal vs the dense-sweep
+    # oracle at matched (seed, spp) — not an MC-noise comparison but a
+    # near-bitwise kernel-correctness check (64x64x16 spp probe; TPU
+    # differences come only from fp summation order, ~1e-4).
+    probe = RenderConfig(width=64, height=64, samples_per_pixel=16,
+                         max_depth=4, samples_per_step=16, seed=0)
+    import dataclasses
+
+    img_k, _, _ = run_progressive(scene, camera, probe)
+    probe_j = dataclasses.replace(probe, traversal="cluster_jax")
+    img_j, _, _ = run_progressive(scene, camera, probe_j)
     report("3-cornell-mesh", f"{res}x{res} 4spp {ntri}-tri mesh",
-           segs * 4 / dt / 1e6, dt)
+           segs * 4 / dt / 1e6, dt, rmse(img_k, img_j),
+           gate=(2e-3, "kernel vs oracle, matched seed"))
 
     # ---- Config 4: wavefront, 1080p, RR at depth 8 (headline) ----------
     w, h = (480, 270) if quick else (1920, 1080)
@@ -137,9 +169,27 @@ def main() -> int:
                        max_depth=8, samples_per_step=1, seed=0,
                        engine="wavefront")
     camera = build_camera(cam_cfg, w / h)
-    _, dt, segs = run_progressive(scene, camera, cfg, engine="wavefront")
+    img4, dt, segs = run_progressive(scene, camera, cfg,
+                                     engine="wavefront")
+    # Regression gate: fixed-seed render vs a cached copy of itself.
+    # Determinism makes any drift a code change; small drift (slot
+    # tie-breaking across kernel rewrites) is legitimate, large drift is
+    # a regression. SUITE_REBASE=1 refreshes the cache intentionally.
+    import numpy as _np
+
+    cache = os.path.join(REPO, "benchmarks",
+                         f"ref4_{w}x{h}_{jax.default_backend()}.npz")
+    rmse4 = None
+    gate4 = None
+    if os.path.exists(cache) and os.environ.get("SUITE_REBASE") != "1":
+        ref4 = _np.load(cache)["img"]
+        rmse4 = rmse(img4, ref4)
+        gate4 = (5e-3, "vs cached fixed-seed reference")
+    else:
+        _np.savez_compressed(cache, img=img4)
+        print(f"recorded fixed-seed reference {cache}", flush=True)
     report("4-wavefront-1080p", f"{w}x{h} wavefront depth8 {ntri}-tri",
-           segs * 2 / dt / 1e6, dt)
+           segs * 2 / dt / 1e6, dt, rmse4, gate=gate4)
 
     # ---- Config 5: multi-chip tile mesh --------------------------------
     import jax as _jax
@@ -171,21 +221,59 @@ def main() -> int:
     report("5-multichip", f"{n_dev}-device tile mesh {res}x{res}",
            segs5 / dt / 1e6, dt)
 
+    # ---- Config 5b: virtual-mesh scaling probe (subprocess) ------------
+    # Runs on 8 virtual CPU devices regardless of this process's backend
+    # (a fresh process owns its own JAX platform); catches sharding
+    # pathologies — see benchmarks/scaling_probe.py for interpretation.
+    import subprocess
+
+    probe_env = {
+        **os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    }
+    pr = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks",
+                                      "scaling_probe.py")],
+        env=probe_env, capture_output=True, text=True, timeout=1200,
+    )
+    probe_line = (pr.stdout.strip().splitlines() or ["{}"])[-1]
+    print(probe_line, flush=True)
+    scaling = json.loads(probe_line) if probe_line.startswith("{") else {}
+    if pr.returncode != 0:
+        failures.append(f"5b-scaling-probe: {pr.stderr.strip()[-200:]}")
+    rows.append({
+        "config": "5b-scaling-probe",
+        "description": (
+            f"8 virtual CPU devices, sample-sharded; parallel "
+            f"efficiency {scaling.get('parallel_efficiency')} "
+            "(virtual CPU devices serialize — the probe only flags "
+            "pathological <0.5/N efficiency)"
+        ),
+        "mrays_per_s": None, "seconds": scaling.get("sec_ndev"),
+        "rmse_vs_converged": None,
+        "gate": "pass" if pr.returncode == 0 else "FAIL",
+    })
+
     # ---- Emit the table ------------------------------------------------
     out = os.path.join(REPO, "benchmarks", "RESULTS.md")
     with open(out, "w") as f:
         f.write("# Benchmark suite results\n\n")
         f.write(f"Backend: {_jax.default_backend()}, "
                 f"{n_dev} device(s)\n\n")
-        f.write("| config | description | Mrays/s | seconds | RMSE |\n")
-        f.write("|---|---|---|---|---|\n")
+        f.write("| config | description | Mrays/s | seconds | RMSE "
+                "| gate |\n")
+        f.write("|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(
                 f"| {r['config']} | {r['description']} | "
                 f"{r['mrays_per_s']} | {r['seconds']} | "
-                f"{r['rmse_vs_converged']} |\n"
+                f"{r['rmse_vs_converged']} | {r.get('gate')} |\n"
             )
     print(f"wrote {out}", flush=True)
+    if failures:
+        for f_ in failures:
+            print(f"QUALITY GATE FAILED: {f_}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -52,8 +52,25 @@ def mesh_from_config(cfg) -> Mesh:
 
 def multihost_init() -> None:
     """Initialize multi-host JAX (DCN) when launched under a cluster
-    runtime. Safe no-op in single-process runs."""
+    runtime. Safe no-op in single-process runs.
+
+    Must run before any JAX computation. Reads the standard trio of env
+    vars; under managed launchers (SLURM/GKE) that set their own
+    cluster env, ``jax.distributed.initialize()``'s auto-detection
+    kicks in instead. Exercised end-to-end by tests/test_multihost.py
+    (two localhost CPU processes assembling one global mesh)."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if n is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(n),
+            process_id=int(pid),
+        )
+    else:
         jax.distributed.initialize()

@@ -197,10 +197,25 @@ def main(argv=None) -> int:
     n_steps = -(-config.samples_per_pixel // config.samples_per_step)
     start_spp = int(state.spp)
     step = start_spp // config.samples_per_step
+    # Async present (SURVEY §2.1 P2/P3, the reference's frames-in-flight
+    # scaffolding `Renderer.cs:1218-1233`): snapshots are cheap on-device
+    # copies taken after a step; the tunnel fetch + PNG encode happen
+    # inside the NEXT step's device window, so a snapshot step costs
+    # ~the same wall-clock as a snapshot-free one.
+    pending = None  # (device image, spp, write_png?)
     try:
         while int(state.spp) < config.samples_per_pixel:
             with metrics.Timer() as t:
                 state = step_fn(state, scene, camera, config)
+                if pending is not None:
+                    img, psnap_spp, do_png = pending
+                    img = np.asarray(img)  # rides the tunnel while the
+                    #                        device runs the new step
+                    if do_png:
+                        image.write_png(args.out, img)
+                    if preview is not None:
+                        preview.update(img, psnap_spp)
+                    pending = None
                 # A tiny fetch forces completion; block_until_ready is a
                 # no-op on tunneled platforms (PERF.md methodology notes).
                 np.asarray(state.accum[0, 0])
@@ -218,10 +233,16 @@ def main(argv=None) -> int:
             ))
             if args.checkpoint and step % args.checkpoint_every == 0:
                 ckpt.save(args.checkpoint, state, config)
-            if args.snapshot_every and step % args.snapshot_every == 0:
-                image.write_png(args.out, progressive.resolve(state))
-            if preview is not None:
-                preview.update(progressive.resolve(state), int(state.spp))
+            do_png = bool(args.snapshot_every
+                          and step % args.snapshot_every == 0)
+            if do_png or preview is not None:
+                # Device-side copy only — deferred to the next iteration
+                # (the copy must happen before step_fn donates state).
+                pending = (progressive.resolve(state), int(state.spp),
+                           do_png)
+        if pending is not None and pending[2]:
+            image.write_png(args.out, np.asarray(pending[0]))
+            pending = None
     except KeyboardInterrupt:
         ptlog.log_warning("interrupted at %d spp", int(state.spp))
     finally:

@@ -69,3 +69,40 @@ def test_json_scene_render(tmp_path, extra):
                 "--max-depth", "2", "--out", out, *extra)
     assert r.returncode == 0, r.stderr
     assert os.path.getsize(out) > 100
+
+
+def test_preview_flag_headless(tmp_path):
+    """--preview with the Agg backend: the preview object must update
+    per step without a display (VERDICT r1 item 9 — the last untested
+    CLI flag). MPLBACKEND=Agg makes plt.ion() a no-op-safe headless
+    canvas."""
+    out = str(tmp_path / "p.png")
+    r = subprocess.run(
+        [sys.executable, "-m", "pathtracing_tpu.render",
+         "--scene", "cornell_sphere", "--width", "24", "--height", "24",
+         "--spp", "4", "--spp-per-step", "2", "--max-depth", "2",
+         "--preview", "--out", out],
+        cwd=REPO, env={**ENV, "MPLBACKEND": "Agg"},
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    assert "preview disabled" not in r.stderr + r.stdout
+
+
+def test_preview_object_updates():
+    """Unit-level: _Preview.update draws every frame (Agg backend)."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from pathtracing_tpu.render import _Preview
+
+    p = _Preview()
+    assert p._plt is not None
+    img = np.random.rand(8, 8, 3).astype(np.float32)
+    p.update(img, 1)
+    first = p._im
+    assert first is not None
+    p.update(img * 0.5, 2)
+    assert p._im is first  # reuses the image artist
+    assert p._ax.get_title() == "2 spp"
