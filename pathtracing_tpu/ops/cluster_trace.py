@@ -363,7 +363,9 @@ def _tile_kernel_la(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
         # pl.when branch for an occasional duplicate eval (closest-hit
         # updates are idempotent; leafq[0] is pre-initialized so an
         # empty queue reads a valid id).
-        if drain_always:
+        if drain == 0:
+            pass  # timing mode: pure walk, NO leaf evals (wrong results)
+        elif drain_always:
             for j in range(drain):
                 eval_cluster(
                     leafq_ref[jnp.minimum(head + j, jnp.maximum(tail - 1, 0))]
@@ -378,7 +380,7 @@ def _tile_kernel_la(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
                         ]
                     )
 
-        head = jnp.minimum(head + drain, tail)
+        head = jnp.minimum(head + max(drain, 1), tail)
 
         # ONE dynamic VMEM load fetches the precomputed candidate-heap
         # AABB block for this (octant, node): every node reachable in
@@ -846,10 +848,13 @@ def _tile_kernel_paged(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
 
     @pl.when(page > 0)
     def _():
-        t_ref[:] = ts_ref[sl]
-        slot_ref[:] = slots_ref[sl]
-        normal_ref[:] = norms_ref[sl]
-        hitmat_ref[:] = hmats_ref[sl]
+        # State scratch is stored TRANSPOSED, (rows, r_pad): an
+        # (r_pad, k<128) VMEM array lane-pads to x128 (measured 32 MB
+        # per state column at a 64k-ray pool — 4x over the whole VMEM).
+        t_ref[:] = ts_ref[0:1, sl].reshape(tile, 1)
+        slot_ref[:] = slots_ref[0:1, sl].reshape(tile, 1)
+        normal_ref[:] = norms_ref[:, sl].T.reshape(tile, 4)
+        hitmat_ref[:] = hmats_ref[0:1, sl].reshape(tile, 1)
 
     o_aug = o_ref[:]
     d_aug = d_ref[:]
@@ -966,10 +971,10 @@ def _tile_kernel_paged(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
         cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     )
 
-    ts_ref[sl] = t_ref[:]
-    slots_ref[sl] = slot_ref[:]
-    norms_ref[sl] = normal_ref[:]
-    hmats_ref[sl] = hitmat_ref[:]
+    ts_ref[0:1, sl] = t_ref[:].reshape(1, tile)
+    slots_ref[0:1, sl] = slot_ref[:].reshape(1, tile)
+    norms_ref[:, sl] = normal_ref[:].T.reshape(4, tile)
+    hmats_ref[0:1, sl] = hitmat_ref[:].reshape(1, tile)
 
 
 @functools.partial(jax.jit,
@@ -1071,10 +1076,11 @@ def trace_pallas_paged(clusters, pages, origin, direction, t_init,
         ),
         scratch_shapes=[
             pltpu.SMEM((leafq_cap,), jnp.int32),
-            pltpu.VMEM((r_pad, 1), jnp.float32),   # best-t carry
-            pltpu.VMEM((r_pad, 1), jnp.int32),     # slot carry
-            pltpu.VMEM((r_pad, 4), jnp.float32),   # normal carry
-            pltpu.VMEM((r_pad, 1), jnp.int32),     # mat carry
+            # Transposed (rows, r_pad) so the minor dim is lane-dense.
+            pltpu.VMEM((1, r_pad), jnp.float32),   # best-t carry
+            pltpu.VMEM((1, r_pad), jnp.int32),     # slot carry
+            pltpu.VMEM((4, r_pad), jnp.float32),   # normal carry
+            pltpu.VMEM((1, r_pad), jnp.int32),     # mat carry
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
