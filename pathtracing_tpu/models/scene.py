@@ -79,6 +79,7 @@ class SceneBuilder:
     def __init__(self) -> None:
         self._sph = []          # (center, radius, mat)
         self._tri = []          # (v0, v1, v2, mat)
+        self._tri_chunks = []   # (v0 (k,3), v1, v2, mat (k,)) arrays
         self._mat = []          # (type, albedo, param, emit)
 
     # -- materials ---------------------------------------------------------
@@ -130,12 +131,16 @@ class SceneBuilder:
         self.add_triangle(c, c + u + v, c + v, mat_id)
 
     def add_mesh(self, vertices: np.ndarray, faces: np.ndarray, mat_id) -> None:
-        """Indexed triangle mesh: vertices (V,3) float, faces (F,3) int."""
+        """Indexed triangle mesh: vertices (V,3) float, faces (F,3) int.
+        Stored as one array chunk — per-triangle Python tuples measured
+        ~10 s of pure append/convert overhead at 2.6M triangles."""
         vertices = np.asarray(vertices, np.float64)
         faces = np.asarray(faces, np.int64)
         tri = vertices[faces]  # (F, 3, 3)
-        for v0, v1, v2 in tri:
-            self._tri.append((tuple(v0), tuple(v1), tuple(v2), int(mat_id)))
+        self._tri_chunks.append((
+            tri[:, 0], tri[:, 1], tri[:, 2],
+            np.full(tri.shape[0], int(mat_id), np.int32),
+        ))
 
     # -- finalize ----------------------------------------------------------
     def build(self, page_clusters: int = 0) -> Scene:
@@ -151,16 +156,27 @@ class SceneBuilder:
         sph = self._sph or []
         far = (3.0e38, 3.0e38, 3.0e38)
         sph = sph + [(far, 0.0, 0)] if not sph else sph
-        tri = self._tri or [((0.0, 0.0, 0.0),) * 3 + (0,)]
 
         sph_center = np.array([s[0] for s in sph], np.float32)
         sph_radius = np.array([s[1] for s in sph], np.float32)
         sph_mat = np.array([s[2] for s in sph], np.int32)
 
-        v0 = np.array([t[0] for t in tri], np.float32)
-        v1 = np.array([t[1] for t in tri], np.float32)
-        v2 = np.array([t[2] for t in tri], np.float32)
-        tri_mat = np.array([t[3] for t in tri], np.int32)
+        chunks = list(self._tri_chunks)
+        if self._tri:
+            t = self._tri
+            chunks.append((
+                np.array([x[0] for x in t], np.float64),
+                np.array([x[1] for x in t], np.float64),
+                np.array([x[2] for x in t], np.float64),
+                np.array([x[3] for x in t], np.int32),
+            ))
+        if not chunks:
+            z = np.zeros((1, 3), np.float64)
+            chunks = [(z, z, z, np.zeros(1, np.int32))]
+        v0 = np.concatenate([c[0] for c in chunks]).astype(np.float32)
+        v1 = np.concatenate([c[1] for c in chunks]).astype(np.float32)
+        v2 = np.concatenate([c[2] for c in chunks]).astype(np.float32)
+        tri_mat = np.concatenate([c[3] for c in chunks]).astype(np.int32)
         e1 = v1 - v0
         e2 = v2 - v0
 

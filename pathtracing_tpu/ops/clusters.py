@@ -464,44 +464,53 @@ def build_clusters(
     normal = np.zeros((c, 3, CLUSTER_SIZE), np.float32)
     mat = np.zeros((c, CLUSTER_SIZE), np.int32)
 
-    # Degenerate-pad defaults: M = 0, b = (-1, -1, 1) → u = -1, miss.
-    woop[:, 3, 0 * CLUSTER_SIZE: 1 * CLUSTER_SIZE] = -1.0
-    woop[:, 3, 1 * CLUSTER_SIZE: 2 * CLUSTER_SIZE] = -1.0
-    woop[:, 3, 2 * CLUSTER_SIZE: 3 * CLUSTER_SIZE] = 1.0
+    # Fully vectorized packing (a per-leaf Python loop measured ~7 s at
+    # 655k tris): every (cluster, lane) slot maps to a triangle index
+    # via starts + lane; invalid/degenerate slots keep the always-miss
+    # Woop pattern M = 0, b = (-1, -1, 1) → u = -1.
+    ksz = CLUSTER_SIZE
+    starts = leaves[:, 1].astype(np.int64)
+    counts = leaves[:, 2].astype(np.int64)
+    lane = np.arange(ksz)
+    valid = lane[None, :] < counts[:, None]          # (C, 128)
+    tri = np.minimum(starts[:, None] + lane[None, :], n - 1)
+    tv0 = v0p[tri].astype(np.float64)                # (C, 128, 3)
+    te1 = e1p[tri].astype(np.float64)
+    te2 = e2p[tri].astype(np.float64)
 
-    for ci, (_, start, count) in enumerate(leaves):
-        sl = slice(start, start + count)
-        tv0, te1, te2 = v0p[sl], e1p[sl], e2p[sl]
-        verts = np.stack([tv0, tv0 + te1, tv0 + te2], axis=1)
-        aabb_min[ci] = verts.min(axis=(0, 1))
-        aabb_max[ci] = verts.max(axis=(0, 1))
+    big = 3.0e38
+    verts = np.stack([tv0, tv0 + te1, tv0 + te2], axis=2)  # (C,128,3,3)
+    vmask = valid[:, :, None, None]
+    aabb_min[:] = np.where(vmask, verts, big).min(axis=(1, 2))
+    aabb_max[:] = np.where(vmask, verts, -big).max(axis=(1, 2))
 
-        n_geo = np.cross(te1, te2)
-        norm = np.linalg.norm(n_geo, axis=1, keepdims=True)
-        ok = norm[:, 0] > 1e-20
-        n_unit = np.where(ok[:, None], n_geo / np.maximum(norm, 1e-20), 0.0)
+    n_geo = np.cross(te1, te2)                       # (C, 128, 3)
+    norm = np.linalg.norm(n_geo, axis=-1, keepdims=True)
+    ok = norm[..., 0] > 1e-20
+    n_unit = np.where(ok[..., None], n_geo / np.maximum(norm, 1e-20), 0.0)
 
-        # M = [e1 | e2 | n]^-1 per triangle (n unnormalized keeps M finite
-        # for thin tris); b = -M v0.
-        basis = np.stack([te1, te2, n_geo], axis=-1)  # (k, 3, 3)
-        # Guard singular (degenerate) triangles: replace by identity and
-        # mark the slot as padding (b stays the always-miss default).
-        dets = np.linalg.det(basis)
-        sing = np.abs(dets) < 1e-30
-        basis[sing] = np.eye(3)
-        m = np.linalg.inv(basis).astype(np.float32)  # rows map p -> (u,v,w)
-        b = -np.einsum("kij,kj->ki", m, tv0.astype(np.float32))
-
-        k = count
-        dead = sing | ~ok
-        for comp in range(3):  # u, v, w rows of M
-            colsl = slice(comp * CLUSTER_SIZE, comp * CLUSTER_SIZE + k)
-            woop[ci, 0:3, colsl] = np.where(dead[None, :], 0.0, m[:, comp, :].T)
-            woop[ci, 3, colsl] = np.where(
-                dead, (-1.0, -1.0, 1.0)[comp], b[:, comp]
-            )
-        normal[ci, :, :k] = n_unit.T
-        mat[ci, :k] = np.where(dead, 0, matp[sl])
+    # M = [e1 | e2 | n]^-1 per triangle (n unnormalized keeps M finite
+    # for thin tris); b = -M v0. Singular/degenerate slots become
+    # padding (identity basis, always-miss b).
+    basis = np.stack([te1, te2, n_geo], axis=-1)     # (C, 128, 3, 3)
+    dets = np.linalg.det(basis)
+    dead = (np.abs(dets) < 1e-30) | ~ok | ~valid
+    basis[dead] = np.eye(3)
+    m = np.linalg.inv(basis).astype(np.float32)      # (C, 128, 3, 3)
+    b = -np.einsum("ckij,ckj->cki", m,
+                   tv0.astype(np.float32))           # (C, 128, 3)
+    miss_b = np.array([-1.0, -1.0, 1.0], np.float32)
+    for comp in range(3):  # u, v, w rows of M
+        colsl = slice(comp * ksz, (comp + 1) * ksz)
+        woop[:, 0:3, colsl] = np.where(
+            dead[:, None, :], 0.0, np.swapaxes(m[:, :, comp, :], 1, 2)
+        )
+        woop[:, 3, colsl] = np.where(dead, miss_b[comp], b[:, :, comp])
+    normal[:] = np.where(
+        dead[:, None, :], 0.0,
+        np.swapaxes(n_unit, 1, 2).astype(np.float32),
+    )
+    mat[:] = np.where(dead | ~valid, 0, matp[tri])
 
     node_box, node_meta, child, axis, first_lower = build_cluster_tree(
         aabb_min, aabb_max
