@@ -140,10 +140,8 @@ def main() -> int:
             if trace is None:
                 return None
         elif name.startswith("la") or name.startswith("lb"):
-            # la = scalar-assembled candidate boxes, lb = cand_box
-            # blocks; trailing "a" (before any "u") = unconditional
-            # drain. e.g. lb4x1a.
-            kw["blocks"] = name.startswith("lb")
+            # Lookahead variants la<K>x<B> (lb accepted as an alias);
+            # trailing "a" = unconditional drain, e.g. lb4x1a.
             body = name[2:]
             if body.endswith("a"):
                 kw["drain_always"] = True

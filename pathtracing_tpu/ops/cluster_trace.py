@@ -1,18 +1,27 @@
-"""Cluster-sweep closest-hit traversal: pure-JAX oracle + Pallas TPU kernel.
+"""Cluster-sweep closest-hit traversal: pure-JAX oracle + Pallas kernels.
 
 See ``ops.clusters`` for the data layout and the design rationale (dense
-regular compute instead of per-lane pointer chasing). Two implementations
-of the same contract:
+regular compute instead of per-lane pointer chasing). One contract,
+several implementations:
 
-  trace_jax    — fori over clusters, every cluster evaluated masked for the
-                 whole ray batch. Correct everywhere; the CPU/test path.
-  trace_pallas — grid over RAY_TILE-ray tiles; each tile walks the
-                 threaded cluster tree with one scalar register, and
-                 subtrees no ray in the tile can improve on are skipped,
-                 so work scales with rays' actual cluster footprints
-                 (coherent tiles touch a handful of the C clusters). The
-                 two (R,4)x(4,384) Woop matmuls run on the MXU at full
-                 f32 precision (see the bf16 gotcha in PERF.md).
+  trace_jax      — fori over clusters, every cluster evaluated masked
+                   for the whole ray batch. Correct everywhere; the
+                   CPU/test oracle.
+  trace_pallas   — grid over RAY_TILE-ray tiles; each tile walks the
+                   cluster tree with scalar registers while the vector
+                   lanes do the geometry. Production configuration:
+                   octant-ordered links (front-to-back per tile) and
+                   the K-step lookahead kernel (_tile_kernel_la: one
+                   packed-bits sync per K tree steps, cand_box vector
+                   blocks, FIFO leaf-queue drain). ``lookahead=0``
+                   selects the simple one-node-per-iteration walk. The
+                   (R,4)x(4,384) Woop matmuls run on the MXU at full
+                   f32 precision (see the bf16 gotcha in PERF.md).
+  occluded_pallas — any-hit shadow query: same walk, no shading
+                   epilogue, occluded lanes short-circuit.
+  trace_pallas_paged — HBM page streaming for scenes past the
+                   whole-in-VMEM budget (grid pages × tiles, per-ray
+                   state in persistent VMEM scratch).
 
 Contract: trace(clusters, origin, direction, t_init) -> (t, slot,
 normal, mat) where ``t_init`` is the per-ray closest hit found so far
@@ -20,7 +29,9 @@ normal, mat) where ``t_init`` is the per-ray closest hit found so far
 short-circuits), ``t`` improves on it or passes it through, and
 ``slot = cluster*128 + lane`` indexes the padded cluster slots (-1 = no
 triangle hit). Shading data is selected in-kernel (Pallas) or via one
-batched gather (``lookup_hit``, CPU oracle path).
+batched gather (``lookup_hit``, CPU oracle path). Kernel-variant and
+paged-path equivalence to the oracle is locked by tests/test_clusters;
+perf history and negative results live in PERF.md.
 """
 
 from __future__ import annotations
@@ -159,8 +170,8 @@ def _tile_kernel(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
     link; leaf clusters run the dense Woop evaluation under ``@pl.when``.
     Coherent tiles therefore visit only the clusters their frustum
     touches, and closing ``best_t`` culls subtrees behind the nearest
-    hits. Woop data lives whole in VMEM (v1 — DMA streaming is the
-    follow-up for scenes whose cluster data exceeds VMEM).
+    hits. Woop data lives whole in VMEM (``trace_pallas_paged`` streams
+    HBM pages for scenes past that budget).
 
     With ``ordered`` the walk follows the tile's direction-octant links
     (``ClusterSet.oct_links``): true front-to-back descent, so best_t
@@ -678,10 +689,10 @@ def occluded_pallas(clusters, origin, direction, t_max, interpret=False,
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "bf16",
                                     "lookahead", "drain", "ordered",
-                                    "blocks", "drain_always"))
+                                    "drain_always"))
 def trace_pallas(clusters, origin, direction, t_init, interpret=False,
                  tile=RAY_TILE, bf16=False, lookahead=0, drain=2,
-                 ordered=True, blocks=True, drain_always=False):
+                 ordered=True, drain_always=False):
     """Pallas cluster-tree walk; returns (t, slot, normal, mat).
 
     Pads the ray batch to ``tile`` internally. Shading data comes out of
@@ -699,10 +710,10 @@ def trace_pallas(clusters, origin, direction, t_init, interpret=False,
     if woop_bytes > 96 * 1024 * 1024:
         raise ValueError(
             f"cluster data ({woop_bytes / 1e6:.0f} MB of Woop tensors) "
-            "exceeds the whole-in-VMEM budget of this kernel "
-            "(~1.5M triangles). Split the scene or use traversal="
-            "'cluster_jax'; HBM->VMEM double-buffered streaming is the "
-            "planned extension (PERF.md)."
+            "exceeds this kernel's whole-in-VMEM budget (~1.5M "
+            "triangles). Build the scene with HBM paging "
+            "(SceneBuilder.build pages it automatically past 64 MB) and "
+            "trace via trace_pallas_paged."
         )
     r = origin.shape[0]
     r_pad = -(-r // tile) * tile
