@@ -139,6 +139,20 @@ def main() -> int:
             trace = getattr(cluster_trace, "occluded_pallas", None)
             if trace is None:
                 return None
+        elif name.startswith("dnf"):
+            # dnf[g<group>][m<debug_mode>], e.g. dnfg8, dnfm1, dnfg2m2
+            trace = cluster_trace.trace_pallas_dnf
+            kw = {"interpret": True} if on_cpu else {}
+            body = name[3:]
+            import re as _re
+            mg = _re.match(r"(?:g(\d+))?(?:m(\d+))?$", body)
+            if mg.group(1):
+                kw["group"] = int(mg.group(1))
+            if mg.group(2):
+                kw["debug_mode"] = int(mg.group(2))
+        elif name == "anyhitdnf":
+            trace = cluster_trace.occluded_pallas_dnf
+            kw = {"interpret": True} if on_cpu else {}
         elif name.startswith("la") or name.startswith("lb"):
             # Lookahead variants la<K>x<B> (lb accepted as an alias);
             # trailing "a" = unconditional drain, e.g. lb4x1a.
@@ -172,7 +186,7 @@ def main() -> int:
             if fn is None:
                 continue
             for wave in waves:
-                if kernel == "anyhit" and wave != "shadow":
+                if kernel in ("anyhit", "anyhitdnf") and wave != "shadow":
                     continue
                 o, d, t0 = wave_data[wave][:3]
                 float(fn(o, d, t0))  # compile + warm

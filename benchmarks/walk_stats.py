@@ -76,6 +76,37 @@ def walk_tile(cl, o, d, t0, ordered: bool, oct: int):
     return visits, evals
 
 
+def dnf_tile(cl, o, d, t0):
+    """Dense nearest-first policy: evals until per-ray culling kills all.
+
+    Returns (pierced clusters, evals) per tile — 'pierced' is the
+    phase-1 hit-column count (what a no-culling dense pass would eval),
+    'evals' the actual nearest-first loop trips (the scalar-sync count
+    of the DNF kernel)."""
+    inv_d = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+    cap = t0.copy()
+    lo_all, hi_all = cl.aabb_min, cl.aabb_max  # (C, 3)
+    t0a = (lo_all[None] - o[:, None]) * inv_d[:, None]
+    t1a = (hi_all[None] - o[:, None]) * inv_d[:, None]
+    tn = np.minimum(t0a, t1a).max(axis=2)      # (R, C)
+    tf = np.maximum(t0a, t1a).min(axis=2)
+    hit = (tn <= tf) & (tf > T_MIN) & (tn < cap[:, None])
+    tn = np.where(hit, np.maximum(tn, 0.0), np.inf)
+    pierced = int(np.any(np.isfinite(tn), axis=0).sum())
+    evals = 0
+    while True:
+        alive = tn < cap[:, None]
+        if not alive.any():
+            return pierced, evals
+        c = int(np.unravel_index(
+            np.argmin(np.where(alive, tn, np.inf)), tn.shape
+        )[1])
+        evals += 1
+        t = eval_cluster(cl, c, o, d, cap)
+        cap = np.minimum(cap, t.astype(np.float32))
+        tn[:, c] = np.inf
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -141,11 +172,21 @@ def main():
                         walk_tile(cl, o_np[sl], d_np[sl], t0_np[sl],
                                   ordered, oct)
                     )
+            dnf_rows = [
+                dnf_tile(cl, o_np[i * TILE:(i + 1) * TILE],
+                         d_np[i * TILE:(i + 1) * TILE],
+                         t0_np[i * TILE:(i + 1) * TILE])
+                for i in range(n // TILE)
+            ]
             for ordered in (False, True):
                 v = np.array(rows[ordered])
                 print(f"{wave:7s} bins={bins:4d} ordered={int(ordered)}: "
                       f"visits/tile={v[:, 0].mean():7.1f}  "
                       f"evals/tile={v[:, 1].mean():6.1f}", flush=True)
+            dv = np.array(dnf_rows)
+            print(f"{wave:7s} bins={bins:4d} DNF:       "
+                  f"pierced/tile={dv[:, 0].mean():6.1f}  "
+                  f"evals/tile={dv[:, 1].mean():6.1f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -331,6 +331,12 @@ def occluded_batch(scene: Scene, origin, direction, t_max,
             interpret=(traversal == "cluster_interpret"),
         )
         occ_tri = slot >= 0
+    elif (scene.clusters.woop.shape[0]
+          <= cluster_trace.DNF_MAX_CLUSTERS):
+        occ_tri = cluster_trace.occluded_pallas_dnf(
+            scene.clusters, origin, direction, cap,
+            interpret=(traversal == "cluster_interpret"),
+        )
     else:
         occ_tri = cluster_trace.occluded_pallas(
             scene.clusters, origin, direction, cap,
@@ -411,10 +417,20 @@ def intersect_batch(scene: Scene, origin, direction,
                 interpret=(traversal == "cluster_interpret"),
                 bf16=(traversal == "cluster_pallas_bf16"),
             )
+        elif (traversal != "cluster_pallas_bf16"
+              and scene.clusters.woop.shape[0]
+              <= cluster_trace.DNF_MAX_CLUSTERS):
+            # Production path: dense nearest-first kernel — no tree, no
+            # scalar walk; scalar syncs scale with evaluated clusters
+            # (~3.5x the lookahead walk on bounce waves, PERF.md r2).
+            tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas_dnf(
+                scene.clusters, origin_t, direction_t, t_init_t,
+                interpret=(traversal == "cluster_interpret"),
+            )
         else:
-            # Production path: octant-ordered 4-step lookahead kernel
-            # (falls back to the plain ordered walk past the cand_box
-            # ceiling — see cluster_trace.trace_pallas).
+            # bf16 mode or past the DNF scratch budget: octant-ordered
+            # 4-step lookahead walk (falls back to the plain ordered
+            # walk past the cand_box ceiling — see trace_pallas).
             tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas(
                 scene.clusters, origin_t, direction_t, t_init_t,
                 interpret=(traversal == "cluster_interpret"),

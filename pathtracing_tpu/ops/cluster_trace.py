@@ -77,19 +77,26 @@ def _pair_eval(o_aug, d_aug, woop_c, best_t, bf16: bool = False):
     ~1e-3 relative coordinate error; the t/u/v arithmetic stays f32.
     """
     if bf16:
+        # bf16 mode keeps the MXU matmul formulation (one bf16 pass).
         o_aug = o_aug.astype(jnp.bfloat16)
         d_aug = d_aug.astype(jnp.bfloat16)
         woop_c = woop_c.astype(jnp.bfloat16)
-    # Precision.HIGHEST is load-bearing: TPU f32 dots default to ONE
-    # bf16x bf16 pass (~4e-3 relative t error), which shifts hit points
-    # enough to self-intersect on secondary rays — rendered as concentric
-    # shadow rings on large flat surfaces. The matmuls are far from the
-    # kernel's bottleneck (PERF.md), so full f32 costs ~nothing here.
-    prec = None if bf16 else jax.lax.Precision.HIGHEST
-    op = jnp.dot(o_aug, woop_c, preferred_element_type=jnp.float32,
-                 precision=prec)
-    dp = jnp.dot(d_aug, woop_c, preferred_element_type=jnp.float32,
-                 precision=prec)
+        op = jnp.dot(o_aug, woop_c, preferred_element_type=jnp.float32)
+        dp = jnp.dot(d_aug, woop_c, preferred_element_type=jnp.float32)
+    else:
+        # VPU broadcast FMAs, NOT an MXU matmul: the contraction dim is
+        # 4, which wastes 97% of the systolic array — and exact f32
+        # (load-bearing: one default bf16 pass gives ~4e-3 relative t
+        # error → self-intersections rendered as concentric shadow
+        # rings) would need a 6-pass emulation on top. Four broadcast
+        # FMAs are bit-exact f32 at ~4x the measured speed (PERF.md r2);
+        # o_aug[3] = 1 and d_aug[3] = 0 drop one term from each.
+        op = woop_c[3:4, :] + o_aug[:, 0:1] * woop_c[0:1, :]
+        op = op + o_aug[:, 1:2] * woop_c[1:2, :]
+        op = op + o_aug[:, 2:3] * woop_c[2:3, :]
+        dp = d_aug[:, 0:1] * woop_c[0:1, :]
+        dp = dp + d_aug[:, 1:2] * woop_c[1:2, :]
+        dp = dp + d_aug[:, 2:3] * woop_c[2:3, :]
     k = CLUSTER_SIZE
     op_u, op_v, op_w = op[:, :k], op[:, k:2 * k], op[:, 2 * k:]
     dp_u, dp_v, dp_w = dp[:, :k], dp[:, k:2 * k], dp[:, 2 * k:]
@@ -555,6 +562,439 @@ def _tile_kernel_occ_la(o_ref, d_ref, t0_ref, oct_ref, nbox_ref,
     jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     )
+
+
+_INT_MAX = 2147483647
+
+
+def _dnf_phase1(o_aug, inv_d, cb_ref, best0, tile: int, c_pad: int,
+                idx_bits: int, n_clusters: int):
+    """Dense slab test of the whole tile against ALL cluster AABBs.
+
+    Returns keys (tile, c_pad) i32 packing each (ray, cluster) pair's
+    clamped entry distance's high bits with the cluster index — positive
+    f32s order identically as i32 bit patterns, so ONE min-reduction
+    over the whole block finds the tile-globally-nearest alive pair AND
+    its cluster id, and comparing a key against a (+1 quantum inflated)
+    bit-cast best_t is a CONSERVATIVE aliveness test (may keep a pair
+    whose tn just reached best_t — an extra eval, never a wrong cull).
+    Stealing ``idx_bits`` mantissa bits only coarsens near-tie ordering.
+    Misses — and the padding columns, whose "inverted" boxes degenerate
+    to always-hit slabs — read _INT_MAX.
+    """
+    tn = jnp.full((tile, c_pad), -_BIG)
+    tf = jnp.full((tile, c_pad), _BIG)
+    for ax in range(3):
+        o = o_aug[:, ax:ax + 1]
+        iv = inv_d[:, ax:ax + 1]
+        t0a = (cb_ref[ax:ax + 1, :] - o) * iv
+        t1a = (cb_ref[3 + ax:4 + ax, :] - o) * iv
+        tn = jnp.maximum(tn, jnp.minimum(t0a, t1a))
+        tf = jnp.minimum(tf, jnp.maximum(t0a, t1a))
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (tile, c_pad), 1)
+    hit = ((tn <= tf) & (tf > T_MIN) & (tn < best0)
+           & (cidx < n_clusters))
+    tnc = jnp.maximum(tn, 0.0)
+    keys = (
+        jax.lax.bitcast_convert_type(tnc, jnp.int32)
+        & jnp.int32(~((1 << idx_bits) - 1))
+    ) | cidx
+    return jnp.where(hit, keys, _INT_MAX)
+
+
+def _bt_inflate(best_t, idx_bits: int):
+    """Bit-cast best_t (+1 key quantum) for conservative int-space
+    culling: key(tn) < inflate(bt) is implied by tn < bt (keys round tn
+    DOWN by idx_bits bits then add an index < one quantum)."""
+    return jax.lax.bitcast_convert_type(
+        jnp.maximum(best_t, 0.0), jnp.int32
+    ) + jnp.int32(1 << idx_bits)
+
+
+def _dnf_pop_group(row, rowc, n_clusters: int, idx_bits: int, p: int):
+    """Pop the ``p`` smallest keys from a (1, c_pad) row. Returns
+    (cluster ids, valid flags, row with popped columns killed). Invalid
+    pops clamp to a real cluster id (idempotent duplicate evals)."""
+    ids, valids = [], []
+    for _ in range(p):
+        kmin = jnp.min(row)
+        valid = kmin < _INT_MAX
+        c = jnp.minimum(kmin & ((1 << idx_bits) - 1), n_clusters - 1)
+        ids.append(c)
+        valids.append(valid)
+        row = jnp.where(rowc == c, _INT_MAX, row)
+    return ids, valids, row
+
+
+def _dnf_gather_group(woop_ref, ids, k: int):
+    """Concatenate ``len(ids)`` clusters' Woop tensors into one grouped
+    (4, 3*P*k) block ordered u-block | v-block | w-block, so the dense
+    pair evaluation runs once over P*k lanes instead of P times over k."""
+    blocks = [woop_ref[c] for c in ids]   # each (4, 3k)
+    parts = []
+    for comp in range(3):
+        parts += [b[:, comp * k:(comp + 1) * k] for b in blocks]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp: int):
+    """_pair_eval over a grouped Woop block (4, 3*kp), on the VPU.
+
+    The contraction dim is 4 (homogeneous coords), so an MXU matmul
+    wastes 97% of the systolic array — and exact f32 needs a 6-pass
+    bf16 emulation on top (measured ~0.9 µs per 128-triangle cluster).
+    Four broadcast FMAs per operand on the VPU are bit-exact f32 at ~4x
+    the speed; d_aug[3] = 0 and o_aug[3] = 1 drop a term from each."""
+    op = w_cat[3:4, :] + o_aug[:, 0:1] * w_cat[0:1, :]
+    op = op + o_aug[:, 1:2] * w_cat[1:2, :]
+    op = op + o_aug[:, 2:3] * w_cat[2:3, :]
+    dp = d_aug[:, 0:1] * w_cat[0:1, :]
+    dp = dp + d_aug[:, 1:2] * w_cat[1:2, :]
+    dp = dp + d_aug[:, 2:3] * w_cat[2:3, :]
+    op_u, op_v, op_w = op[:, :kp], op[:, kp:2 * kp], op[:, 2 * kp:]
+    dp_u, dp_v, dp_w = dp[:, :kp], dp[:, kp:2 * kp], dp[:, 2 * kp:]
+    dw = jnp.where(jnp.abs(dp_w) < 1e-30, 1e-30, dp_w)
+    t = -op_w / dw
+    u = op_u + t * dp_u
+    v = op_v + t * dp_v
+    ok = (
+        (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > T_MIN) & (t < best_t)
+    )
+    return jnp.where(ok, t, _BIG)
+
+
+def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
+                     t_ref, slot_ref, normal_ref, hitmat_ref,
+                     key_ref, dead_ref, *, n_clusters: int, tile: int,
+                     c_pad: int, idx_bits: int, group: int,
+                     debug_mode: int = 0):
+    """Dense nearest-first closest-hit: NO tree, NO scalar walk.
+
+    The round-2 lookahead kernel sits near the scalar-op floor (~0.4 µs
+    per visited tree node) but incoherent tiles still visit ~480 nodes
+    for ~83 leaf evaluations (walk_stats) — scalar syncs scale with
+    VISITS. This kernel makes them scale with EVALS (walk_stats: 13.5
+    camera / 65 bounce evals per 256-ray tile at 216 bins — and DNF's
+    exact per-ray front-to-back culling needs ~25% fewer evals than the
+    threaded walk): one dense vector pass slab-tests the tile against
+    every cluster AABB at once, then each loop iteration
+
+      1. re-culls the packed-key matrix against the freshly tightened
+         per-ray best_t (conservative int-space compare — no float tn
+         matrix to maintain) and min-reduces it over rays to a
+         (1, c_pad) row,
+      2. pops the ``group`` nearest not-yet-evaluated clusters from the
+         row with cheap row-width ops (one scalar sync per pop),
+      3. dense-evaluates all ``group`` clusters in ONE widened Woop
+         pass — same op count as a single-cluster eval on blocks
+         ``group``x wider, so the expensive full-matrix cull pass and
+         the per-eval epilogue both amortize.
+
+    Within a group best_t is one step stale — extra (idempotent) evals,
+    never wrong answers. Evaluated clusters are retired via a (1, c_pad)
+    dead-row (the key matrix itself is written once and never touched).
+    """
+    o_aug = o_ref[:]          # (tile, 4)
+    d_aug = d_ref[:]
+    inv_d = _safe_inv(d_aug[:, 0:3])
+    t_ref[:] = t0_ref[:]
+    slot_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
+    normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
+    hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
+    k = CLUSTER_SIZE
+    kp = k * group
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
+    rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
+
+    key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t0_ref[:], tile,
+                             c_pad, idx_bits, n_clusters)
+    dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
+
+    def eval_group(ids):
+        best_t = t_ref[:]
+        w_cat = _dnf_gather_group(woop_ref, ids, k)   # (4, 3*kp)
+        t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp)
+        t_min = jnp.min(t_pair, axis=1, keepdims=True)
+        upd = t_min < best_t
+        if debug_mode == 2:   # timing bisection: no shading epilogue
+            t_ref[:] = jnp.where(upd, t_min, best_t)
+            return
+        pick = t_pair <= t_min
+        slot = jnp.min(
+            jnp.where(pick, lane, kp), axis=1, keepdims=True
+        )
+        first = pick & (lane == slot)
+        zeros = jnp.zeros((tile, kp), jnp.float32)
+        # Normal rows: the w-block of the grouped tensor IS the stacked
+        # M w-rows of all `group` clusters, already lane-aligned with
+        # t_pair.
+        wb = w_cat[:, 2 * kp:]
+        nx = jnp.sum(jnp.where(first, wb[0:1], zeros),
+                     axis=1, keepdims=True)
+        ny = jnp.sum(jnp.where(first, wb[1:2], zeros),
+                     axis=1, keepdims=True)
+        nz = jnp.sum(jnp.where(first, wb[2:3], zeros),
+                     axis=1, keepdims=True)
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+        )
+        mat_cat = jnp.concatenate([mat_ref[c] for c in ids], axis=1)
+        mat_sel = jnp.max(
+            jnp.where(first, mat_cat, 0), axis=1, keepdims=True
+        )
+        # Winning lane -> (cluster id, lane within cluster).
+        cwin = ids[0]
+        for j in range(1, group):
+            cwin = jnp.where(slot >= j * k, ids[j], cwin)
+        gslot = cwin * k + (slot & (k - 1))
+        t_ref[:] = jnp.where(upd, t_min, best_t)
+        slot_ref[:] = jnp.where(upd, gslot, slot_ref[:])
+        n_new = jnp.concatenate(
+            [nx * inv_len, ny * inv_len, nz * inv_len,
+             jnp.zeros((tile, 1), jnp.float32)], axis=1
+        )
+        normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
+        hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
+
+    def cond(found):
+        return found
+
+    def body(found):
+        bt = _bt_inflate(t_ref[:], idx_bits)          # (tile, 1)
+        keys = key_ref[:]
+        live = jnp.where(keys < bt, keys, _INT_MAX)   # conservative cull
+        row = jnp.min(live, axis=0, keepdims=True)    # (1, c_pad)
+        row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
+        ids, valids, _ = _dnf_pop_group(
+            row, rowc, n_clusters, idx_bits, group
+        )
+        retire = jnp.zeros((1, c_pad), jnp.bool_)
+        for c, v in zip(ids, valids):
+            retire = retire | ((rowc == c) & v)
+        dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
+
+        # debug_mode (timing bisection only — wrong results): 1 = skip
+        # the dense eval (measures loop + cull + extraction; iterations
+        # become pierced/group), 2 = eval but skip the shading epilogue.
+        if debug_mode != 1:
+            @pl.when(valids[0])
+            def _():
+                eval_group(ids)
+
+        return valids[0]
+
+    jax.lax.while_loop(cond, body, jnp.bool_(True))
+
+
+def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
+                         occ_ref, key_ref, dead_ref, *, n_clusters: int,
+                         tile: int, c_pad: int, idx_bits: int,
+                         group: int):
+    """Dense nearest-first any-hit: the _tile_kernel_dnf structure with
+    the light occlusion epilogue (flip the lane's bit, drop its t-cap to
+    0). Nearest-first ordering still pays — near geometry occludes most
+    rays fastest, and each flipped lane vanishes from the next re-cull."""
+    o_aug = o_ref[:]
+    d_aug = d_ref[:]
+    inv_d = _safe_inv(d_aug[:, 0:3])
+    occ_ref[:] = jnp.zeros((tile, 1), jnp.float32)
+    t_cap0 = t0_ref[:]
+    k = CLUSTER_SIZE
+    kp = k * group
+    rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
+
+    key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t_cap0, tile, c_pad,
+                             idx_bits, n_clusters)
+    dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
+
+    def cond(found):
+        return found
+
+    def body(found):
+        cap = jnp.where(occ_ref[:] > 0.0, 0.0, t_cap0)
+        bt = _bt_inflate(cap, idx_bits)
+        keys = key_ref[:]
+        live = jnp.where(keys < bt, keys, _INT_MAX)
+        row = jnp.min(live, axis=0, keepdims=True)
+        row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
+        ids, valids, _ = _dnf_pop_group(
+            row, rowc, n_clusters, idx_bits, group
+        )
+        retire = jnp.zeros((1, c_pad), jnp.bool_)
+        for c, v in zip(ids, valids):
+            retire = retire | ((rowc == c) & v)
+        dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
+
+        @pl.when(valids[0])
+        def _():
+            w_cat = _dnf_gather_group(woop_ref, ids, k)
+            t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, cap, kp)
+            t_min = jnp.min(t_pair, axis=1, keepdims=True)
+            occ_ref[:] = jnp.where(t_min < cap, 1.0, occ_ref[:])
+
+        return valids[0]
+
+    jax.lax.while_loop(cond, body, jnp.bool_(True))
+
+
+DNF_MAX_CLUSTERS = 8192  # (tile, c_pad) scratch ceiling (~16 MB at cap)
+
+
+def _dnf_bounds(clusters, c_pad: int):
+    """(6, c_pad) f32 cluster AABBs, vector-row layout, padded with
+    inverted never-hit boxes."""
+    c = clusters.aabb_min.shape[0]
+    cb = jnp.concatenate(
+        [clusters.aabb_min.T, clusters.aabb_max.T], axis=0
+    ).astype(jnp.float32)
+    pad = c_pad - c
+    if pad:
+        fill = jnp.concatenate(
+            [jnp.full((3, pad), _BIG, jnp.float32),
+             jnp.full((3, pad), -_BIG, jnp.float32)], axis=0
+        )
+        cb = jnp.concatenate([cb, fill], axis=1)
+    return cb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "group",
+                                    "debug_mode"))
+def trace_pallas_dnf(clusters, origin, direction, t_init,
+                     interpret=False, tile=RAY_TILE, group=4,
+                     debug_mode=0):
+    """Dense nearest-first cluster trace; same contract as trace_pallas.
+
+    Flat scenes only (cluster count <= DNF_MAX_CLUSTERS and Woop data
+    whole-in-VMEM); callers fall back to the tree kernels past that.
+    """
+    c = clusters.woop.shape[0]
+    r = origin.shape[0]
+    if c == 0:
+        z = jnp.zeros(r, jnp.float32)
+        return (t_init, jnp.full(r, -1, jnp.int32),
+                jnp.zeros((r, 3), jnp.float32), z.astype(jnp.int32))
+    if c > DNF_MAX_CLUSTERS:
+        raise ValueError(
+            f"{c} clusters exceeds the DNF kernel's scratch budget "
+            f"({DNF_MAX_CLUSTERS}); use trace_pallas / trace_pallas_paged."
+        )
+    c_pad = -(-c // 128) * 128
+    idx_bits = max((c_pad - 1).bit_length(), 1)
+    r_pad = -(-r // tile) * tile
+    pad = r_pad - r
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(
+            direction, ((0, pad), (0, 0)), constant_values=1.0
+        )
+        t_init = jnp.pad(t_init, (0, pad))
+
+    o_aug, d_aug = _augment(origin, direction)
+    cb = _dnf_bounds(clusters, c_pad)
+    grid = r_pad // tile
+
+    t, slot, normal, mat = pl.pallas_call(
+        functools.partial(_tile_kernel_dnf, n_clusters=c, tile=tile,
+                          c_pad=c_pad, idx_bits=idx_bits, group=group,
+                          debug_mode=debug_mode),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster bounds
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # woop
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mat
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, c_pad), jnp.int32),     # packed keys
+            pltpu.VMEM((1, c_pad), jnp.int32),        # retired clusters
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_aug, d_aug, t_init[:, None], cb, clusters.woop,
+      clusters.mat[:, None, :])
+    return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "group"))
+def occluded_pallas_dnf(clusters, origin, direction, t_max,
+                        interpret=False, tile=RAY_TILE, group=4):
+    """Dense nearest-first any-hit occlusion; contract of occluded_pallas."""
+    c = clusters.woop.shape[0]
+    r = origin.shape[0]
+    if c == 0:
+        return jnp.zeros(r, bool)
+    if c > DNF_MAX_CLUSTERS:
+        raise ValueError(
+            f"{c} clusters exceeds the DNF kernel's scratch budget "
+            f"({DNF_MAX_CLUSTERS}); use occluded_pallas."
+        )
+    c_pad = -(-c // 128) * 128
+    idx_bits = max((c_pad - 1).bit_length(), 1)
+    r_pad = -(-r // tile) * tile
+    pad = r_pad - r
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(
+            direction, ((0, pad), (0, 0)), constant_values=1.0
+        )
+        t_max = jnp.pad(t_max, (0, pad))
+
+    o_aug, d_aug = _augment(origin, direction)
+    cb = _dnf_bounds(clusters, c_pad)
+    grid = r_pad // tile
+
+    occ = pl.pallas_call(
+        functools.partial(_tile_kernel_occ_dnf, n_clusters=c, tile=tile,
+                          c_pad=c_pad, idx_bits=idx_bits, group=group),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster bounds
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # woop
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, c_pad), jnp.int32),     # packed keys
+            pltpu.VMEM((1, c_pad), jnp.int32),        # retired clusters
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_aug, d_aug, t_max[:, None], cb, clusters.woop)
+    return occ[:r, 0] > 0.0
 
 
 def _tile_kernel_occ(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,

@@ -115,6 +115,57 @@ def test_kernel_variants_match_jax(mesh_scene, kw):
     assert np.all(slot_match | tie | ~live)
 
 
+def test_dnf_kernel_matches_jax(mesh_scene):
+    """The dense nearest-first kernel (no tree, packed-key extraction)
+    agrees with the sweep oracle under the same tie contract as the walk
+    kernels, including dead lanes and ray padding."""
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.ops import cluster_trace
+
+    o, d = random_rays(600, 2)
+    t0 = jnp.full(600, 3.0e38, jnp.float32)
+    t0 = t0.at[::11].set(0.0)
+    tj = cluster_trace.trace_jax(mesh_scene.clusters, o, d, t0)
+    tw = cluster_trace.trace_pallas_dnf(
+        mesh_scene.clusters, o, d, t0, interpret=True
+    )
+    live = np.asarray(t0) > 0
+    np.testing.assert_allclose(
+        np.where(live, np.asarray(tj[0]), 0.0),
+        np.where(live, np.asarray(tw[0]), 0.0), rtol=1e-6,
+    )
+    slot_match = np.asarray(tj[1]) == np.asarray(tw[1])
+    tie = np.asarray(tj[0]) == np.asarray(tw[0])
+    assert np.all(slot_match | tie | ~live)
+    # Normals from the Woop w-row must match the table to float noise.
+    same = slot_match & live & (np.asarray(tj[1]) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(tj[2])[same], np.asarray(tw[2])[same], atol=1e-4
+    )
+
+
+def test_dnf_occlusion_matches_jax(mesh_scene):
+    """Any-hit DNF kernel vs the oracle: exact boolean agreement."""
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.ops import cluster_trace
+
+    o, d = random_rays(700, 9, spread=0.8, center=(0.0, -0.3, 0.5))
+    tmax = jnp.asarray(
+        np.random.RandomState(5).rand(700).astype(np.float32) * 2.0
+    )
+    tmax = tmax.at[::13].set(0.0)  # dead lanes
+    tj = cluster_trace.trace_jax(
+        mesh_scene.clusters, o, d, jnp.where(tmax > 0, tmax, 0.0)
+    )
+    ref = np.asarray(tj[1] >= 0)
+    occ = np.asarray(cluster_trace.occluded_pallas_dnf(
+        mesh_scene.clusters, o, d, tmax, interpret=True
+    ))
+    np.testing.assert_array_equal(occ, ref)
+
+
 def test_rays_from_inside_geometry(mesh_scene):
     """Secondary-bounce-like rays originating on/near surfaces."""
     o, d = random_rays(512, 7, spread=0.8, center=(0.0, -0.5, 0.0))
