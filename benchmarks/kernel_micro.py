@@ -140,16 +140,22 @@ def main() -> int:
             if trace is None:
                 return None
         elif name.startswith("dnf"):
-            # dnf[g<group>][m<debug_mode>], e.g. dnfg8, dnfm1, dnfg2m2
+            # dnf[g<group>][r<recull>][q][m<debug_mode>], e.g. dnfg8,
+            # dnfr4, dnfq (aligned-block pop), dnfg2r8m2
             trace = cluster_trace.trace_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
             body = name[3:]
             import re as _re
-            mg = _re.match(r"(?:g(\d+))?(?:m(\d+))?$", body)
+            mg = _re.match(r"(?:g(\d+))?(?:r(\d+))?(q)?(?:m(\d+))?$",
+                           body)
             if mg.group(1):
                 kw["group"] = int(mg.group(1))
             if mg.group(2):
-                kw["debug_mode"] = int(mg.group(2))
+                kw["recull"] = int(mg.group(2))
+            if mg.group(3):
+                kw["quad"] = True
+            if mg.group(4):
+                kw["debug_mode"] = int(mg.group(4))
         elif name == "anyhitdnf":
             trace = cluster_trace.occluded_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
@@ -164,7 +170,9 @@ def main() -> int:
             kw.update(lookahead=int(k_str), drain=int(b_str))
             if on_cpu:
                 kw["interpret"] = True
-        if tile and trace is cluster_trace.trace_pallas:
+        if tile and trace in (cluster_trace.trace_pallas,
+                              cluster_trace.trace_pallas_dnf,
+                              cluster_trace.occluded_pallas_dnf):
             kw["tile"] = tile
 
         @jax.jit

@@ -281,6 +281,18 @@ def intersect_scene(scene: Scene, origin, direction) -> Hit:
 intersect_scene_batch = jax.vmap(intersect_scene, in_axes=(None, 0, 0))
 
 
+def uses_dnf(scene: Scene) -> bool:
+    """True when ``intersect_batch``/``occluded_batch`` will route this
+    scene's cluster queries to the dense nearest-first kernels (flat
+    whole-in-VMEM scene under the DNF scratch budget). A Python-level
+    static predicate (shapes only) — engines use it to pick per-wave
+    sort policy at trace time (DNF waves measure FASTER unsorted for
+    camera and shadow waves, PERF.md r2 step decomposition)."""
+    return (scene.clusters is not None and scene.pages is None
+            and scene.clusters.woop.shape[0]
+            <= cluster_trace.DNF_MAX_CLUSTERS)
+
+
 def occluded_batch(scene: Scene, origin, direction, t_max,
                    traversal: str = "bvh", active=None,
                    bin_rays: bool = False):
@@ -302,6 +314,10 @@ def occluded_batch(scene: Scene, origin, direction, t_max,
     cap = t_max
     if active is not None:
         cap = jnp.where(active, cap, 0.0)
+    # Lanes the (cheap, already-computed) sphere pass occluded need no
+    # cluster answer: zero their cap so they short-circuit the kernel's
+    # slab tests. Bitwise-neutral (the return ORs occ_sph back in).
+    cap = jnp.where(occ_sph, 0.0, cap)
 
     if traversal == "bvh" or scene.clusters is None:
         hit = intersect_scene_batch(scene, origin, direction)

@@ -53,7 +53,7 @@ INV_PI = 0.3183098861837907
 def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                  rr_start_depth, background: str, traversal: str,
                  nee: bool = False, prev_pdf=None, prev_nee=None,
-                 bin_rays: bool = False):
+                 bin_rays: bool = False, return_shadow_count: bool = False):
     """One bounce for a whole (R,) ray batch — the production path.
 
     Identical math and RNG streams to the original per-ray form (the
@@ -71,7 +71,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     vertex's BSDF pdf across bounces (init: zeros / False — camera hits
     on lights then count fully).
 
-    Returns (radiance, throughput, o, d, active, prev_pdf, prev_nee).
+    Returns (radiance, throughput, o, d, active, prev_pdf, prev_nee);
+    with ``return_shadow_count`` an extra trailing element counts the
+    shadow rays ACTUALLY traced this bounce (the ``cand`` lanes — not
+    every NEE-lobe vertex; backfacing-to-light vertices skip the ray),
+    feeding the honest segments metric.
     """
     from pathtracing_tpu.models import scene as scene_mod
     from pathtracing_tpu.ops import lights as lights_ops
@@ -82,6 +86,15 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         prev_pdf = jnp.zeros(r, jnp.float32)
     if prev_nee is None:
         prev_nee = jnp.zeros(r, jnp.bool_)
+    # Sort policy: the dense nearest-first kernels at their 128-ray tile
+    # measure FASTER UNSORTED on every wave type (camera 5.85 vs 3.91,
+    # bounce 3.19 vs 2.80, shadow 5.95 vs 4.41 Mrays/s — PERF.md r2):
+    # image/pool order already bounds the per-tile cluster footprint
+    # better than 216 octant bins, and the counting sort itself is pure
+    # cost. The tree/paged kernels (big scenes) still want the sort.
+    # Static decision (shapes only); binning is order-restoring, so
+    # either choice is bitwise-identical.
+    bin_rays = bin_rays and not scene_mod.uses_dnf(scene)
     with jax.named_scope("intersect"):
         hit = scene_mod.intersect_batch(
             scene, o, d, traversal, active=active, bin_rays=bin_rays
@@ -119,6 +132,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     )
 
     nee_lobe = materials.is_nee_type(mtype)
+    n_shadow = jnp.float32(0.0)
 
     if nee_on:
         # Next-event estimation: sample a light point, cast a shadow
@@ -153,6 +167,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             bin_rays=bin_rays,
         )
         vis = cand & jnp.logical_not(occluded)
+        n_shadow = jnp.sum(cand.astype(jnp.int32)).astype(jnp.float32)
 
         is_ggx = mtype == materials.TYPE_GGX
         f_ggx, pdf_ggx = materials.ggx_eval(alb, par, hit.normal, -d, wi)
@@ -199,7 +214,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     # glossy, 0 for delta lobes) feeds the next vertex's MIS weight.
     prev_pdf = jnp.maximum(scatter_pdf, 1e-6)
     prev_nee = live & nee_lobe
-    return radiance, throughput, o, d, active, prev_pdf, prev_nee
+    out = (radiance, throughput, o, d, active, prev_pdf, prev_nee)
+    return out + (n_shadow,) if return_shadow_count else out
 
 
 def camera_sample(camera, config, seed, pixel_index, sample_index):

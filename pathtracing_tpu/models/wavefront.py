@@ -131,13 +131,14 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         keys = jax.vmap(
             lambda p, s: rng.pixel_sample_key(seed, p, s)
         )(pool.pixel, pool.sample)
-        radiance, throughput, o, d, active, pdf, pdiff = (
+        radiance, throughput, o, d, active, pdf, pdiff, n_shadow = (
             shading.bounce_batch(
                 scene, pool.origin, pool.direction, keys, pool.depth,
                 pool.radiance, pool.throughput, pool.active,
                 config.rr_start_depth, config.background, traversal,
                 nee=config.nee, prev_pdf=pool.prev_pdf,
                 prev_nee=pool.prev_nee, bin_rays=config.ray_sort,
+                return_shadow_count=True,
             )
         )
         depth = pool.depth + 1
@@ -146,7 +147,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             origin=o, direction=d, radiance=radiance,
             throughput=throughput, pixel=pool.pixel, sample=pool.sample,
             depth=depth, active=active, prev_pdf=pdf, prev_nee=pdiff,
-        )
+        ), n_shadow
 
     def body(carry):
         pool, accum, next_path, segments = carry
@@ -159,13 +160,13 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         )
 
         was_active = pool.active
-        pool = bounce_all(pool)
+        pool, n_shadow = bounce_all(pool)
         if config.nee and scene.lights is not None:
-            # Shadow rays are real traversal work: one per live diffuse
-            # vertex (== prev_nee right after the bounce).
-            segments = segments + jnp.sum(
-                pool.prev_nee.astype(jnp.int32)
-            ).astype(jnp.float32)
+            # Shadow rays are real traversal work — counted EXACTLY as
+            # the lanes that traced one (shading's `cand`: live NEE-lobe
+            # vertices actually facing the sampled light point), not
+            # every NEE-lobe vertex.
+            segments = segments + n_shadow
 
         # Newly terminated paths deposit and zero their slot estimate so a
         # slot that stays dead (stream exhausted) deposits exactly once.
