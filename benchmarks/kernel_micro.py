@@ -140,22 +140,16 @@ def main() -> int:
             if trace is None:
                 return None
         elif name.startswith("dnf"):
-            # dnf[g<group>][r<recull>][q][m<debug_mode>], e.g. dnfg8,
-            # dnfr4, dnfq (aligned-block pop), dnfg2r8m2
+            # dnf[g<group>][m<debug_mode>], e.g. dnfg8, dnfm1, dnfg2m2
             trace = cluster_trace.trace_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
             body = name[3:]
             import re as _re
-            mg = _re.match(r"(?:g(\d+))?(?:r(\d+))?(q)?(?:m(\d+))?$",
-                           body)
+            mg = _re.match(r"(?:g(\d+))?(?:m(\d+))?$", body)
             if mg.group(1):
                 kw["group"] = int(mg.group(1))
             if mg.group(2):
-                kw["recull"] = int(mg.group(2))
-            if mg.group(3):
-                kw["quad"] = True
-            if mg.group(4):
-                kw["debug_mode"] = int(mg.group(4))
+                kw["debug_mode"] = int(mg.group(2))
         elif name == "anyhitdnf":
             trace = cluster_trace.occluded_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}

@@ -24,6 +24,15 @@ from pathtracing_tpu.utils.config import RenderConfig
 # Back-compat re-export; the implementation moved to models.shading.
 background_radiance = shading.background_radiance
 
+# Ceiling on rays per bounce wave. XLA lays several of the bounce loop's
+# (N, 1..5) per-ray temporaries out as T(8,128) tiles — a 128x padding
+# expansion that reaches ~1 GB per temporary at a full 1080p wave
+# (2.07M rays) and overflows the 16 GB HBM. Rows are chunked so one
+# wave stays under this many rays (~128 MB per padded temp); per-pixel
+# results are bitwise identical (global pixel/sample ids, no cross-ray
+# coupling in the bounce).
+MAX_WAVE_RAYS = 1 << 18
+
 
 def render_samples(scene, camera, config: RenderConfig, sample_start,
                    n_samples: int, seed, row_start=0, block_rows=None,
@@ -45,45 +54,63 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
     """
     h, w = config.height, config.width
     block_rows = h if block_rows is None else block_rows
-    dys, xs = jnp.mgrid[0:block_rows, 0:w]
-    ys = dys + row_start
-    pixel_index = (ys * w + xs).reshape(-1)
-    n_rays = block_rows * w
+    # Row chunking: largest divisor of block_rows whose wave fits
+    # MAX_WAVE_RAYS (full block when it already fits).
+    chunk_rows = block_rows
+    if block_rows * w > MAX_WAVE_RAYS:
+        for cand in range(block_rows, 0, -1):
+            if block_rows % cand == 0 and cand * w <= MAX_WAVE_RAYS:
+                chunk_rows = cand
+                break
+    n_chunks = block_rows // chunk_rows
+    dys, xs = jnp.mgrid[0:chunk_rows, 0:w]
+    n_rays = chunk_rows * w
     traversal = config.resolve_traversal()
 
     def one_sample(carry, sample_ofs):
         accum = carry
         sample_idx = sample_start + sample_ofs * sample_stride
 
-        keys, origin, direction = jax.vmap(
-            lambda p: shading.camera_sample(camera, config, seed, p,
-                                            sample_idx)
-        )(pixel_index)
+        def chunk_radiance(row0):
+            pixel_index = ((dys + row0) * w + xs).reshape(-1)
+            keys, origin, direction = jax.vmap(
+                lambda p: shading.camera_sample(camera, config, seed, p,
+                                                sample_idx)
+            )(pixel_index)
 
-        def bounce(depth, state):
-            radiance, throughput, o, d, active, pdf, pdiff = state
-            return shading.bounce_batch(
-                scene, o, d, keys, depth, radiance, throughput, active,
-                config.rr_start_depth, config.background, traversal,
-                nee=config.nee, prev_pdf=pdf, prev_nee=pdiff,
-                bin_rays=config.ray_sort,
+            def bounce(depth, state):
+                radiance, throughput, o, d, active, pdf, pdiff = state
+                return shading.bounce_batch(
+                    scene, o, d, keys, depth, radiance, throughput,
+                    active, config.rr_start_depth, config.background,
+                    traversal, nee=config.nee, prev_pdf=pdf,
+                    prev_nee=pdiff, bin_rays=config.ray_sort,
+                )
+
+            init = (
+                jnp.zeros((n_rays, 3), jnp.float32),
+                jnp.ones((n_rays, 3), jnp.float32),
+                origin,
+                direction,
+                jnp.ones(n_rays, jnp.bool_),
+                jnp.zeros(n_rays, jnp.float32),
+                jnp.zeros(n_rays, jnp.bool_),
             )
+            radiance, *_ = jax.lax.fori_loop(
+                0, config.max_depth, bounce, init
+            )
+            return radiance.reshape(chunk_rows, w, 3)
 
-        init = (
-            jnp.zeros((n_rays, 3), jnp.float32),
-            jnp.ones((n_rays, 3), jnp.float32),
-            origin,
-            direction,
-            jnp.ones(n_rays, jnp.bool_),
-            jnp.zeros(n_rays, jnp.float32),
-            jnp.zeros(n_rays, jnp.bool_),
-        )
-        radiance, *_ = jax.lax.fori_loop(
-            0, config.max_depth, bounce, init
-        )
+        if n_chunks == 1:
+            radiance = chunk_radiance(row_start)
+        else:
+            radiance = jax.lax.map(
+                chunk_radiance,
+                row_start + chunk_rows * jnp.arange(n_chunks, dtype=jnp.int32),
+            ).reshape(block_rows, w, 3)
         if config.clamp > 0.0:
             radiance = jnp.minimum(radiance, config.clamp)
-        return accum + radiance.reshape(block_rows, w, 3), None
+        return accum + radiance, None
 
     accum0 = jnp.zeros((block_rows, w, 3), jnp.float32)
     accum, _ = jax.lax.scan(

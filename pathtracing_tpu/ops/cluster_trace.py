@@ -671,9 +671,8 @@ def _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp: int):
 
 def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
                      t_ref, slot_ref, normal_ref, hitmat_ref,
-                     key_ref, dead_ref, row_ref, *, n_clusters: int,
+                     key_ref, dead_ref, *, n_clusters: int,
                      tile: int, c_pad: int, idx_bits: int, group: int,
-                     recull: int, quad: bool = False,
                      debug_mode: int = 0):
     """Dense nearest-first closest-hit: NO tree, NO scalar walk.
 
@@ -701,24 +700,12 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
     never wrong answers. Evaluated clusters are retired via a (1, c_pad)
     dead-row (the key matrix itself is written once and never touched).
 
-    ``recull`` amortizes step 1, the most expensive per-iteration pass
-    (full (tile, c_pad) matrix read + column min): the exact per-ray
-    re-cull runs every ``recull``-th iteration into a persistent
-    (1, c_pad) row scratch; in-between iterations pop from the stale row
-    and instead apply a CHEAP exact cull of the row against the tile's
-    LOOSEST best_t (one scalar max + a row-width compare — a cluster
-    whose nearest entry exceeds every ray's best_t can never matter).
-    Staleness only costs extra idempotent evals; results are identical.
-
-    ``quad`` changes the pop/eval granularity: pop only the single
-    nearest cluster (ONE scalar min-sync per iteration instead of
-    ``group``), then dense-evaluate its whole ALIGNED block of ``group``
-    consecutive cluster ids — cluster ids follow SAH leaf order, so the
-    block is the popped cluster's spatial neighborhood and usually
-    contains the next pops anyway. The caller pre-transposes Woop/mat
-    data into per-block tensors, so the eval needs ONE contiguous
-    dynamic load instead of ``group`` scattered ones. The whole block
-    retires at once. Superset-eval: idempotent, results identical.
+    Two measured negative variants were reverted (PERF.md r2c): a
+    ``recull``-stride that amortized the full-matrix re-cull (the matrix
+    pass is VMEM-bandwidth-cheap; no gain) and an aligned-quad pop that
+    popped one cluster per sync but evaluated its whole SAH-neighbor
+    block via one contiguous pre-transposed load (superset evals cost
+    more than the saved syncs: 2.12 vs 3.16 Mrays/s on bounce waves).
     """
     o_aug = o_ref[:]          # (tile, 4)
     d_aug = d_ref[:]
@@ -731,18 +718,14 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
     kp = k * group
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
     rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
-    rowq = rowc // group   # aligned-block id per column (quad mode)
 
     key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t0_ref[:], tile,
                              c_pad, idx_bits, n_clusters)
     dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
 
-    def eval_group(ids, q=None):
+    def eval_group(ids):
         best_t = t_ref[:]
-        if quad:
-            w_cat = woop_ref[q]                       # (4, 3*kp)
-        else:
-            w_cat = _dnf_gather_group(woop_ref, ids, k)   # (4, 3*kp)
+        w_cat = _dnf_gather_group(woop_ref, ids, k)   # (4, 3*kp)
         t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp)
         t_min = jnp.min(t_pair, axis=1, keepdims=True)
         upd = t_min < best_t
@@ -768,24 +751,15 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         inv_len = jax.lax.rsqrt(
             jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
         )
-        if quad:
-            mat_cat = mat_ref[q]                      # (1, kp)
-        else:
-            mat_cat = jnp.concatenate(
-                [mat_ref[c] for c in ids], axis=1
-            )
+        mat_cat = jnp.concatenate([mat_ref[c] for c in ids], axis=1)
         mat_sel = jnp.max(
             jnp.where(first, mat_cat, 0), axis=1, keepdims=True
         )
         # Winning lane -> (cluster id, lane within cluster).
-        if quad:
-            # Block-contiguous ids: global slot is just an offset.
-            gslot = q * kp + slot
-        else:
-            cwin = ids[0]
-            for j in range(1, group):
-                cwin = jnp.where(slot >= j * k, ids[j], cwin)
-            gslot = cwin * k + (slot & (k - 1))
+        cwin = ids[0]
+        for j in range(1, group):
+            cwin = jnp.where(slot >= j * k, ids[j], cwin)
+        gslot = cwin * k + (slot & (k - 1))
         t_ref[:] = jnp.where(upd, t_min, best_t)
         slot_ref[:] = jnp.where(upd, gslot, slot_ref[:])
         n_new = jnp.concatenate(
@@ -795,47 +769,21 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
         hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
 
-    def cond(carry):
-        return carry[0]
+    def cond(found):
+        return found
 
-    def body(carry):
-        _, it = carry
-        if recull > 1:
-            @pl.when(it % recull == 0)
-            def _():
-                bt = _bt_inflate(t_ref[:], idx_bits)      # (tile, 1)
-                keys = key_ref[:]
-                live = jnp.where(keys < bt, keys, _INT_MAX)
-                r = jnp.min(live, axis=0, keepdims=True)  # (1, c_pad)
-                row_ref[:] = jnp.where(dead_ref[:] > 0, _INT_MAX, r)
-
-            # Exact cheap cull vs the tile-wide loosest bound: key >=
-            # inflate(max best_t) implies tn > every ray's best_t.
-            bt_max = _bt_inflate(
-                jnp.max(t_ref[:], keepdims=True), idx_bits
-            )
-            row = jnp.where(row_ref[:] < bt_max[0], row_ref[:], _INT_MAX)
-        else:
-            bt = _bt_inflate(t_ref[:], idx_bits)          # (tile, 1)
-            keys = key_ref[:]
-            live = jnp.where(keys < bt, keys, _INT_MAX)   # conservative
-            row = jnp.min(live, axis=0, keepdims=True)    # (1, c_pad)
-            row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
-        if quad:
-            ids, valids, _ = _dnf_pop_group(
-                row, rowc, n_clusters, idx_bits, 1
-            )
-            q = ids[0] // group
-            retire = (rowq == q) & valids[0]
-        else:
-            ids, valids, row_after = _dnf_pop_group(
-                row, rowc, n_clusters, idx_bits, group
-            )
-            retire = jnp.zeros((1, c_pad), jnp.bool_)
-            for c, v in zip(ids, valids):
-                retire = retire | ((rowc == c) & v)
-        if recull > 1:
-            row_ref[:] = jnp.where(retire, _INT_MAX, row)
+    def body(found):
+        bt = _bt_inflate(t_ref[:], idx_bits)          # (tile, 1)
+        keys = key_ref[:]
+        live = jnp.where(keys < bt, keys, _INT_MAX)   # conservative cull
+        row = jnp.min(live, axis=0, keepdims=True)    # (1, c_pad)
+        row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
+        ids, valids, _ = _dnf_pop_group(
+            row, rowc, n_clusters, idx_bits, group
+        )
+        retire = jnp.zeros((1, c_pad), jnp.bool_)
+        for c, v in zip(ids, valids):
+            retire = retire | ((rowc == c) & v)
         dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
 
         # debug_mode (timing bisection only — wrong results): 1 = skip
@@ -844,11 +792,11 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         if debug_mode != 1:
             @pl.when(valids[0])
             def _():
-                eval_group(ids, q if quad else None)
+                eval_group(ids)
 
-        return valids[0], it + 1
+        return valids[0]
 
-    jax.lax.while_loop(cond, body, (jnp.bool_(True), jnp.int32(0)))
+    jax.lax.while_loop(cond, body, jnp.bool_(True))
 
 
 def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
@@ -924,10 +872,10 @@ def _dnf_bounds(clusters, c_pad: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "group",
-                                    "recull", "quad", "debug_mode"))
+                                    "debug_mode"))
 def trace_pallas_dnf(clusters, origin, direction, t_init,
                      interpret=False, tile=DNF_TILE, group=4,
-                     recull=1, quad=False, debug_mode=0):
+                     debug_mode=0):
     """Dense nearest-first cluster trace; same contract as trace_pallas.
 
     Flat scenes only (cluster count <= DNF_MAX_CLUSTERS and Woop data
@@ -959,32 +907,9 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
     cb = _dnf_bounds(clusters, c_pad)
     grid = r_pad // tile
 
-    if quad:
-        # Pre-transpose Woop/mat into aligned per-block tensors so the
-        # kernel's block eval is ONE contiguous dynamic load. Layout:
-        # (C4, 4, [u-blocks | v-blocks | w-blocks]) with each component
-        # block holding `group` clusters' 128 lanes in cluster order —
-        # exactly what _pair_eval_wide expects. Zero-padded clusters
-        # have all-zero Woop rows (dp_w -> eps, t = 0 <= T_MIN: never
-        # hit) and mat 0.
-        k = CLUSTER_SIZE
-        c4 = -(-c // group)
-        wpad = c4 * group - c
-        woop_p = jnp.pad(clusters.woop, ((0, wpad), (0, 0), (0, 0)))
-        woop_in = woop_p.reshape(c4, group, 4, 3, k).transpose(
-            0, 2, 3, 1, 4
-        ).reshape(c4, 4, 3 * group * k)
-        mat_in = jnp.pad(
-            clusters.mat, ((0, wpad), (0, 0))
-        ).reshape(c4, 1, group * k)
-    else:
-        woop_in = clusters.woop
-        mat_in = clusters.mat[:, None, :]
-
     t, slot, normal, mat = pl.pallas_call(
         functools.partial(_tile_kernel_dnf, n_clusters=c, tile=tile,
                           c_pad=c_pad, idx_bits=idx_bits, group=group,
-                          recull=recull, quad=quad,
                           debug_mode=debug_mode),
         grid=(grid,),
         in_specs=[
@@ -1017,13 +942,13 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
         scratch_shapes=[
             pltpu.VMEM((tile, c_pad), jnp.int32),     # packed keys
             pltpu.VMEM((1, c_pad), jnp.int32),        # retired clusters
-            pltpu.VMEM((1, c_pad), jnp.int32),        # persistent row
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_aug, d_aug, t_init[:, None], cb, woop_in, mat_in)
+    )(o_aug, d_aug, t_init[:, None], cb, clusters.woop,
+      clusters.mat[:, None, :])
     return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
 
 
