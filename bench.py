@@ -5,15 +5,19 @@ Baseline: 200 Mrays/s/chip (BASELINE.json:5 north-star target) — rays
 counted honestly as path segments actually traced (the wavefront engine's
 segment counter), not max_depth × pixels.
 
-Flagship configuration: wavefront engine (ray-sorted pool) + Pallas
-cluster-tree traversal, 1080p, 82k-triangle Cornell mesh, depth 8.
+Flagship configuration: megakernel engine (chunked image-order waves +
+depth-3 live-first compaction) + dense nearest-first Pallas traversal,
+1080p, 82k-triangle Cornell mesh, depth 8. (The wavefront engine's pool
+order decays over refills — measured slower since the DNF kernels made
+unsorted image-order waves the fast path; BENCH_ENGINE=wavefront still
+selects it.)
 
 Env knobs:
   BENCH_SCENE     (default cornell_mesh)   one of models.scenes.SCENES
   BENCH_WIDTH/HEIGHT (default 1920/1080)
   BENCH_STEPS     (default 2)   timed 1-spp steps after warmup
   BENCH_DEPTH     (default 8)
-  BENCH_ENGINE    (default wavefront)
+  BENCH_ENGINE    (default megakernel)
   BENCH_QUICK=1   tiny config for CI smoke runs
 """
 
@@ -48,7 +52,7 @@ def main() -> int:
     height = int(os.environ.get("BENCH_HEIGHT", 256 if quick else 1080))
     n_steps = int(os.environ.get("BENCH_STEPS", 1 if quick else 2))
     depth = int(os.environ.get("BENCH_DEPTH", 4 if quick else 8))
-    engine = os.environ.get("BENCH_ENGINE", "wavefront")
+    engine = os.environ.get("BENCH_ENGINE", "megakernel")
 
     config = RenderConfig(
         width=width, height=height, samples_per_pixel=n_steps + 1,
