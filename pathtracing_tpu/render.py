@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics-jsonl", default=None)
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace into this directory")
+    p.add_argument("--orbit", type=int, default=0,
+                   help="turntable mode: render N frames orbiting the "
+                        "scene's look-at point (the frame-loop analogue "
+                        "of the reference's windowed render loop, "
+                        "App.cs:39-42 — one compile, N camera frames); "
+                        "writes <out>_0000.png .. <out>_NNNN.png")
     p.add_argument("--preview", action="store_true",
                    help="live preview via matplotlib (if installed)")
     p.add_argument("--debug", action="store_true",
@@ -159,6 +165,9 @@ def main(argv=None) -> int:
         image.write_png(args.out, img)
         ptlog.log_information("wrote %s AOV to %s", args.aov, args.out)
         return 0
+
+    if args.orbit:
+        return _orbit_main(args, config, scene, cam_cfg)
 
     if args.engine == "wavefront":
         from pathtracing_tpu.models import wavefront as engine_mod
@@ -260,6 +269,63 @@ def main(argv=None) -> int:
     ptlog.log_information(
         "wrote %s (%d spp, %d steps)", args.out, int(state.spp), step
     )
+    return 0
+
+
+def _orbit_main(args, config, scene, cam_cfg) -> int:
+    """Turntable frame sequence: the reference's continuous windowed
+    render loop (`App.cs:39-42` → `Renderer.Render` per frame), mapped
+    to TPU batch reality — the camera is a *traced* pytree, so the
+    jitted render compiles ONCE and each frame is a pure device
+    execution with a new camera (the XLA analogue of re-recording
+    command buffers per frame, `Renderer.cs:1006-1040`). Frame seeds
+    differ (seed + frame) so animation noise is uncorrelated."""
+    import functools
+    import math as _math
+
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.models import megakernel
+
+    base = np.asarray(cam_cfg.position, np.float32)
+    target = np.asarray(cam_cfg.look_at, np.float32)
+    rel = base - target
+    r_xz = _math.hypot(float(rel[0]), float(rel[2]))
+    phi0 = _math.atan2(float(rel[0]), float(rel[2]))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def frame(scene, camera, seed):
+        spp = config.samples_per_pixel
+        acc = megakernel.render_samples(
+            scene, camera, config, jnp.int32(0), spp, seed
+        )
+        return acc / jnp.float32(spp)
+
+    import dataclasses
+
+    root, ext = os.path.splitext(args.out)
+    ext = ext or ".png"
+    out_dir = os.path.dirname(root)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    n = args.orbit
+    for i in range(n):
+        phi = phi0 + 2.0 * _math.pi * i / n
+        pos = target + np.array(
+            [r_xz * _math.sin(phi), float(rel[1]), r_xz * _math.cos(phi)],
+            np.float32,
+        )
+        cc = dataclasses.replace(cam_cfg, position=tuple(map(float, pos)))
+        camera = build_camera(cc, args.width / args.height)
+        with metrics.Timer() as t:
+            img = np.asarray(frame(scene, camera,
+                                   jnp.uint32(args.seed + i)))
+        path = f"{root}_{i:04d}{ext}"
+        image.write_png(path, img)
+        ptlog.log_information(
+            "frame %d/%d -> %s (%.2fs, %.1f fps-equivalent)",
+            i + 1, n, path, t.seconds, 1.0 / max(t.seconds, 1e-9),
+        )
     return 0
 
 

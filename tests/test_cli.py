@@ -71,6 +71,27 @@ def test_json_scene_render(tmp_path, extra):
     assert os.path.getsize(out) > 100
 
 
+def test_orbit_frames(tmp_path):
+    """--orbit N writes N distinct turntable frames (the reference's
+    windowed frame loop mapped to a batch camera path, App.cs:39-42)."""
+    out = str(tmp_path / "seq" / "f.png")
+    r = run_cli("--scene", "cornell_sphere", "--width", "12",
+                "--height", "12", "--spp", "2", "--max-depth", "2",
+                "--orbit", "3", "--out", out)
+    assert r.returncode == 0, r.stderr
+    from pathtracing_tpu.utils import image
+
+    frames = [
+        image.decode_png(
+            open(str(tmp_path / "seq" / f"f_{i:04d}.png"), "rb").read()
+        )
+        for i in range(3)
+    ]
+    assert all(f.shape == (12, 12, 3) for f in frames)
+    # The camera moves, so consecutive frames must differ.
+    assert not np.array_equal(frames[0], frames[1])
+
+
 def test_preview_flag_headless(tmp_path):
     """--preview with the Agg backend: the preview object must update
     per step without a display (VERDICT r1 item 9 — the last untested
