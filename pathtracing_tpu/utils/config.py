@@ -53,11 +53,16 @@ class RenderConfig:
     clamp: float = 0.0              # per-sample radiance clamp (0 = off);
                                     # trades a little bias for firefly
                                     # suppression at low spp
-    ray_sort: bool = True           # wavefront: group rays by (origin
-                                    # cell, direction octant) each
-                                    # iteration via the scatter/sort-free
-                                    # counting sort (ops.binning) —
-                                    # measured 1.7x on the mesh scene.
+    ray_sort: bool = True           # group rays by (origin cell,
+                                    # direction octant) per wave via the
+                                    # scatter/sort-free counting sort
+                                    # (ops.binning). Applies only to the
+                                    # tree/paged traversal (big scenes):
+                                    # scenes on the dense nearest-first
+                                    # kernels measure FASTER unsorted on
+                                    # every wave type and skip the sort
+                                    # regardless (PERF.md r2c,
+                                    # shading.bounce_batch policy).
     dtype: str = "float32"
     debug: bool = False             # NaN checks + interpret-mode kernels
                                     # (reference DEBUG validation-layer analogue,
