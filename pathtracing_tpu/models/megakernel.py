@@ -33,17 +33,22 @@ background_radiance = shading.background_radiance
 # coupling in the bounce).
 MAX_WAVE_RAYS = 1 << 18
 
-# Depth at which the sample's surviving paths are compacted live-first
-# (one stable 2-bin counting-sort permutation of the per-path state).
-# Deep waves run at ~37% occupancy with dead lanes SCATTERED — every
-# 128-ray traversal tile still walks its full cluster footprint
-# (measured: marginal deep-wave rate 1.39 Mrays/s vs 3.2 on a live
-# bounce wave). Grouping dead lanes into all-dead tiles lets those
-# tiles short-circuit at ~phase1 cost. Survivors keep image order
-# (stable sort), and the inverse take at sample end restores pixel
-# order exactly — per-path results are bitwise unchanged (pure
-# reordering; each ray's traversal result is tile-independent).
-COMPACT_DEPTH = 3
+# Depths at which the sample's surviving paths are compacted live-first
+# (one stable 2-bin counting-sort permutation of the per-path state per
+# listed depth). Deep waves run at ~37% occupancy with dead lanes
+# SCATTERED — every 128-ray traversal tile still walks its full cluster
+# footprint (measured: marginal deep-wave rate 1.39 Mrays/s vs 3.2 on a
+# live bounce wave; a traversal-stub probe puts the whole engine/shading
+# machinery at ~9 ms/wave, so traversal is ~94% of a step). Grouping
+# dead lanes into all-dead tiles lets those tiles short-circuit at
+# ~phase1 cost. A second/third compaction measured NET SLOWER (each
+# extra permutation costs ~40 ms and deep live tiles are intrinsically
+# incoherent — PERF.md r2d), so one depth ships; the machinery accepts
+# several. Survivors keep image order (stable sort) and the composed
+# inverse takes at sample end restore pixel order exactly — per-path
+# results are bitwise unchanged (pure reordering; each ray's traversal
+# result is tile-independent).
+COMPACT_DEPTHS = (3,)
 
 
 def render_samples(scene, camera, config: RenderConfig, sample_start,
@@ -115,29 +120,30 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
             )
             # Live-first compaction pays only when several deep waves
             # follow it and the DNF no-sort policy is active (the tree
-            # kernels' octant sort already groups dead rays).
-            do_compact = (scene_mod.uses_dnf(scene)
-                          and config.max_depth >= COMPACT_DEPTH + 3)
-            if not do_compact:
-                radiance, *_ = jax.lax.fori_loop(
-                    0, config.max_depth, make_bounce(keys), init
+            # kernels' octant sort already groups dead rays). Each
+            # listed depth gets its own permutation; the inverse takes
+            # compose (applied innermost-last) to restore pixel order.
+            depths = [d for d in sorted(COMPACT_DEPTHS)
+                      if scene_mod.uses_dnf(scene)
+                      and config.max_depth >= d + 2]
+            state, ks, start = init, keys, 0
+            invs = []
+            for d in depths:
+                state = jax.lax.fori_loop(start, d, make_bounce(ks),
+                                          state)
+                perm, inv = binning.binning_perm(
+                    jnp.where(state[4], 0, 1).astype(jnp.int32), 2
                 )
-                return radiance.reshape(chunk_rows, w, 3)
-
-            state = jax.lax.fori_loop(
-                0, COMPACT_DEPTH, make_bounce(keys), init
-            )
-            active = state[4]
-            perm, inv = binning.binning_perm(
-                jnp.where(active, 0, 1).astype(jnp.int32), 2
-            )
-            state = tuple(a[perm] for a in state)
-            keys_p = keys[perm]
+                state = tuple(a[perm] for a in state)
+                ks = ks[perm]
+                invs.append(inv)
+                start = d
             radiance, *_ = jax.lax.fori_loop(
-                COMPACT_DEPTH, config.max_depth, make_bounce(keys_p),
-                state,
+                start, config.max_depth, make_bounce(ks), state
             )
-            return radiance[inv].reshape(chunk_rows, w, 3)
+            for inv in reversed(invs):
+                radiance = radiance[inv]
+            return radiance.reshape(chunk_rows, w, 3)
 
         if n_chunks == 1:
             radiance = chunk_radiance(row_start)

@@ -132,6 +132,51 @@ class TestPhysics:
         assert ratio > 2.0, f"variance decay ratio {ratio}"
 
 
+class TestWaveRestructuring:
+    """Wave chunking and live-first compaction are pure reorderings —
+    both must be BITWISE identical to the plain full-wave loop
+    (megakernel.MAX_WAVE_RAYS / COMPACT_DEPTH docstrings)."""
+
+    def _render(self, scene, cam_cfg, cfg):
+        from pathtracing_tpu.models import megakernel
+
+        cam = build_camera(cam_cfg, 1.0)
+        return np.asarray(megakernel.render_samples(
+            scene, cam, cfg, jnp.int32(0), 2, jnp.uint32(0)
+        ))
+
+    def test_chunked_wave_bitwise(self, cornell):
+        from pathtracing_tpu.models import megakernel
+
+        scene, cam = cornell
+        cfg = RenderConfig(width=16, height=16, samples_per_pixel=2,
+                           max_depth=4, seed=0)
+        full = self._render(scene, cam, cfg)
+        old = megakernel.MAX_WAVE_RAYS
+        try:
+            megakernel.MAX_WAVE_RAYS = 16 * 4   # force 4 row chunks
+            chunked = self._render(scene, cam, cfg)
+        finally:
+            megakernel.MAX_WAVE_RAYS = old
+        np.testing.assert_array_equal(full, chunked)
+
+    def test_compaction_bitwise(self, cornell):
+        from pathtracing_tpu.models import megakernel
+
+        scene, cam = cornell
+        # max_depth 8 >= COMPACT_DEPTH + 3 triggers compaction.
+        cfg = RenderConfig(width=16, height=16, samples_per_pixel=2,
+                           max_depth=8, seed=0)
+        compacted = self._render(scene, cam, cfg)
+        old = megakernel.COMPACT_DEPTHS
+        try:
+            megakernel.COMPACT_DEPTHS = ()   # disable all compactions
+            plain = self._render(scene, cam, cfg)
+        finally:
+            megakernel.COMPACT_DEPTHS = old
+        np.testing.assert_array_equal(compacted, plain)
+
+
 class TestImageIO:
     def test_png_roundtrip(self):
         r = np.random.default_rng(0)
