@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "of the reference's windowed render loop, "
                         "App.cs:39-42 — one compile, N camera frames); "
                         "writes <out>_0000.png .. <out>_NNNN.png")
+    p.add_argument("--orbit-degrees", type=float, default=360.0,
+                   help="arc swept by --orbit, centered on the scene "
+                        "camera's position (default 360 = full turn; "
+                        "use a partial arc for interior scenes like the "
+                        "Cornell box, whose outside is black)")
     p.add_argument("--preview", action="store_true",
                    help="live preview via matplotlib (if installed)")
     p.add_argument("--debug", action="store_true",
@@ -309,8 +314,16 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     n = args.orbit
+    arc = _math.radians(args.orbit_degrees)
+    full_turn = abs(args.orbit_degrees) >= 360.0 - 1e-9
     for i in range(n):
-        phi = phi0 + 2.0 * _math.pi * i / n
+        # Full turns space frames over [0, arc) (frame n would repeat
+        # frame 0); partial arcs sweep [-arc/2, +arc/2] inclusive,
+        # centered on the scene camera.
+        if full_turn:
+            phi = phi0 + arc * i / n
+        else:
+            phi = phi0 + arc * (i / max(n - 1, 1) - 0.5)
         pos = target + np.array(
             [r_xz * _math.sin(phi), float(rel[1]), r_xz * _math.cos(phi)],
             np.float32,
