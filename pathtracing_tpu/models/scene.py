@@ -283,14 +283,18 @@ intersect_scene_batch = jax.vmap(intersect_scene, in_axes=(None, 0, 0))
 
 def uses_dnf(scene: Scene) -> bool:
     """True when ``intersect_batch``/``occluded_batch`` will route this
-    scene's cluster queries to the dense nearest-first kernels (flat
-    whole-in-VMEM scene under the DNF scratch budget). A Python-level
-    static predicate (shapes only) — engines use it to pick per-wave
-    sort policy at trace time (DNF waves measure FASTER unsorted for
-    camera and shadow waves, PERF.md r2 step decomposition)."""
-    return (scene.clusters is not None and scene.pages is None
-            and scene.clusters.woop.shape[0]
-            <= cluster_trace.DNF_MAX_CLUSTERS)
+    scene's cluster queries to a dense nearest-first kernel — flat
+    scenes under the DNF scratch budget AND HBM-paged scenes (the
+    per-page DNF sweep). A Python-level static predicate (shapes only)
+    — engines use it to pick wave policies at trace time: DNF waves
+    measure FASTER unsorted on every wave type, flat and paged alike
+    (PERF.md r2c/r2e), and benefit from the megakernel's live-first
+    compaction. Only the rare unpaged band past the DNF budget (and
+    bf16 mode) still wants the octant-sorted tree walk."""
+    return scene.clusters is not None and (
+        scene.pages is not None
+        or scene.clusters.woop.shape[0] <= cluster_trace.DNF_MAX_CLUSTERS
+    )
 
 
 def occluded_batch(scene: Scene, origin, direction, t_max,
@@ -342,7 +346,7 @@ def occluded_batch(scene: Scene, origin, direction, t_max,
     elif scene.pages is not None:
         # Paged scenes reuse the closest-hit page streamer (a dedicated
         # paged any-hit kernel would only save the epilogue).
-        _, slot, _, _ = cluster_trace.trace_pallas_paged(
+        _, slot, _, _ = cluster_trace.trace_pallas_paged_dnf(
             scene.clusters, scene.pages, origin, direction, cap,
             interpret=(traversal == "cluster_interpret"),
         )
@@ -425,13 +429,22 @@ def intersect_batch(scene: Scene, origin, direction,
         )
     elif traversal in ("cluster_pallas", "cluster_pallas_bf16",
                        "cluster_interpret"):
-        if scene.pages is not None:
-            # HBM-resident scene: stream Woop pages through VMEM.
+        if scene.pages is not None and traversal != "cluster_pallas_bf16":
+            # HBM-resident scene: stream Woop pages through VMEM with
+            # the per-page dense nearest-first sweep (5x the per-page
+            # tree walk on bounce waves, PERF.md r2e; the tree variant
+            # remains the bf16 path).
+            tri_t, slot, n_tri, mat_tri = (
+                cluster_trace.trace_pallas_paged_dnf(
+                    scene.clusters, scene.pages, origin_t, direction_t,
+                    t_init_t,
+                    interpret=(traversal == "cluster_interpret"),
+                )
+            )
+        elif scene.pages is not None:
             tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas_paged(
                 scene.clusters, scene.pages, origin_t, direction_t,
-                t_init_t,
-                interpret=(traversal == "cluster_interpret"),
-                bf16=(traversal == "cluster_pallas_bf16"),
+                t_init_t, bf16=True,
             )
         elif (traversal != "cluster_pallas_bf16"
               and scene.clusters.woop.shape[0]

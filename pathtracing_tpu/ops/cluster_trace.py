@@ -1440,6 +1440,130 @@ def _tile_kernel_paged(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
     hmats_ref[0:1, sl] = hitmat_ref[:].reshape(1, tile)
 
 
+def _tile_kernel_paged_dnf(o_ref, d_ref, t0_ref, pb_ref, woop_ref,
+                           mat_ref, t_ref, slot_ref, normal_ref,
+                           hitmat_ref, key_ref, dead_ref, ts_ref,
+                           slots_ref, norms_ref, hmats_ref, *,
+                           n_clusters: int, tile: int, cp_pad: int,
+                           idx_bits: int, group: int, page_size: int):
+    """One (page, ray-tile) step of the HBM-paged DENSE NEAREST-FIRST
+    sweep — the `_tile_kernel_dnf` structure over one page's clusters
+    (page-local ids, small idx_bits) inside `_tile_kernel_paged`'s
+    streaming skeleton (pages outer grid; per-ray best t / slot /
+    normal / mat carried across pages in transposed VMEM scratch).
+    Earlier pages' hits cull later pages through the carried best_t: a
+    page no live ray improves costs one phase-1 pass + one empty pop.
+    Replaces the per-page tree walk — on flat scenes the DNF sweep
+    measured ~3x the lookahead walk on bounce waves (PERF.md r2c)."""
+    page = pl.program_id(0)
+    tid = pl.program_id(1)
+    sl = pl.ds(tid * tile, tile)
+
+    @pl.when(page == 0)
+    def _():
+        t_ref[:] = t0_ref[:]
+        slot_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
+        normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
+        hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
+
+    @pl.when(page > 0)
+    def _():
+        t_ref[:] = ts_ref[0:1, sl].reshape(tile, 1)
+        slot_ref[:] = slots_ref[0:1, sl].reshape(tile, 1)
+        normal_ref[:] = norms_ref[:, sl].T.reshape(tile, 4)
+        hitmat_ref[:] = hmats_ref[0:1, sl].reshape(tile, 1)
+
+    o_aug = o_ref[:]
+    d_aug = d_ref[:]
+    inv_d = _safe_inv(d_aug[:, 0:3])
+    k = CLUSTER_SIZE
+    kp = k * group
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
+    rowc = jax.lax.broadcasted_iota(jnp.int32, (1, cp_pad), 1)
+
+    # Phase 1 against the CARRIED best_t: a page behind every ray's
+    # current hit produces an all-miss key matrix and exits after one
+    # empty pop. Scratch persists across grid steps — reset per step.
+    key_ref[:] = _dnf_phase1(o_aug, inv_d, pb_ref[0], t_ref[:], tile,
+                             cp_pad, idx_bits, n_clusters)
+    dead_ref[:] = jnp.zeros((1, cp_pad), jnp.int32)
+
+    def eval_group(ids):
+        best_t = t_ref[:]
+        blocks = [woop_ref[0, c] for c in ids]
+        parts = []
+        for comp in range(3):
+            parts += [b[:, comp * k:(comp + 1) * k] for b in blocks]
+        w_cat = jnp.concatenate(parts, axis=1)        # (4, 3*kp)
+        t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp)
+        t_min = jnp.min(t_pair, axis=1, keepdims=True)
+        upd = t_min < best_t
+        pick = t_pair <= t_min
+        slot = jnp.min(
+            jnp.where(pick, lane, kp), axis=1, keepdims=True
+        )
+        first = pick & (lane == slot)
+        zeros = jnp.zeros((tile, kp), jnp.float32)
+        wb = w_cat[:, 2 * kp:]
+        nx = jnp.sum(jnp.where(first, wb[0:1], zeros),
+                     axis=1, keepdims=True)
+        ny = jnp.sum(jnp.where(first, wb[1:2], zeros),
+                     axis=1, keepdims=True)
+        nz = jnp.sum(jnp.where(first, wb[2:3], zeros),
+                     axis=1, keepdims=True)
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+        )
+        mat_cat = jnp.concatenate(
+            [mat_ref[0, c] for c in ids], axis=1
+        )
+        mat_sel = jnp.max(
+            jnp.where(first, mat_cat, 0), axis=1, keepdims=True
+        )
+        cwin = ids[0]
+        for j in range(1, group):
+            cwin = jnp.where(slot >= j * k, ids[j], cwin)
+        gslot = (page * page_size + cwin) * k + (slot & (k - 1))
+        t_ref[:] = jnp.where(upd, t_min, best_t)
+        slot_ref[:] = jnp.where(upd, gslot, slot_ref[:])
+        n_new = jnp.concatenate(
+            [nx * inv_len, ny * inv_len, nz * inv_len,
+             jnp.zeros((tile, 1), jnp.float32)], axis=1
+        )
+        normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
+        hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
+
+    def cond(found):
+        return found
+
+    def body(found):
+        bt = _bt_inflate(t_ref[:], idx_bits)
+        keys = key_ref[:]
+        live = jnp.where(keys < bt, keys, _INT_MAX)
+        row = jnp.min(live, axis=0, keepdims=True)
+        row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
+        ids, valids, _ = _dnf_pop_group(
+            row, rowc, n_clusters, idx_bits, group
+        )
+        retire = jnp.zeros((1, cp_pad), jnp.bool_)
+        for c, v in zip(ids, valids):
+            retire = retire | ((rowc == c) & v)
+        dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
+
+        @pl.when(valids[0])
+        def _():
+            eval_group(ids)
+
+        return valids[0]
+
+    jax.lax.while_loop(cond, body, jnp.bool_(True))
+
+    ts_ref[0:1, sl] = t_ref[:].reshape(1, tile)
+    slots_ref[0:1, sl] = slot_ref[:].reshape(1, tile)
+    norms_ref[:, sl] = normal_ref[:].T.reshape(4, tile)
+    hmats_ref[0:1, sl] = hitmat_ref[:].reshape(1, tile)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "bf16",
                                     "lookahead", "drain"))
@@ -1552,6 +1676,110 @@ def trace_pallas_paged(clusters, pages, origin, direction, t_init,
     )(o_aug, d_aug, t_init[:, None], octs, pages.node_box,
       pages.node_meta, pages.oct_links, pages.cand_box, woop_paged,
       mat_paged)
+    return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "group"))
+def trace_pallas_paged_dnf(clusters, pages, origin, direction, t_init,
+                           interpret=False, tile=DNF_TILE, group=4):
+    """HBM-paged dense nearest-first sweep: contract of
+    ``trace_pallas_paged`` with ``trace_pallas_dnf``'s per-page kernel.
+    The page grid/streaming/state-carry skeleton is identical; only the
+    per-page traversal changes (no trees, no cand_box — just the page's
+    cluster AABBs in vector-row layout)."""
+    r = origin.shape[0]
+    r_pad = max(-(-r // tile), 4) * tile
+    pad = r_pad - r
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(
+            direction, ((0, pad), (0, 0)), constant_values=1.0
+        )
+        t_init = jnp.pad(t_init, (0, pad))
+
+    o_aug, d_aug = _augment(origin, direction)
+    n_pages = pages.node_box.shape[0]
+    c_tot = clusters.woop.shape[0]
+    page_size = c_tot // n_pages
+    grid_t = r_pad // tile
+
+    # Per-page cluster bounds, (P, 6, cp_pad) vector-row layout. Page
+    # padding clusters carry inverted (always-hit) AABBs in the flat
+    # set — rewrite them (and the lane-padding columns) as point boxes
+    # at +BIG, which no ray with best_t <= _BIG can hit.
+    cp_pad = -(-page_size // 128) * 128
+    amin, amax = clusters.aabb_min, clusters.aabb_max
+    is_pad = (amin[:, 0] > amax[:, 0])[:, None]
+    amin = jnp.where(is_pad, _BIG, amin).astype(jnp.float32)
+    amax = jnp.where(is_pad, _BIG, amax).astype(jnp.float32)
+    pb = jnp.concatenate(
+        [amin.reshape(n_pages, page_size, 3).transpose(0, 2, 1),
+         amax.reshape(n_pages, page_size, 3).transpose(0, 2, 1)], axis=1
+    )
+    lane_pad = cp_pad - page_size
+    if lane_pad:
+        pb = jnp.pad(pb, ((0, 0), (0, 0), (0, lane_pad)),
+                     constant_values=_BIG)
+    idx_bits = max((cp_pad - 1).bit_length(), 1)
+
+    woop_paged = clusters.woop.reshape(n_pages, page_size, 4,
+                                       3 * CLUSTER_SIZE)
+    mat_paged = clusters.mat.reshape(n_pages, page_size, 1, CLUSTER_SIZE)
+
+    state_specs = [
+        pl.BlockSpec((tile, 1), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 4), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    t, slot, normal, mat = pl.pallas_call(
+        functools.partial(
+            _tile_kernel_paged_dnf, n_clusters=page_size, tile=tile,
+            cp_pad=cp_pad, idx_bits=idx_bits, group=group,
+            page_size=page_size,
+        ),
+        grid=(n_pages, grid_t),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, cp_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),     # page bounds
+            pl.BlockSpec((1, page_size, 4, 3 * CLUSTER_SIZE),
+                         lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),     # page woop
+            pl.BlockSpec((1, page_size, 1, CLUSTER_SIZE),
+                         lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),     # page mat
+        ],
+        out_specs=tuple(state_specs),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, cp_pad), jnp.int32),    # packed keys
+            pltpu.VMEM((1, cp_pad), jnp.int32),       # retired clusters
+            pltpu.VMEM((1, r_pad), jnp.float32),      # best-t carry
+            pltpu.VMEM((1, r_pad), jnp.int32),        # slot carry
+            pltpu.VMEM((4, r_pad), jnp.float32),      # normal carry
+            pltpu.VMEM((1, r_pad), jnp.int32),        # mat carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_aug, d_aug, t_init[:, None], pb, woop_paged, mat_paged)
     return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
 
 
