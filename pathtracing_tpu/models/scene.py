@@ -183,9 +183,13 @@ class SceneBuilder:
         (node_min, node_max, node_meta), perm = bvh_ops.build_bvh(v0, e1, e2)
         cl, _ = cluster_ops.build_clusters(v0, e1, e2, tri_mat)
         pages = None
-        woop_mb = cl.woop.size * 4 / 1e6
-        if page_clusters or woop_mb > 64.0 or (
+        if page_clusters or (
+                cl.woop.shape[0] > cluster_trace.DNF_MAX_CLUSTERS) or (
                 cl.node_meta.shape[1] > cluster_ops.CAND_MAX_NODES):
+            # Page as soon as the scene exceeds the flat DNF kernel's
+            # scratch budget: the paged DNF sweep beats the flat tree
+            # walk well before the ~64 MB whole-in-VMEM Woop ceiling
+            # (PERF.md r2e), so there is no un-paged tree band left.
             cl, pages, _ = cluster_ops.build_pages(
                 cl, page_clusters or cluster_ops.PAGE_CLUSTERS
             )
