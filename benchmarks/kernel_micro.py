@@ -150,9 +150,12 @@ def main() -> int:
                 kw["group"] = int(mg.group(1))
             if mg.group(2):
                 kw["debug_mode"] = int(mg.group(2))
-        elif name == "anyhitdnf":
+        elif name.startswith("anyhitdnf"):
+            # anyhitdnf[g<group>]
             trace = cluster_trace.occluded_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
+            if name[9:].startswith("g"):
+                kw["group"] = int(name[10:])
         elif name.startswith("la") or name.startswith("lb"):
             # Lookahead variants la<K>x<B> (lb accepted as an alias);
             # trailing "a" = unconditional drain, e.g. lb4x1a.
@@ -188,7 +191,8 @@ def main() -> int:
             if fn is None:
                 continue
             for wave in waves:
-                if kernel in ("anyhit", "anyhitdnf") and wave != "shadow":
+                if (kernel == "anyhit"
+                        or kernel.startswith("anyhitdnf")) and wave != "shadow":
                     continue
                 o, d, t0 = wave_data[wave][:3]
                 float(fn(o, d, t0))  # compile + warm
