@@ -154,8 +154,12 @@ def main() -> int:
             # anyhitdnf[g<group>]
             trace = cluster_trace.occluded_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
-            if name[9:].startswith("g"):
-                kw["group"] = int(name[10:])
+            import re as _re
+            mg = _re.match(r"anyhitdnf(?:g(\d+))?$", name)
+            if mg is None:
+                raise SystemExit(f"bad kernel spec: {kernel!r}")
+            if mg.group(1):
+                kw["group"] = int(mg.group(1))
         elif name.startswith("la") or name.startswith("lb"):
             # Lookahead variants la<K>x<B> (lb accepted as an alias);
             # trailing "a" = unconditional drain, e.g. lb4x1a.

@@ -1,11 +1,15 @@
-"""Full-step decomposition: where one wavefront render step spends time.
+"""Full-step decomposition: where one render step spends its time.
 
-Times render_wave variants (feature toggles, same workload) so step-level
-changes can be attributed: full, ray_sort off, nee off, spheres-only
-culling off, and per-engine. Mrays/s uses the honest segment counter of
-the FULL config for every row, so rows are comparable as "same work,
-different feature cost" — a row that traces fewer segments (no-nee) shows
-up FASTER than its own honest rate, deliberately.
+Times render-step variants (feature toggles, same workload) so
+step-level changes can be attributed: wavefront full, NEE off, and the
+megakernel engine (with/without NEE). Mrays/s uses the honest segment
+counter of the FULL config for every row, so rows are comparable as
+"same work, different feature cost" — a row that traces fewer segments
+(no-nee) shows up FASTER than its own honest rate, deliberately.
+
+(A ray_sort toggle used to live here; since the DNF sort policy it
+compiles to the identical program on DNF-routed scenes and was dropped —
+sort effects are measured per-wave in kernel_micro.py instead.)
 
 Usage: python benchmarks/step_decomp.py      (TPU; ~minutes warm cache)
 Env: DECOMP_RES (default 768), DECOMP_DEPTH (8), DECOMP_SCENE level (6).
@@ -51,9 +55,11 @@ def main() -> int:
 
     variants = {
         "full": base,
-        "no_sort": dataclasses.replace(base, ray_sort=False),
         "no_nee": dataclasses.replace(base, nee=False),
         "megakernel": dataclasses.replace(base, engine="megakernel"),
+        "megakernel_no_nee": dataclasses.replace(
+            base, engine="megakernel", nee=False
+        ),
     }
 
     for name, config in variants.items():

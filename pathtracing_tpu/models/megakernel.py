@@ -119,13 +119,16 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
                 jnp.zeros(n_rays, jnp.bool_),
             )
             # Live-first compaction pays only when several deep waves
-            # follow it and the DNF no-sort policy is active (the tree
-            # kernels' octant sort already groups dead rays). Each
-            # listed depth gets its own permutation; the inverse takes
-            # compose (applied innermost-last) to restore pixel order.
+            # follow it AND the waves actually run through a DNF kernel
+            # (the tree kernels' octant sort already groups dead rays;
+            # the vmapped BVH walk has no tile footprint to help) — so
+            # gate on the resolved traversal, not just the scene shape.
+            # Each listed depth gets its own permutation; the inverse
+            # takes compose (innermost-last) to restore pixel order.
+            dnf_route = (scene_mod.uses_dnf(scene) and traversal in
+                         ("cluster_pallas", "cluster_interpret"))
             depths = [d for d in sorted(COMPACT_DEPTHS)
-                      if scene_mod.uses_dnf(scene)
-                      and config.max_depth >= d + 2]
+                      if dnf_route and config.max_depth >= d + 2]
             state, ks, start = init, keys, 0
             invs = []
             for d in depths:

@@ -91,10 +91,14 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     # bounce 3.19 vs 2.80, shadow 5.95 vs 4.41 Mrays/s — PERF.md r2):
     # image/pool order already bounds the per-tile cluster footprint
     # better than 216 octant bins, and the counting sort itself is pure
-    # cost. The tree/paged kernels (big scenes) still want the sort.
-    # Static decision (shapes only); binning is order-restoring, so
-    # either choice is bitwise-identical.
-    bin_rays = bin_rays and not scene_mod.uses_dnf(scene)
+    # cost. The tree kernels still want the sort — and bf16 mode routes
+    # to them regardless of scene shape, so the policy checks BOTH the
+    # scene (static shapes) and the resolved traversal. Binning is
+    # order-restoring, so either choice is bitwise-identical.
+    bin_rays = bin_rays and not (
+        scene_mod.uses_dnf(scene)
+        and traversal != "cluster_pallas_bf16"
+    )
     with jax.named_scope("intersect"):
         hit = scene_mod.intersect_batch(
             scene, o, d, traversal, active=active, bin_rays=bin_rays

@@ -669,6 +669,61 @@ def _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp: int):
     return jnp.where(ok, t, _BIG)
 
 
+def _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids, id_base, group,
+                    tile, t_ref, slot_ref, normal_ref, hitmat_ref,
+                    debug_mode=0):
+    """Dense group evaluation + shading epilogue shared by the flat and
+    paged DNF kernels. ``w_cat`` (4, 3*kp) / ``mat_cat`` (1, kp) are the
+    caller-gathered group blocks (the gather differs: flat vs page-local
+    refs); ``id_base`` offsets page-local cluster ids to global ids for
+    the slot encoding (0 for the flat kernel)."""
+    k = CLUSTER_SIZE
+    kp = k * group
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
+    best_t = t_ref[:]
+    t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp)
+    t_min = jnp.min(t_pair, axis=1, keepdims=True)
+    upd = t_min < best_t
+    if debug_mode == 2:   # timing bisection: no shading epilogue
+        t_ref[:] = jnp.where(upd, t_min, best_t)
+        return
+    pick = t_pair <= t_min
+    slot = jnp.min(
+        jnp.where(pick, lane, kp), axis=1, keepdims=True
+    )
+    first = pick & (lane == slot)
+    zeros = jnp.zeros((tile, kp), jnp.float32)
+    # Normal rows: the w-block of the grouped tensor IS the stacked
+    # M w-rows of all `group` clusters, already lane-aligned with
+    # t_pair.
+    wb = w_cat[:, 2 * kp:]
+    nx = jnp.sum(jnp.where(first, wb[0:1], zeros),
+                 axis=1, keepdims=True)
+    ny = jnp.sum(jnp.where(first, wb[1:2], zeros),
+                 axis=1, keepdims=True)
+    nz = jnp.sum(jnp.where(first, wb[2:3], zeros),
+                 axis=1, keepdims=True)
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+    )
+    mat_sel = jnp.max(
+        jnp.where(first, mat_cat, 0), axis=1, keepdims=True
+    )
+    # Winning lane -> (cluster id, lane within cluster).
+    cwin = ids[0]
+    for j in range(1, group):
+        cwin = jnp.where(slot >= j * k, ids[j], cwin)
+    gslot = (id_base + cwin) * k + (slot & (k - 1))
+    t_ref[:] = jnp.where(upd, t_min, best_t)
+    slot_ref[:] = jnp.where(upd, gslot, slot_ref[:])
+    n_new = jnp.concatenate(
+        [nx * inv_len, ny * inv_len, nz * inv_len,
+         jnp.zeros((tile, 1), jnp.float32)], axis=1
+    )
+    normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
+    hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
+
+
 def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
                      t_ref, slot_ref, normal_ref, hitmat_ref,
                      key_ref, dead_ref, *, n_clusters: int,
@@ -715,8 +770,6 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
     normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
     hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
     k = CLUSTER_SIZE
-    kp = k * group
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
     rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
 
     key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t0_ref[:], tile,
@@ -724,50 +777,11 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
     dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
 
     def eval_group(ids):
-        best_t = t_ref[:]
         w_cat = _dnf_gather_group(woop_ref, ids, k)   # (4, 3*kp)
-        t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp)
-        t_min = jnp.min(t_pair, axis=1, keepdims=True)
-        upd = t_min < best_t
-        if debug_mode == 2:   # timing bisection: no shading epilogue
-            t_ref[:] = jnp.where(upd, t_min, best_t)
-            return
-        pick = t_pair <= t_min
-        slot = jnp.min(
-            jnp.where(pick, lane, kp), axis=1, keepdims=True
-        )
-        first = pick & (lane == slot)
-        zeros = jnp.zeros((tile, kp), jnp.float32)
-        # Normal rows: the w-block of the grouped tensor IS the stacked
-        # M w-rows of all `group` clusters, already lane-aligned with
-        # t_pair.
-        wb = w_cat[:, 2 * kp:]
-        nx = jnp.sum(jnp.where(first, wb[0:1], zeros),
-                     axis=1, keepdims=True)
-        ny = jnp.sum(jnp.where(first, wb[1:2], zeros),
-                     axis=1, keepdims=True)
-        nz = jnp.sum(jnp.where(first, wb[2:3], zeros),
-                     axis=1, keepdims=True)
-        inv_len = jax.lax.rsqrt(
-            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
-        )
         mat_cat = jnp.concatenate([mat_ref[c] for c in ids], axis=1)
-        mat_sel = jnp.max(
-            jnp.where(first, mat_cat, 0), axis=1, keepdims=True
-        )
-        # Winning lane -> (cluster id, lane within cluster).
-        cwin = ids[0]
-        for j in range(1, group):
-            cwin = jnp.where(slot >= j * k, ids[j], cwin)
-        gslot = cwin * k + (slot & (k - 1))
-        t_ref[:] = jnp.where(upd, t_min, best_t)
-        slot_ref[:] = jnp.where(upd, gslot, slot_ref[:])
-        n_new = jnp.concatenate(
-            [nx * inv_len, ny * inv_len, nz * inv_len,
-             jnp.zeros((tile, 1), jnp.float32)], axis=1
-        )
-        normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
-        hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
+        _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids, 0, group,
+                        tile, t_ref, slot_ref, normal_ref, hitmat_ref,
+                        debug_mode)
 
     def cond(found):
         return found
@@ -1477,8 +1491,6 @@ def _tile_kernel_paged_dnf(o_ref, d_ref, t0_ref, pb_ref, woop_ref,
     d_aug = d_ref[:]
     inv_d = _safe_inv(d_aug[:, 0:3])
     k = CLUSTER_SIZE
-    kp = k * group
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
     rowc = jax.lax.broadcasted_iota(jnp.int32, (1, cp_pad), 1)
 
     # Phase 1 against the CARRIED best_t: a page behind every ray's
@@ -1489,49 +1501,17 @@ def _tile_kernel_paged_dnf(o_ref, d_ref, t0_ref, pb_ref, woop_ref,
     dead_ref[:] = jnp.zeros((1, cp_pad), jnp.int32)
 
     def eval_group(ids):
-        best_t = t_ref[:]
         blocks = [woop_ref[0, c] for c in ids]
         parts = []
         for comp in range(3):
             parts += [b[:, comp * k:(comp + 1) * k] for b in blocks]
         w_cat = jnp.concatenate(parts, axis=1)        # (4, 3*kp)
-        t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp)
-        t_min = jnp.min(t_pair, axis=1, keepdims=True)
-        upd = t_min < best_t
-        pick = t_pair <= t_min
-        slot = jnp.min(
-            jnp.where(pick, lane, kp), axis=1, keepdims=True
-        )
-        first = pick & (lane == slot)
-        zeros = jnp.zeros((tile, kp), jnp.float32)
-        wb = w_cat[:, 2 * kp:]
-        nx = jnp.sum(jnp.where(first, wb[0:1], zeros),
-                     axis=1, keepdims=True)
-        ny = jnp.sum(jnp.where(first, wb[1:2], zeros),
-                     axis=1, keepdims=True)
-        nz = jnp.sum(jnp.where(first, wb[2:3], zeros),
-                     axis=1, keepdims=True)
-        inv_len = jax.lax.rsqrt(
-            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
-        )
         mat_cat = jnp.concatenate(
             [mat_ref[0, c] for c in ids], axis=1
         )
-        mat_sel = jnp.max(
-            jnp.where(first, mat_cat, 0), axis=1, keepdims=True
-        )
-        cwin = ids[0]
-        for j in range(1, group):
-            cwin = jnp.where(slot >= j * k, ids[j], cwin)
-        gslot = (page * page_size + cwin) * k + (slot & (k - 1))
-        t_ref[:] = jnp.where(upd, t_min, best_t)
-        slot_ref[:] = jnp.where(upd, gslot, slot_ref[:])
-        n_new = jnp.concatenate(
-            [nx * inv_len, ny * inv_len, nz * inv_len,
-             jnp.zeros((tile, 1), jnp.float32)], axis=1
-        )
-        normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
-        hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
+        _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids,
+                        page * page_size, group, tile, t_ref, slot_ref,
+                        normal_ref, hitmat_ref)
 
     def cond(found):
         return found

@@ -172,6 +172,11 @@ def main(argv=None) -> int:
         return 0
 
     if args.orbit:
+        if args.engine == "wavefront":
+            ptlog.log_warning(
+                "--orbit always renders frames via the megakernel "
+                "engine; --engine wavefront is ignored for orbits"
+            )
         return _orbit_main(args, config, scene, cam_cfg)
 
     if args.engine == "wavefront":
@@ -319,11 +324,14 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
     for i in range(n):
         # Full turns space frames over [0, arc) (frame n would repeat
         # frame 0); partial arcs sweep [-arc/2, +arc/2] inclusive,
-        # centered on the scene camera.
+        # centered on the scene camera (a single frame sits AT the
+        # center, not the arc edge).
         if full_turn:
             phi = phi0 + arc * i / n
+        elif n == 1:
+            phi = phi0
         else:
-            phi = phi0 + arc * (i / max(n - 1, 1) - 0.5)
+            phi = phi0 + arc * (i / (n - 1) - 0.5)
         pos = target + np.array(
             [r_xz * _math.sin(phi), float(rel[1]), r_xz * _math.cos(phi)],
             np.float32,

@@ -164,9 +164,12 @@ class TestWaveRestructuring:
         from pathtracing_tpu.models import megakernel
 
         scene, cam = cornell
-        # max_depth 8 >= COMPACT_DEPTH + 3 triggers compaction.
+        # max_depth 8 triggers compaction — but only on the DNF route,
+        # so force the interpret-mode cluster kernel (CPU default is the
+        # bvh walk, where compaction is gated off as pure overhead).
         cfg = RenderConfig(width=16, height=16, samples_per_pixel=2,
-                           max_depth=8, seed=0)
+                           max_depth=8, seed=0,
+                           traversal="cluster_interpret")
         compacted = self._render(scene, cam, cfg)
         old = megakernel.COMPACT_DEPTHS
         try:
