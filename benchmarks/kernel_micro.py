@@ -140,16 +140,21 @@ def main() -> int:
             if trace is None:
                 return None
         elif name.startswith("dnf"):
-            # dnf[g<group>][m<debug_mode>], e.g. dnfg8, dnfm1, dnfg2m2
+            # dnf[g<group>][w][m<debug_mode>], e.g. dnfg8, dnfw (windowed
+            # pop), dnfm1, dnfg2wm2
             trace = cluster_trace.trace_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
             body = name[3:]
             import re as _re
-            mg = _re.match(r"(?:g(\d+))?(?:m(\d+))?$", body)
+            mg = _re.match(r"(?:g(\d+))?(w)?(?:m(\d+))?$", body)
+            if mg is None:
+                raise SystemExit(f"bad kernel spec: {kernel!r}")
             if mg.group(1):
                 kw["group"] = int(mg.group(1))
             if mg.group(2):
-                kw["debug_mode"] = int(mg.group(2))
+                kw["windowed"] = True
+            if mg.group(3):
+                kw["debug_mode"] = int(mg.group(3))
         elif name.startswith("anyhitdnf"):
             # anyhitdnf[g<group>]
             trace = cluster_trace.occluded_pallas_dnf

@@ -573,7 +573,7 @@ _INT_MAX = 2147483647
 
 
 def _dnf_phase1(o_aug, inv_d, cb_ref, best0, tile: int, c_pad: int,
-                idx_bits: int, n_clusters: int):
+                idx_bits: int, n_clusters: int, interleave: int = 0):
     """Dense slab test of the whole tile against ALL cluster AABBs.
 
     Returns keys (tile, c_pad) i32 packing each (ray, cluster) pair's
@@ -597,6 +597,12 @@ def _dnf_phase1(o_aug, inv_d, cb_ref, best0, tile: int, c_pad: int,
         tn = jnp.maximum(tn, jnp.minimum(t0a, t1a))
         tf = jnp.minimum(tf, jnp.maximum(t0a, t1a))
     cidx = jax.lax.broadcasted_iota(jnp.int32, (tile, c_pad), 1)
+    if interleave:
+        # Windowed layout: the caller permuted the bounds columns so
+        # column j holds cluster id (j % 128)*nw + j//128 — adjacent
+        # cluster ids (spatial SAH neighbors) land in DIFFERENT 128-lane
+        # windows. Keys must carry the TRUE id.
+        cidx = (cidx % 128) * interleave + cidx // 128
     hit = ((tn <= tf) & (tf > T_MIN) & (tn < best0)
            & (cidx < n_clusters))
     tnc = jnp.maximum(tn, 0.0)
@@ -629,6 +635,50 @@ def _dnf_pop_group(row, rowc, n_clusters: int, idx_bits: int, p: int):
         valids.append(valid)
         row = jnp.where(rowc == c, _INT_MAX, row)
     return ids, valids, row
+
+
+def _dnf_pop_window(row, rowc, n_clusters: int, idx_bits: int, p: int):
+    """Windowed pop: ONE vector min per 128-lane window of the row, then
+    a scalar-core insertion tournament keeps the ``p`` smallest window
+    minima — replacing ``p`` SERIAL min-reduce→scalar syncs with nw
+    INDEPENDENT (pipelineable) extractions plus cheap scalar compares.
+    Requires the interleaved column layout (``_dnf_phase1`` with
+    ``interleave=nw``): spatially adjacent cluster ids sit in different
+    windows, so the p nearest clusters usually occupy distinct windows;
+    when they do not, the runner-up pops one iteration later (extra
+    iterations, never wrong answers — evals are idempotent).
+    Returns (ids, valids, any_valid, retire column mask). ``any_valid``
+    is the loop-continuation signal: with the p >= nw shortcut the
+    group is NOT sorted, so ``valids[0]`` alone would terminate early
+    when window 0 happens to be empty."""
+    nw = row.shape[1] // 128
+    wmin = jnp.min(row.reshape(nw, 128), axis=1)   # (nw,)
+    if p >= nw:
+        # One pop per window — no tournament needed (order within the
+        # group is irrelevant: evals are idempotent and the conservative
+        # cull only needs the true nearest to be IN the group).
+        best = [wmin[i] for i in range(nw)]
+        best += [jnp.int32(_INT_MAX)] * (p - nw)
+    else:
+        best = [jnp.int32(_INT_MAX)] * p
+        for i in range(nw):
+            v = wmin[i]
+            for j in range(p):
+                lo = jnp.minimum(best[j], v)
+                v = jnp.maximum(best[j], v)
+                best[j] = lo
+    ids, valids = [], []
+    retire = jnp.zeros(row.shape, jnp.bool_)
+    any_valid = jnp.bool_(False)
+    for b in best:
+        valid = b < _INT_MAX
+        c = jnp.minimum(b & ((1 << idx_bits) - 1), n_clusters - 1)
+        pos = (c % nw) * 128 + c // nw   # column of id c (interleaved)
+        ids.append(c)
+        valids.append(valid)
+        any_valid = any_valid | valid
+        retire = retire | ((rowc == pos) & valid)
+    return ids, valids, any_valid, retire
 
 
 def _dnf_gather_group(woop_ref, ids, k: int):
@@ -728,7 +778,7 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
                      t_ref, slot_ref, normal_ref, hitmat_ref,
                      key_ref, dead_ref, *, n_clusters: int,
                      tile: int, c_pad: int, idx_bits: int, group: int,
-                     debug_mode: int = 0):
+                     windowed: bool = False, debug_mode: int = 0):
     """Dense nearest-first closest-hit: NO tree, NO scalar walk.
 
     The round-2 lookahead kernel sits near the scalar-op floor (~0.4 µs
@@ -773,7 +823,8 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
     rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
 
     key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t0_ref[:], tile,
-                             c_pad, idx_bits, n_clusters)
+                             c_pad, idx_bits, n_clusters,
+                             interleave=c_pad // 128 if windowed else 0)
     dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
 
     def eval_group(ids):
@@ -792,23 +843,29 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         live = jnp.where(keys < bt, keys, _INT_MAX)   # conservative cull
         row = jnp.min(live, axis=0, keepdims=True)    # (1, c_pad)
         row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
-        ids, valids, _ = _dnf_pop_group(
-            row, rowc, n_clusters, idx_bits, group
-        )
-        retire = jnp.zeros((1, c_pad), jnp.bool_)
-        for c, v in zip(ids, valids):
-            retire = retire | ((rowc == c) & v)
+        if windowed:
+            ids, valids, any_valid, retire = _dnf_pop_window(
+                row, rowc, n_clusters, idx_bits, group
+            )
+        else:
+            ids, valids, _ = _dnf_pop_group(
+                row, rowc, n_clusters, idx_bits, group
+            )
+            any_valid = valids[0]   # pop 0 is the global min
+            retire = jnp.zeros((1, c_pad), jnp.bool_)
+            for c, v in zip(ids, valids):
+                retire = retire | ((rowc == c) & v)
         dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
 
         # debug_mode (timing bisection only — wrong results): 1 = skip
         # the dense eval (measures loop + cull + extraction; iterations
         # become pierced/group), 2 = eval but skip the shading epilogue.
         if debug_mode != 1:
-            @pl.when(valids[0])
+            @pl.when(any_valid)
             def _():
                 eval_group(ids)
 
-        return valids[0]
+        return any_valid
 
     jax.lax.while_loop(cond, body, jnp.bool_(True))
 
@@ -816,7 +873,7 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
 def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
                          occ_ref, key_ref, dead_ref, *, n_clusters: int,
                          tile: int, c_pad: int, idx_bits: int,
-                         group: int):
+                         group: int, windowed: bool = False):
     """Dense nearest-first any-hit: the _tile_kernel_dnf structure with
     the light occlusion epilogue (flip the lane's bit, drop its t-cap to
     0). Nearest-first ordering still pays — near geometry occludes most
@@ -831,7 +888,8 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
     rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
 
     key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t_cap0, tile, c_pad,
-                             idx_bits, n_clusters)
+                             idx_bits, n_clusters,
+                             interleave=c_pad // 128 if windowed else 0)
     dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
 
     def cond(found):
@@ -844,22 +902,28 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
         live = jnp.where(keys < bt, keys, _INT_MAX)
         row = jnp.min(live, axis=0, keepdims=True)
         row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
-        ids, valids, _ = _dnf_pop_group(
-            row, rowc, n_clusters, idx_bits, group
-        )
-        retire = jnp.zeros((1, c_pad), jnp.bool_)
-        for c, v in zip(ids, valids):
-            retire = retire | ((rowc == c) & v)
+        if windowed:
+            ids, valids, any_valid, retire = _dnf_pop_window(
+                row, rowc, n_clusters, idx_bits, group
+            )
+        else:
+            ids, valids, _ = _dnf_pop_group(
+                row, rowc, n_clusters, idx_bits, group
+            )
+            any_valid = valids[0]
+            retire = jnp.zeros((1, c_pad), jnp.bool_)
+            for c, v in zip(ids, valids):
+                retire = retire | ((rowc == c) & v)
         dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
 
-        @pl.when(valids[0])
+        @pl.when(any_valid)
         def _():
             w_cat = _dnf_gather_group(woop_ref, ids, k)
             t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, cap, kp)
             t_min = jnp.min(t_pair, axis=1, keepdims=True)
             occ_ref[:] = jnp.where(t_min < cap, 1.0, occ_ref[:])
 
-        return valids[0]
+        return any_valid
 
     jax.lax.while_loop(cond, body, jnp.bool_(True))
 
@@ -886,10 +950,10 @@ def _dnf_bounds(clusters, c_pad: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "group",
-                                    "debug_mode"))
+                                    "windowed", "debug_mode"))
 def trace_pallas_dnf(clusters, origin, direction, t_init,
-                     interpret=False, tile=DNF_TILE, group=4,
-                     debug_mode=0):
+                     interpret=False, tile=DNF_TILE, group=None,
+                     windowed=None, debug_mode=0):
     """Dense nearest-first cluster trace; same contract as trace_pallas.
 
     Flat scenes only (cluster count <= DNF_MAX_CLUSTERS and Woop data
@@ -908,6 +972,13 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
         )
     c_pad = -(-c // 128) * 128
     idx_bits = max((c_pad - 1).bit_length(), 1)
+    # Auto policy (PERF.md r2f): the windowed pop needs >= 4 lane
+    # windows to beat the serial 4-pop (tiny scenes would waste eval
+    # width on one pop per iteration); group 6 measured best windowed.
+    if windowed is None:
+        windowed = c_pad >= 512
+    if group is None:
+        group = 6 if windowed else 4
     r_pad = -(-r // tile) * tile
     pad = r_pad - r
     if pad:
@@ -919,12 +990,18 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
 
     o_aug, d_aug = _augment(origin, direction)
     cb = _dnf_bounds(clusters, c_pad)
+    if windowed:
+        # Interleaved column layout for the windowed pop: column j holds
+        # cluster id (j % 128)*nw + j//128 (see _dnf_pop_window).
+        nw = c_pad // 128
+        col = jnp.arange(c_pad, dtype=jnp.int32)
+        cb = cb[:, (col % 128) * nw + col // 128]
     grid = r_pad // tile
 
     t, slot, normal, mat = pl.pallas_call(
         functools.partial(_tile_kernel_dnf, n_clusters=c, tile=tile,
                           c_pad=c_pad, idx_bits=idx_bits, group=group,
-                          debug_mode=debug_mode),
+                          windowed=windowed, debug_mode=debug_mode),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, 4), lambda i: (i, 0),
@@ -966,9 +1043,12 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
     return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile", "group"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "group",
+                                    "windowed"))
 def occluded_pallas_dnf(clusters, origin, direction, t_max,
-                        interpret=False, tile=DNF_TILE, group=4):
+                        interpret=False, tile=DNF_TILE, group=None,
+                        windowed=None):
     """Dense nearest-first any-hit occlusion; contract of occluded_pallas."""
     c = clusters.woop.shape[0]
     r = origin.shape[0]
@@ -981,6 +1061,13 @@ def occluded_pallas_dnf(clusters, origin, direction, t_max,
         )
     c_pad = -(-c // 128) * 128
     idx_bits = max((c_pad - 1).bit_length(), 1)
+    # Auto policy (PERF.md r2f): the windowed pop needs >= 4 lane
+    # windows to beat the serial 4-pop (tiny scenes would waste eval
+    # width on one pop per iteration); group 6 measured best windowed.
+    if windowed is None:
+        windowed = c_pad >= 512
+    if group is None:
+        group = 6 if windowed else 4
     r_pad = -(-r // tile) * tile
     pad = r_pad - r
     if pad:
@@ -992,11 +1079,16 @@ def occluded_pallas_dnf(clusters, origin, direction, t_max,
 
     o_aug, d_aug = _augment(origin, direction)
     cb = _dnf_bounds(clusters, c_pad)
+    if windowed:
+        nw = c_pad // 128
+        col = jnp.arange(c_pad, dtype=jnp.int32)
+        cb = cb[:, (col % 128) * nw + col // 128]
     grid = r_pad // tile
 
     occ = pl.pallas_call(
         functools.partial(_tile_kernel_occ_dnf, n_clusters=c, tile=tile,
-                          c_pad=c_pad, idx_bits=idx_bits, group=group),
+                          c_pad=c_pad, idx_bits=idx_bits, group=group,
+                          windowed=windowed),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, 4), lambda i: (i, 0),
@@ -1459,7 +1551,8 @@ def _tile_kernel_paged_dnf(o_ref, d_ref, t0_ref, pb_ref, woop_ref,
                            hitmat_ref, key_ref, dead_ref, ts_ref,
                            slots_ref, norms_ref, hmats_ref, *,
                            n_clusters: int, tile: int, cp_pad: int,
-                           idx_bits: int, group: int, page_size: int):
+                           idx_bits: int, group: int, page_size: int,
+                           windowed: bool = False):
     """One (page, ray-tile) step of the HBM-paged DENSE NEAREST-FIRST
     sweep — the `_tile_kernel_dnf` structure over one page's clusters
     (page-local ids, small idx_bits) inside `_tile_kernel_paged`'s
@@ -1497,7 +1590,8 @@ def _tile_kernel_paged_dnf(o_ref, d_ref, t0_ref, pb_ref, woop_ref,
     # current hit produces an all-miss key matrix and exits after one
     # empty pop. Scratch persists across grid steps — reset per step.
     key_ref[:] = _dnf_phase1(o_aug, inv_d, pb_ref[0], t_ref[:], tile,
-                             cp_pad, idx_bits, n_clusters)
+                             cp_pad, idx_bits, n_clusters,
+                             interleave=cp_pad // 128 if windowed else 0)
     dead_ref[:] = jnp.zeros((1, cp_pad), jnp.int32)
 
     def eval_group(ids):
@@ -1522,19 +1616,25 @@ def _tile_kernel_paged_dnf(o_ref, d_ref, t0_ref, pb_ref, woop_ref,
         live = jnp.where(keys < bt, keys, _INT_MAX)
         row = jnp.min(live, axis=0, keepdims=True)
         row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
-        ids, valids, _ = _dnf_pop_group(
-            row, rowc, n_clusters, idx_bits, group
-        )
-        retire = jnp.zeros((1, cp_pad), jnp.bool_)
-        for c, v in zip(ids, valids):
-            retire = retire | ((rowc == c) & v)
+        if windowed:
+            ids, valids, any_valid, retire = _dnf_pop_window(
+                row, rowc, n_clusters, idx_bits, group
+            )
+        else:
+            ids, valids, _ = _dnf_pop_group(
+                row, rowc, n_clusters, idx_bits, group
+            )
+            any_valid = valids[0]
+            retire = jnp.zeros((1, cp_pad), jnp.bool_)
+            for c, v in zip(ids, valids):
+                retire = retire | ((rowc == c) & v)
         dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
 
-        @pl.when(valids[0])
+        @pl.when(any_valid)
         def _():
             eval_group(ids)
 
-        return valids[0]
+        return any_valid
 
     jax.lax.while_loop(cond, body, jnp.bool_(True))
 
@@ -1660,9 +1760,11 @@ def trace_pallas_paged(clusters, pages, origin, direction, t_init,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "group"))
+                   static_argnames=("interpret", "tile", "group",
+                                    "windowed"))
 def trace_pallas_paged_dnf(clusters, pages, origin, direction, t_init,
-                           interpret=False, tile=DNF_TILE, group=4):
+                           interpret=False, tile=DNF_TILE, group=None,
+                           windowed=None):
     """HBM-paged dense nearest-first sweep: contract of
     ``trace_pallas_paged`` with ``trace_pallas_dnf``'s per-page kernel.
     The page grid/streaming/state-carry skeleton is identical; only the
@@ -1702,6 +1804,14 @@ def trace_pallas_paged_dnf(clusters, pages, origin, direction, t_init,
         pb = jnp.pad(pb, ((0, 0), (0, 0), (0, lane_pad)),
                      constant_values=_BIG)
     idx_bits = max((cp_pad - 1).bit_length(), 1)
+    if windowed is None:
+        windowed = cp_pad >= 512
+    if group is None:
+        group = 6 if windowed else 4
+    if windowed:
+        nw = cp_pad // 128
+        col = jnp.arange(cp_pad, dtype=jnp.int32)
+        pb = pb[:, :, (col % 128) * nw + col // 128]
 
     woop_paged = clusters.woop.reshape(n_pages, page_size, 4,
                                        3 * CLUSTER_SIZE)
@@ -1721,7 +1831,7 @@ def trace_pallas_paged_dnf(clusters, pages, origin, direction, t_init,
         functools.partial(
             _tile_kernel_paged_dnf, n_clusters=page_size, tile=tile,
             cp_pad=cp_pad, idx_bits=idx_bits, group=group,
-            page_size=page_size,
+            page_size=page_size, windowed=windowed,
         ),
         grid=(n_pages, grid_t),
         in_specs=[
