@@ -978,7 +978,9 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
     if windowed is None:
         windowed = c_pad >= 512
     if group is None:
-        group = 6 if windowed else 4
+        # Windowed: one pop per window up to 6 (eval width tracks the
+        # actual pops — group > nw only pads the eval with clamp-dups).
+        group = min(6, c_pad // 128) if windowed else 4
     r_pad = -(-r // tile) * tile
     pad = r_pad - r
     if pad:
@@ -1067,7 +1069,9 @@ def occluded_pallas_dnf(clusters, origin, direction, t_max,
     if windowed is None:
         windowed = c_pad >= 512
     if group is None:
-        group = 6 if windowed else 4
+        # Windowed: one pop per window up to 6 (eval width tracks the
+        # actual pops — group > nw only pads the eval with clamp-dups).
+        group = min(6, c_pad // 128) if windowed else 4
     r_pad = -(-r // tile) * tile
     pad = r_pad - r
     if pad:
@@ -1807,7 +1811,7 @@ def trace_pallas_paged_dnf(clusters, pages, origin, direction, t_init,
     if windowed is None:
         windowed = cp_pad >= 512
     if group is None:
-        group = 6 if windowed else 4
+        group = min(6, cp_pad // 128) if windowed else 4
     if windowed:
         nw = cp_pad // 128
         col = jnp.arange(cp_pad, dtype=jnp.int32)
