@@ -239,3 +239,55 @@ def test_paged_occlusion_matches(paged_scene):
     )
     ref = np.asarray(hit.valid & (hit.t < tmax))
     np.testing.assert_array_equal(np.asarray(occ), ref)
+
+
+def test_windowed_pop_matches_serial(mesh_scene):
+    """The windowed pop (interleaved columns + per-window minima +
+    scalar tournament) must be BITWISE equal to the serial 4-pop — it
+    only changes evaluation order, which conservative culling and
+    idempotent evals make invisible. Forced on explicitly (the auto
+    policy enables it only past 512 clusters)."""
+    from pathtracing_tpu.ops import cluster_trace
+
+    o, d = random_rays(512, 11, spread=0.8, center=(0.0, -0.3, 0.5))
+    t0 = jnp.full((512,), 3.0e38, jnp.float32)
+    t0 = t0.at[::5].set(0.0)   # dead lanes short-circuit too
+    base = cluster_trace.trace_pallas_dnf(
+        mesh_scene.clusters, o, d, t0, interpret=True, windowed=False,
+        group=4,
+    )
+    for g in (2, 4, 8):
+        win = cluster_trace.trace_pallas_dnf(
+            mesh_scene.clusters, o, d, t0, interpret=True,
+            windowed=True, group=g,
+        )
+        live = np.asarray(t0) > 0
+        for a, b in zip(base, win):
+            np.testing.assert_array_equal(
+                np.asarray(a)[live], np.asarray(b)[live]
+            )
+
+
+def test_windowed_multiwindow_matches_oracle():
+    """Multi-window case (938 clusters -> 8 windows, the production
+    shape): windowed DNF closest-hit and any-hit vs the pure-JAX
+    oracle."""
+    from pathtracing_tpu.ops import cluster_trace
+
+    scene, _ = scenes.cornell_mesh(6)
+    assert scene.clusters.woop.shape[0] >= 512   # auto windowed fires
+    o, d = random_rays(256, 13, spread=0.8, center=(0.0, -0.3, 0.5))
+    t0 = jnp.full((256,), 3.0e38, jnp.float32)
+    ref = cluster_trace.trace_jax(scene.clusters, o, d, t0)
+    got = cluster_trace.trace_pallas_dnf(
+        scene.clusters, o, d, t0, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+    tmax = jnp.full((256,), 1.0, jnp.float32)
+    occ = cluster_trace.occluded_pallas_dnf(
+        scene.clusters, o, d, tmax, interpret=True
+    )
+    _, slot, _, _ = cluster_trace.trace_jax(scene.clusters, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(slot >= 0))
