@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-hdr", default=None,
                    help="also write the linear HDR radiance (.npz with "
                         "'radiance' (H,W,3) f32 and 'spp')")
+    p.add_argument("--tonemap", default="clip", choices=["clip", "aces"],
+                   help="display transform: 'clip' (plain sRGB clamp — "
+                        "the reference swapchain's behavior) or 'aces' "
+                        "(filmic highlight rolloff)")
+    p.add_argument("--exposure", type=float, default=1.0,
+                   help="linear exposure multiplier applied before the "
+                        "tone curve")
     p.add_argument("--clamp", type=float, default=0.0,
                    help="per-sample radiance clamp (firefly suppression; "
                         "0 = unbiased/off)")
@@ -231,7 +238,8 @@ def main(argv=None) -> int:
                     img = np.asarray(img)  # rides the tunnel while the
                     #                        device runs the new step
                     if do_png:
-                        image.write_png(args.out, img)
+                        image.write_png(args.out, img,
+                                        args.exposure, args.tonemap)
                     if preview is not None:
                         preview.update(img, psnap_spp)
                     pending = None
@@ -260,7 +268,8 @@ def main(argv=None) -> int:
                 pending = (progressive.resolve(state), int(state.spp),
                            do_png)
         if pending is not None and pending[2]:
-            image.write_png(args.out, np.asarray(pending[0]))
+            image.write_png(args.out, np.asarray(pending[0]),
+                            args.exposure, args.tonemap)
             pending = None
     except KeyboardInterrupt:
         ptlog.log_warning("interrupted at %d spp", int(state.spp))
@@ -275,7 +284,8 @@ def main(argv=None) -> int:
         np.savez(args.out_hdr,
                  radiance=np.asarray(progressive.resolve(state)),
                  spp=int(state.spp))
-    image.write_png(args.out, progressive.resolve(state))
+    image.write_png(args.out, progressive.resolve(state),
+                    args.exposure, args.tonemap)
     ptlog.log_information(
         "wrote %s (%d spp, %d steps)", args.out, int(state.spp), step
     )
@@ -342,7 +352,7 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
             img = np.asarray(frame(scene, camera,
                                    jnp.uint32(args.seed + i)))
         path = f"{root}_{i:04d}{ext}"
-        image.write_png(path, img)
+        image.write_png(path, img, args.exposure, args.tonemap)
         ptlog.log_information(
             "frame %d/%d -> %s (%.2fs, %.1f fps-equivalent)",
             i + 1, n, path, t.seconds, 1.0 / max(t.seconds, 1e-9),
@@ -362,7 +372,8 @@ def _tiled_main(args, config, scene, camera) -> int:
         state = tiles.render_tiled_adaptive(
             scene, camera, config, args.tiles, progress=progress
         )
-        image.write_png(args.out, tiles.resolve_tiled(state))
+        image.write_png(args.out, tiles.resolve_tiled(state),
+                        args.exposure, args.tonemap)
         ptlog.log_information(
             "wrote %s (adaptive; band spp %s)", args.out,
             list(map(int, state.band_spp)),
@@ -387,7 +398,7 @@ def _tiled_main(args, config, scene, camera) -> int:
         inject_fault_band=args.inject_fault, progress=progress,
     )
     mean = state.accum / np.maximum(state.band_spp.min(), 1)
-    image.write_png(args.out, mean)
+    image.write_png(args.out, mean, args.exposure, args.tonemap)
     ptlog.log_information(
         "wrote %s (%d bands x %d spp)", args.out, args.tiles,
         int(state.band_spp.min()),

@@ -9,6 +9,7 @@ one HBM→host transfer → PNG/PPM bytes. The PNG encoder is pure stdlib
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -25,14 +26,33 @@ def linear_to_srgb(rgb):
     return jnp.where(rgb <= 0.0031308, lo, hi)
 
 
-@jax.jit
-def tonemap(linear_rgb):
+def aces_film(rgb):
+    """ACES filmic curve (Narkowicz 2015 RRT+ODT fit): the standard
+    highlight-rolloff tone curve — bright areas compress smoothly into
+    white instead of clipping, mids get a gentle S-curve. Input linear
+    scene radiance, output linear display [0, 1] (sRGB OETF applied
+    afterwards by the caller)."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    rgb = jnp.maximum(rgb, 0.0)
+    return jnp.clip(
+        (rgb * (a * rgb + b)) / (rgb * (c * rgb + d) + e), 0.0, 1.0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("curve",))
+def tonemap(linear_rgb, exposure=1.0, curve: str = "clip"):
     """Linear HDR radiance → uint8 sRGB (device-side; one op before host
     transfer, replacing the reference's blit+swapchain).
 
-    Quantization is dithered with a deterministic per-pixel hash so
-    smooth radial/linear gradients don't contour into visible bands at
-    8 bits (converged renders are noise-free enough to show them)."""
+    ``exposure`` scales radiance before the tone curve; ``curve`` is
+    "clip" (plain clamp at 1 — the reference swapchain's behavior) or
+    "aces" (filmic highlight rolloff). Quantization is dithered with a
+    deterministic per-pixel hash so smooth radial/linear gradients
+    don't contour into visible bands at 8 bits (converged renders are
+    noise-free enough to show them)."""
+    linear_rgb = linear_rgb * exposure
+    if curve == "aces":
+        linear_rgb = aces_film(linear_rgb)
     srgb = linear_to_srgb(linear_rgb)
     if srgb.ndim == 3:
         h, w, _ = srgb.shape
@@ -105,9 +125,12 @@ def decode_png(data: bytes) -> np.ndarray:
     return np.stack(rows).reshape(h, w, 3)
 
 
-def write_png(path: str, linear_rgb) -> None:
+def write_png(path: str, linear_rgb, exposure=1.0,
+              curve: str = "clip") -> None:
     """Tonemap + encode + write in one call."""
-    rgb8 = np.asarray(jax.device_get(tonemap(jnp.asarray(linear_rgb))))
+    rgb8 = np.asarray(jax.device_get(
+        tonemap(jnp.asarray(linear_rgb), exposure, curve)
+    ))
     with open(path, "wb") as f:
         f.write(encode_png(rgb8))
 

@@ -198,3 +198,23 @@ class TestImageIO:
         # Below the knee sRGB is linear ×12.92.
         v = image.linear_to_srgb(jnp.float32(0.002))
         assert float(v) == pytest.approx(0.002 * 12.92, rel=1e-4)
+
+
+class TestTonemapCurves:
+    def test_aces_monotone_and_bounded(self):
+        x = jnp.linspace(0.0, 20.0, 512)
+        y = np.asarray(image.aces_film(x))
+        assert (np.diff(y) >= -1e-7).all()          # monotone
+        assert y.min() >= 0.0 and y.max() <= 1.0    # bounded
+        # Highlights roll off instead of clipping: at 2x mid-grey the
+        # curve is still below 1 while plain clip saturates.
+        assert y[np.searchsorted(np.asarray(x), 2.0)] < 0.95
+
+    def test_tonemap_exposure_and_curve(self):
+        lin = jnp.full((4, 4, 3), 0.18, jnp.float32)
+        dim = np.asarray(image.tonemap(lin, exposure=0.5))
+        bright = np.asarray(image.tonemap(lin, exposure=2.0))
+        assert bright.mean() > dim.mean()
+        aces = np.asarray(image.tonemap(lin, curve="aces"))
+        clip = np.asarray(image.tonemap(lin))
+        assert not np.array_equal(aces, clip)
