@@ -97,8 +97,26 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
                 lambda p: shading.camera_sample(camera, config, seed, p,
                                                 sample_idx)
             )(pixel_index)
+            if config.sampler == "ld":
+                # First-vertex stratified pairs, computed ONCE per
+                # sample (the Halton radical inverses are loop-invariant
+                # — computing them inside the bounce loop measured ~6%
+                # of a step).
+                from pathtracing_tpu.ops import rng as rng_ops
 
-            def make_bounce(ks):
+                def pairs(tag):
+                    a, b = jax.vmap(
+                        lambda p: rng_ops.ld_pair(seed, p, sample_idx,
+                                                  tag)
+                    )(pixel_index)
+                    return jnp.stack([a, b], axis=-1)
+
+                ld_nee = pairs(rng_ops.STREAM_NEE)
+                ld_scatter = pairs(rng_ops.STREAM_SCATTER)
+            else:
+                ld_nee = ld_scatter = None
+
+            def make_bounce(ks, ldn, lds):
                 def bounce(depth, state):
                     radiance, throughput, o, d, active, pdf, pdiff = state
                     return shading.bounce_batch(
@@ -106,6 +124,7 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
                         active, config.rr_start_depth, config.background,
                         traversal, nee=config.nee, prev_pdf=pdf,
                         prev_nee=pdiff, bin_rays=config.ray_sort,
+                        ld_nee=ldn, ld_scatter=lds,
                     )
                 return bounce
 
@@ -130,19 +149,23 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
             depths = [d for d in sorted(COMPACT_DEPTHS)
                       if dnf_route and config.max_depth >= d + 2]
             state, ks, start = init, keys, 0
+            ldn, lds = ld_nee, ld_scatter
             invs = []
             for d in depths:
-                state = jax.lax.fori_loop(start, d, make_bounce(ks),
+                state = jax.lax.fori_loop(start, d,
+                                          make_bounce(ks, ldn, lds),
                                           state)
                 perm, inv = binning.binning_perm(
                     jnp.where(state[4], 0, 1).astype(jnp.int32), 2
                 )
                 state = tuple(a[perm] for a in state)
                 ks = ks[perm]
+                if ldn is not None:
+                    ldn, lds = ldn[perm], lds[perm]
                 invs.append(inv)
                 start = d
             radiance, *_ = jax.lax.fori_loop(
-                start, config.max_depth, make_bounce(ks), state
+                start, config.max_depth, make_bounce(ks, ldn, lds), state
             )
             for inv in reversed(invs):
                 radiance = radiance[inv]

@@ -53,7 +53,8 @@ INV_PI = 0.3183098861837907
 def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                  rr_start_depth, background: str, traversal: str,
                  nee: bool = False, prev_pdf=None, prev_nee=None,
-                 bin_rays: bool = False, return_shadow_count: bool = False):
+                 bin_rays: bool = False, return_shadow_count: bool = False,
+                 ld_nee=None, ld_scatter=None):
     """One bounce for a whole (R,) ray batch — the production path.
 
     Identical math and RNG streams to the original per-ray form (the
@@ -76,6 +77,15 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     shadow rays ACTUALLY traced this bounce (the ``cand`` lanes — not
     every NEE-lobe vertex; backfacing-to-light vertices skip the ray),
     feeding the honest segments metric.
+
+    ``ld_nee`` / ``ld_scatter`` ((R, 2), optional): PRECOMPUTED
+    low-discrepancy pairs for the FIRST vertex's variance-dominant 2D
+    draws — the NEE light-surface point and the BSDF direction pair
+    (``ops.rng.ld_pair``; engines compute them once per sample, outside
+    the bounce loop, so the Halton math doesn't run every wave). Used
+    where ``depth == 0``; deeper bounces keep independent threefry
+    streams. Unbiased (rotation preserves uniform marginals); only
+    per-pixel variance drops.
     """
     from pathtracing_tpu.models import scene as scene_mod
     from pathtracing_tpu.ops import lights as lights_ops
@@ -150,6 +160,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 dtype=jnp.float32,
             )
         )(keys, depth)
+        if ld_nee is not None:
+            d0 = (depth == 0)[:, None]
+            ul = jnp.concatenate(
+                [ul[:, 0:1], jnp.where(d0, ld_nee, ul[:, 1:3])], axis=1
+            )
         lp, ln, lemit = lights_ops.sample(scene.lights, ul)
         wi_vec = lp - hit.position
         dist2 = jnp.sum(wi_vec * wi_vec, axis=-1)
@@ -190,6 +205,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             dtype=jnp.float32,
         )
     )(keys, depth)
+    if ld_scatter is not None:
+        d0 = (depth == 0)[:, None]
+        u = jnp.concatenate(
+            [jnp.where(d0, ld_scatter, u[:, 0:2]), u[:, 2:]], axis=1
+        )
     d_out, atten, scattered, scatter_pdf = materials.scatter(
         mtype, alb, par, emit, hit.normal, d, hit.front, u
     )
@@ -236,10 +256,17 @@ def camera_sample(camera, config, seed, pixel_index, sample_index):
     # Film t runs bottom→top; image row 0 is the top.
     y = (h - 1 - pixel_index // w).astype(jnp.float32)
     k = rng.pixel_sample_key(seed, pixel_index, sample_index)
-    ju = jax.random.uniform(
-        rng.stream_key(k, 0, rng.STREAM_PIXEL_JITTER), (2,),
-        dtype=jnp.float32,
-    )
+    if getattr(config, "sampler", "ld") == "ld":
+        # Stratified pixel jitter: each pixel's samples form a
+        # progressively refining Halton point set (ops.rng.ld_pair).
+        j0, j1 = rng.ld_pair(seed, pixel_index, sample_index,
+                             rng.STREAM_PIXEL_JITTER)
+        ju = jnp.stack([j0, j1])
+    else:
+        ju = jax.random.uniform(
+            rng.stream_key(k, 0, rng.STREAM_PIXEL_JITTER), (2,),
+            dtype=jnp.float32,
+        )
     lu = jax.random.uniform(
         rng.stream_key(k, 0, rng.STREAM_LENS), (2,), dtype=jnp.float32
     )

@@ -131,6 +131,21 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         keys = jax.vmap(
             lambda p, s: rng.pixel_sample_key(seed, p, s)
         )(pool.pixel, pool.sample)
+        if config.sampler == "ld":
+            # Depth-0 slots are this wave's fresh refills; their
+            # stratified first-vertex pairs are recomputed per wave
+            # (the wavefront pool mixes depths, so there is no
+            # loop-invariant hoist like the megakernel's).
+            def pairs(tag):
+                a, b = jax.vmap(
+                    lambda p, si: rng.ld_pair(seed, p, si, tag)
+                )(pool.pixel, pool.sample)
+                return jnp.stack([a, b], axis=-1)
+
+            ld_nee = pairs(rng.STREAM_NEE)
+            ld_scatter = pairs(rng.STREAM_SCATTER)
+        else:
+            ld_nee = ld_scatter = None
         radiance, throughput, o, d, active, pdf, pdiff, n_shadow = (
             shading.bounce_batch(
                 scene, pool.origin, pool.direction, keys, pool.depth,
@@ -138,7 +153,8 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
                 config.rr_start_depth, config.background, traversal,
                 nee=config.nee, prev_pdf=pool.prev_pdf,
                 prev_nee=pool.prev_nee, bin_rays=config.ray_sort,
-                return_shadow_count=True,
+                return_shadow_count=True, ld_nee=ld_nee,
+                ld_scatter=ld_scatter,
             )
         )
         depth = pool.depth + 1

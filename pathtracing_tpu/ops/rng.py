@@ -46,3 +46,59 @@ def uniform2(key):
 
 def uniform3(key):
     return jax.random.uniform(key, (3,), dtype=jnp.float32)
+
+
+# --- Progressive low-discrepancy sampling -------------------------------
+#
+# A Halton (base 2, base 3) pair indexed by the GLOBAL sample counter,
+# Cranley-Patterson rotated by a per-(pixel, stream) uniform offset:
+# each pixel sees a well-stratified 2D point set that refines
+# progressively (no power-of-two spp needed), while the rotation
+# decorrelates pixels so the shared sequence never shows as structured
+# noise. Rotation of a uniform point is uniform, so every sample's
+# marginal distribution is unchanged — the estimator stays unbiased;
+# only the per-pixel variance drops. Counters only (no state), so
+# engines, shardings, and resume points all reproduce bit-exactly, same
+# as the threefry streams.
+
+
+def _bitrev32(n):
+    n = ((n >> 1) & 0x55555555) | ((n & 0x55555555) << 1)
+    n = ((n >> 2) & 0x33333333) | ((n & 0x33333333) << 2)
+    n = ((n >> 4) & 0x0F0F0F0F) | ((n & 0x0F0F0F0F) << 4)
+    n = ((n >> 8) & 0x00FF00FF) | ((n & 0x00FF00FF) << 8)
+    return (n >> 16) | (n << 16)
+
+
+def _vdc2(s):
+    """Base-2 radical inverse (van der Corput) of a uint32 index."""
+    bits = _bitrev32(s.astype(jnp.uint32))
+    return bits.astype(jnp.float32) * jnp.float32(2.0**-32)
+
+
+def _vdc3(s):
+    """Base-3 radical inverse; 20 digits cover indices past 3^20≈3.5e9."""
+    n = s.astype(jnp.uint32)
+    r = jnp.zeros_like(n, dtype=jnp.float32)
+    base = jnp.float32(1.0 / 3.0)
+    for _ in range(20):
+        r = r + (n % 3).astype(jnp.float32) * base
+        n = n // 3
+        base = base * jnp.float32(1.0 / 3.0)
+    return r
+
+
+def ld_pair(seed, pixel_index, sample_index, stream_tag):
+    """Stratified 2D sample: Halton(2,3) point ``sample_index`` with a
+    per-(seed, pixel, stream) rotation. Broadcasts over array inputs;
+    returns values shaped like ``sample_index`` (+ trailing pair dim via
+    tuple). Used for the variance-dominant first-vertex draws; deeper
+    bounces keep independent threefry streams (their dimensionality is
+    unbounded and stratification there buys little)."""
+    key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(seed), pixel_index), stream_tag
+    )
+    rot = jax.random.uniform(key, (2,), dtype=jnp.float32)
+    u0 = _vdc2(sample_index) + rot[0]
+    u1 = _vdc3(sample_index) + rot[1]
+    return u0 - jnp.floor(u0), u1 - jnp.floor(u1)

@@ -50,6 +50,12 @@ class RenderConfig:
                                     # "cluster_pallas" | "cluster_interpret"
     nee: bool = True                # next-event estimation (direct light
                                     # sampling w/ MIS at diffuse vertices)
+    sampler: str = "ld"             # "ld": Halton(2,3) + per-pixel
+                                    # Cranley-Patterson rotation for the
+                                    # variance-dominant first-vertex
+                                    # draws (pixel jitter, first NEE,
+                                    # first scatter); "independent":
+                                    # pure threefry streams
     clamp: float = 0.0              # per-sample radiance clamp (0 = off);
                                     # trades a little bias for firefly
                                     # suppression at low spp
