@@ -111,7 +111,13 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
                     )(pixel_index)
                     return jnp.stack([a, b], axis=-1)
 
-                ld_nee = pairs(rng_ops.STREAM_NEE)
+                pick = jax.vmap(
+                    lambda p: rng_ops.ld_scalar(seed, p, sample_idx,
+                                                rng_ops.STREAM_NEE)
+                )(pixel_index)[:, None]
+                ld_nee = jnp.concatenate(
+                    [pick, pairs(rng_ops.STREAM_NEE)], axis=1
+                )
                 ld_scatter = pairs(rng_ops.STREAM_SCATTER)
             else:
                 ld_nee = ld_scatter = None

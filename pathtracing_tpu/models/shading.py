@@ -78,7 +78,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     every NEE-lobe vertex; backfacing-to-light vertices skip the ray),
     feeding the honest segments metric.
 
-    ``ld_nee`` / ``ld_scatter`` ((R, 2), optional): PRECOMPUTED
+    ``ld_nee`` ((R, 3)) / ``ld_scatter`` ((R, 2)) (optional): PRECOMPUTED
     low-discrepancy pairs for the FIRST vertex's variance-dominant 2D
     draws — the NEE light-surface point and the BSDF direction pair
     (``ops.rng.ld_pair``; engines compute them once per sample, outside
@@ -162,9 +162,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         )(keys, depth)
         if ld_nee is not None:
             d0 = (depth == 0)[:, None]
-            ul = jnp.concatenate(
-                [ul[:, 0:1], jnp.where(d0, ld_nee, ul[:, 1:3])], axis=1
-            )
+            ul = jnp.where(d0, ld_nee, ul)
         lp, ln, lemit = lights_ops.sample(scene.lights, ul)
         wi_vec = lp - hit.position
         dist2 = jnp.sum(wi_vec * wi_vec, axis=-1)
@@ -262,14 +260,18 @@ def camera_sample(camera, config, seed, pixel_index, sample_index):
         j0, j1 = rng.ld_pair(seed, pixel_index, sample_index,
                              rng.STREAM_PIXEL_JITTER)
         ju = jnp.stack([j0, j1])
+        l0, l1 = rng.ld_pair(seed, pixel_index, sample_index,
+                             rng.STREAM_LENS)
+        lu = jnp.stack([l0, l1])
     else:
         ju = jax.random.uniform(
             rng.stream_key(k, 0, rng.STREAM_PIXEL_JITTER), (2,),
             dtype=jnp.float32,
         )
-    lu = jax.random.uniform(
-        rng.stream_key(k, 0, rng.STREAM_LENS), (2,), dtype=jnp.float32
-    )
+        lu = jax.random.uniform(
+            rng.stream_key(k, 0, rng.STREAM_LENS), (2,),
+            dtype=jnp.float32,
+        )
     s = (x + ju[0]) / w
     t = (y + ju[1]) / h
     o, d = camera_ops.generate_ray(camera, s, t, lu[0], lu[1])

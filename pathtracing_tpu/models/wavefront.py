@@ -142,7 +142,11 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
                 )(pool.pixel, pool.sample)
                 return jnp.stack([a, b], axis=-1)
 
-            ld_nee = pairs(rng.STREAM_NEE)
+            pick = jax.vmap(
+                lambda p, si: rng.ld_scalar(seed, p, si, rng.STREAM_NEE)
+            )(pool.pixel, pool.sample)[:, None]
+            ld_nee = jnp.concatenate([pick, pairs(rng.STREAM_NEE)],
+                                     axis=1)
             ld_scatter = pairs(rng.STREAM_SCATTER)
         else:
             ld_nee = ld_scatter = None

@@ -88,6 +88,32 @@ def _vdc3(s):
     return r
 
 
+def _vdc5(s):
+    """Base-5 radical inverse; 14 digits cover indices past 5^14≈6e9."""
+    n = s.astype(jnp.uint32)
+    r = jnp.zeros_like(n, dtype=jnp.float32)
+    base = jnp.float32(1.0 / 5.0)
+    for _ in range(14):
+        r = r + (n % 5).astype(jnp.float32) * base
+        n = n // 5
+        base = base * jnp.float32(1.0 / 5.0)
+    return r
+
+
+def ld_scalar(seed, pixel_index, sample_index, stream_tag):
+    """Stratified 1D sample (base-5 van der Corput + per-pixel
+    rotation): used for the NEE light-pick dimension, where stratifying
+    across samples spreads a pixel's shadow rays over the scene's
+    lights instead of re-rolling them independently."""
+    key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(seed), pixel_index),
+        stream_tag + 1,
+    )
+    rot = jax.random.uniform(key, (), dtype=jnp.float32)
+    u = _vdc5(sample_index) + rot
+    return u - jnp.floor(u)
+
+
 def ld_pair(seed, pixel_index, sample_index, stream_tag):
     """Stratified 2D sample: Halton(2,3) point ``sample_index`` with a
     per-(seed, pixel, stream) rotation. Broadcasts over array inputs;
