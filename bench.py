@@ -15,7 +15,7 @@ selects it.)
 Env knobs:
   BENCH_SCENE     (default cornell_mesh)   one of models.scenes.SCENES
   BENCH_WIDTH/HEIGHT (default 1920/1080)
-  BENCH_STEPS     (default 2)   timed 1-spp steps after warmup
+  BENCH_STEPS     (default 4)   timed 1-spp steps after warmup
   BENCH_DEPTH     (default 8)
   BENCH_ENGINE    (default megakernel)
   BENCH_QUICK=1   tiny config for CI smoke runs
@@ -50,7 +50,7 @@ def main() -> int:
     scene_name = os.environ.get("BENCH_SCENE", "cornell_mesh")
     width = int(os.environ.get("BENCH_WIDTH", 256 if quick else 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 256 if quick else 1080))
-    n_steps = int(os.environ.get("BENCH_STEPS", 1 if quick else 2))
+    n_steps = int(os.environ.get("BENCH_STEPS", 1 if quick else 4))
     depth = int(os.environ.get("BENCH_DEPTH", 4 if quick else 8))
     engine = os.environ.get("BENCH_ENGINE", "megakernel")
 
