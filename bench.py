@@ -12,26 +12,46 @@ order decays over refills — measured slower since the DNF kernels made
 unsorted image-order waves the fast path; BENCH_ENGINE=wavefront still
 selects it.)
 
+Resilience (round-3 hardening — BENCH_r02 died with a TPU backend
+FAILED_PRECONDITION at the warmup sync and produced no number): the
+timed benchmark runs in a CHILD subprocess; the tunneled TPU worker
+recovers per-process (PERF.md methodology), so the parent retries a
+fresh child on any failure, with a cooldown between attempts. The child
+first runs a tiny-shape health probe (64x64 compile + sync) so a wedged
+chip is detected before the 1080p dispatch. If every full-config
+attempt dies, the parent falls back to a reduced config and emits the
+JSON line with "degraded": true rather than crash.
+
 Env knobs:
   BENCH_SCENE     (default cornell_mesh)   one of models.scenes.SCENES
   BENCH_WIDTH/HEIGHT (default 1920/1080)
   BENCH_STEPS     (default 4)   timed 1-spp steps after warmup
   BENCH_DEPTH     (default 8)
   BENCH_ENGINE    (default megakernel)
-  BENCH_QUICK=1   tiny config for CI smoke runs
+  BENCH_QUICK=1   tiny config for CI smoke runs (runs in-process)
+  BENCH_ATTEMPTS  (default 3)   full-config child attempts
+  BENCH_COOLDOWN  (default 20)  seconds between child attempts
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
+_CHILD_ENV = "_PTPU_BENCH_CHILD"
+_DEGRADED_ENV = "_PTPU_BENCH_DEGRADED"
+# Cold compiles take minutes through the tunnel; warm-cache full runs
+# finish in ~3. A child that exceeds this is wedged, not slow.
+_CHILD_TIMEOUT_S = 2400
 
-def main() -> int:
+
+def child_main() -> int:
+    """The actual benchmark: compile, probe, warm up, time, print JSON."""
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
     from pathtracing_tpu.models import progressive, scenes, wavefront
     from pathtracing_tpu.ops.camera import build_camera
@@ -47,12 +67,39 @@ def main() -> int:
             pass
 
     quick = os.environ.get("BENCH_QUICK") == "1"
+    degraded = os.environ.get(_DEGRADED_ENV) == "1"
     scene_name = os.environ.get("BENCH_SCENE", "cornell_mesh")
     width = int(os.environ.get("BENCH_WIDTH", 256 if quick else 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 256 if quick else 1080))
     n_steps = int(os.environ.get("BENCH_STEPS", 1 if quick else 4))
     depth = int(os.environ.get("BENCH_DEPTH", 4 if quick else 8))
     engine = os.environ.get("BENCH_ENGINE", "megakernel")
+    if degraded:
+        # Reduced fallback: same scene/engine, quarter the pixels, fewer
+        # steps — a number with a "degraded" flag beats a crash.
+        width, height, n_steps = 960, 540, 2
+
+    def sync(x) -> float:
+        # jax.block_until_ready is a NO-OP over the axon tunnel; a
+        # scalar-sum fetch is the hard sync (and unlike np.asarray of
+        # the full accum, it does not drag 24 MB through the ~30 MB/s
+        # tunnel inside the timing window).
+        return float(jnp.sum(x))
+
+    # Health probe: a tiny end-to-end step (cached compile, <1 s device
+    # time) so a wedged tunnel/chip fails HERE, cheaply, not after the
+    # 1080p warmup dispatch.
+    probe_cfg = RenderConfig(
+        width=64, height=64, samples_per_pixel=2, max_depth=2,
+        samples_per_step=1, seed=0, engine="megakernel",
+    )
+    probe_scene, probe_cam_cfg = scenes.cornell_mesh(3)
+    probe_cam = build_camera(probe_cam_cfg, 1.0)
+    probe_state = progressive.init_state(probe_cfg)
+    probe_state = progressive.render_step(
+        probe_state, probe_scene, probe_cam, probe_cfg
+    )
+    sync(probe_state.accum)
 
     config = RenderConfig(
         width=width, height=height, samples_per_pixel=n_steps + 1,
@@ -72,13 +119,12 @@ def main() -> int:
     state = progressive.init_state(config)
     # Warmup: compile + one step.
     state = step_fn(state, scene, camera, config)
-    np.asarray(state.accum)  # hard sync (block_until_ready is a no-op on
-    #                          the axon tunnel platform)
+    sync(state.accum)
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state = step_fn(state, scene, camera, config)
-    np.asarray(state.accum)
+    sync(state.accum)
     dt = time.perf_counter() - t0
 
     # Honest ray count: segments actually traced for one 1-spp step
@@ -89,19 +135,75 @@ def main() -> int:
 
     rays = segments * n_steps
     mrays = rays / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": f"Mrays/s/chip ({scene_name} {width}x{height} "
-                          f"depth{depth} {engine}, "
-                          f"avg_path={segments / (width * height):.2f})",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 200.0, 4),
-            }
-        )
-    )
+    result = {
+        "metric": f"Mrays/s/chip ({scene_name} {width}x{height} "
+                  f"depth{depth} {engine}, "
+                  f"avg_path={segments / (width * height):.2f})",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 200.0, 4),
+    }
+    if degraded:
+        result["degraded"] = True
+    print(json.dumps(result))
     return 0
+
+
+def _run_child(degraded: bool) -> dict | None:
+    """One benchmark attempt in a fresh process (the tunneled TPU worker
+    recovers per-process). Returns the parsed JSON result or None."""
+    env = dict(os.environ)
+    env[_CHILD_ENV] = "1"
+    if degraded:
+        env[_DEGRADED_ENV] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            stdout=subprocess.PIPE, stderr=sys.stderr,
+            timeout=_CHILD_TIMEOUT_S, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print("bench: child timed out (wedged worker?)", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        print(f"bench: child exited rc={proc.returncode}", file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "value" in parsed:
+                return parsed
+    print("bench: child produced no JSON line", file=sys.stderr)
+    return None
+
+
+def main() -> int:
+    if os.environ.get(_CHILD_ENV) == "1":
+        return child_main()
+    if os.environ.get("BENCH_QUICK") == "1":
+        # CI smoke path: tiny config, no retry machinery.
+        return child_main()
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    cooldown = float(os.environ.get("BENCH_COOLDOWN", 20))
+    plan = [False] * attempts + [True, True]   # full runs, then degraded
+    for i, degraded in enumerate(plan):
+        if i:
+            time.sleep(cooldown)
+        label = "degraded" if degraded else "full"
+        print(f"bench: attempt {i + 1}/{len(plan)} ({label})",
+              file=sys.stderr)
+        result = _run_child(degraded)
+        if result is not None:
+            print(json.dumps(result))
+            return 0
+    print("bench: every attempt failed", file=sys.stderr)
+    return 1
 
 
 if __name__ == "__main__":
