@@ -72,14 +72,22 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
     h, w = config.height, config.width
     block_rows = h if block_rows is None else block_rows
     # Row chunking: largest divisor of block_rows whose wave fits
-    # MAX_WAVE_RAYS (full block when it already fits).
+    # MAX_WAVE_RAYS (full block when it already fits). When block_rows
+    # has no decent divisor under the cap (e.g. a prime band height from
+    # tiled/multichip splits would degrade to thousands of serial 1-row
+    # chunks — ADVICE r2), fall back to ceil-splitting at the cap with a
+    # padded last chunk: padded rows compute global pixel ids past the
+    # block and are sliced off, so real-pixel results stay bitwise
+    # identical to the unchunked render.
     chunk_rows = block_rows
+    n_chunks, tail_pad = 1, 0
     if block_rows * w > MAX_WAVE_RAYS:
-        for cand in range(block_rows, 0, -1):
-            if block_rows % cand == 0 and cand * w <= MAX_WAVE_RAYS:
-                chunk_rows = cand
-                break
-    n_chunks = block_rows // chunk_rows
+        cap = max(1, MAX_WAVE_RAYS // w)
+        divisor = max(c for c in range(1, cap + 1)
+                      if block_rows % c == 0)
+        chunk_rows = divisor if 2 * divisor >= cap else cap
+        n_chunks = -(-block_rows // chunk_rows)
+        tail_pad = n_chunks * chunk_rows - block_rows
     dys, xs = jnp.mgrid[0:chunk_rows, 0:w]
     n_rays = chunk_rows * w
     traversal = config.resolve_traversal()
@@ -183,7 +191,9 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
             radiance = jax.lax.map(
                 chunk_radiance,
                 row_start + chunk_rows * jnp.arange(n_chunks, dtype=jnp.int32),
-            ).reshape(block_rows, w, 3)
+            ).reshape(n_chunks * chunk_rows, w, 3)
+            if tail_pad:
+                radiance = radiance[:block_rows]
         if config.clamp > 0.0:
             radiance = jnp.minimum(radiance, config.clamp)
         return accum + radiance, None

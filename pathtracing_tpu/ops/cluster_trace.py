@@ -603,7 +603,13 @@ def _dnf_phase1(o_aug, inv_d, cb_ref, best0, tile: int, c_pad: int,
         # cluster ids (spatial SAH neighbors) land in DIFFERENT 128-lane
         # windows. Keys must carry the TRUE id.
         cidx = (cidx % 128) * interleave + cidx // 128
-    hit = ((tn <= tf) & (tf > T_MIN) & (tn < best0)
+    # ``best0 > 0.0`` kills dead lanes (t_init = 0) outright: without
+    # it, an origin-enclosing cluster has tn < 0 < any clamp, so its
+    # clamped key (tnc = 0) would survive every cull and all-dead tiles
+    # would still pop/evaluate each enclosing cluster once (harmless —
+    # evals are idempotent — but it broke the "all-dead tiles cost
+    # ~phase1 only" compaction win; ADVICE r2).
+    hit = ((tn <= tf) & (tf > T_MIN) & (tn < best0) & (best0 > 0.0)
            & (cidx < n_clusters))
     tnc = jnp.maximum(tn, 0.0)
     keys = (
@@ -778,7 +784,8 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
                      t_ref, slot_ref, normal_ref, hitmat_ref,
                      key_ref, dead_ref, *, n_clusters: int,
                      tile: int, c_pad: int, idx_bits: int, group: int,
-                     windowed: bool = False, debug_mode: int = 0):
+                     windowed: bool = False, debug_mode: int = 0,
+                     band: int = 0):
     """Dense nearest-first closest-hit: NO tree, NO scalar walk.
 
     The round-2 lookahead kernel sits near the scalar-op floor (~0.4 µs
@@ -822,9 +829,24 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
     k = CLUSTER_SIZE
     rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
 
-    key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t0_ref[:], tile,
-                             c_pad, idx_bits, n_clusters,
-                             interleave=c_pad // 128 if windowed else 0)
+    keys0 = _dnf_phase1(o_aug, inv_d, cb_ref, t0_ref[:], tile,
+                        c_pad, idx_bits, n_clusters,
+                        interleave=c_pad // 128 if windowed else 0)
+    if band:
+        # Banded cull (measured experiment, PERF.md r3): reduce the key
+        # matrix ONCE to per-band minima over contiguous ``band``-ray
+        # row bands; each iteration then culls the (tile/band, c_pad)
+        # band matrix against the band's max live cap instead of the
+        # full per-ray matrix. Conservative — a pair live per-ray is
+        # live per-band — so results stay exact; the coarser cull only
+        # admits extra idempotent evals.
+        nbands = tile // band
+        key_ref[:] = jnp.concatenate(
+            [jnp.min(keys0[b * band:(b + 1) * band, :], axis=0,
+                     keepdims=True) for b in range(nbands)], axis=0
+        )
+    else:
+        key_ref[:] = keys0
     dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
 
     def eval_group(ids):
@@ -838,7 +860,15 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         return found
 
     def body(found):
-        bt = _bt_inflate(t_ref[:], idx_bits)          # (tile, 1)
+        best_t = t_ref[:]
+        if band:
+            nbands = tile // band
+            bt = _bt_inflate(jnp.concatenate(
+                [jnp.max(best_t[b * band:(b + 1) * band, :], axis=0,
+                         keepdims=True) for b in range(nbands)], axis=0
+            ), idx_bits)                              # (nbands, 1)
+        else:
+            bt = _bt_inflate(best_t, idx_bits)        # (tile, 1)
         keys = key_ref[:]
         live = jnp.where(keys < bt, keys, _INT_MAX)   # conservative cull
         row = jnp.min(live, axis=0, keepdims=True)    # (1, c_pad)
@@ -950,14 +980,17 @@ def _dnf_bounds(clusters, c_pad: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "group",
-                                    "windowed", "debug_mode"))
+                                    "windowed", "debug_mode", "band"))
 def trace_pallas_dnf(clusters, origin, direction, t_init,
                      interpret=False, tile=DNF_TILE, group=None,
-                     windowed=None, debug_mode=0):
+                     windowed=None, debug_mode=0, band=0):
     """Dense nearest-first cluster trace; same contract as trace_pallas.
 
     Flat scenes only (cluster count <= DNF_MAX_CLUSTERS and Woop data
     whole-in-VMEM); callers fall back to the tree kernels past that.
+    ``band`` (experimental, must divide ``tile``) switches the
+    per-iteration re-cull to per-band key minima — exact results,
+    coarser culling; see _tile_kernel_dnf.
     """
     c = clusters.woop.shape[0]
     r = origin.shape[0]
@@ -1000,10 +1033,13 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
         cb = cb[:, (col % 128) * nw + col // 128]
     grid = r_pad // tile
 
+    if band and tile % band:
+        raise ValueError(f"band {band} must divide tile {tile}")
     t, slot, normal, mat = pl.pallas_call(
         functools.partial(_tile_kernel_dnf, n_clusters=c, tile=tile,
                           c_pad=c_pad, idx_bits=idx_bits, group=group,
-                          windowed=windowed, debug_mode=debug_mode),
+                          windowed=windowed, debug_mode=debug_mode,
+                          band=band),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, 4), lambda i: (i, 0),
@@ -1033,7 +1069,8 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
             jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile, c_pad), jnp.int32),     # packed keys
+            pltpu.VMEM((tile // band if band else tile, c_pad),
+                       jnp.int32),                    # packed keys
             pltpu.VMEM((1, c_pad), jnp.int32),        # retired clusters
         ],
         compiler_params=pltpu.CompilerParams(

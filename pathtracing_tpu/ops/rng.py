@@ -19,6 +19,11 @@ STREAM_LENS = 0x7F4A
 STREAM_SCATTER = 0x85EB
 STREAM_RR = 0xC2B2
 STREAM_NEE = 0x5BD1
+# Extra fold_in salt for ld_scalar so its rotation stream is disjoint
+# from every ld_pair stream BY CONSTRUCTION (a former ``stream_tag + 1``
+# derivation would silently correlate if a future tag ever equaled an
+# existing tag + 1 — ADVICE r2).
+_LD_SCALAR_SALT = 0x27D4
 
 
 def pixel_sample_key(seed, pixel_index, sample_index):
@@ -106,8 +111,11 @@ def ld_scalar(seed, pixel_index, sample_index, stream_tag):
     across samples spreads a pixel's shadow rays over the scene's
     lights instead of re-rolling them independently."""
     key = jax.random.fold_in(
-        jax.random.fold_in(jax.random.key(seed), pixel_index),
-        stream_tag + 1,
+        jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(seed), pixel_index),
+            stream_tag,
+        ),
+        _LD_SCALAR_SALT,
     )
     rot = jax.random.uniform(key, (), dtype=jnp.float32)
     u = _vdc5(sample_index) + rot

@@ -160,6 +160,24 @@ class TestWaveRestructuring:
             megakernel.MAX_WAVE_RAYS = old
         np.testing.assert_array_equal(full, chunked)
 
+    def test_chunked_prime_rows_bitwise(self, cornell):
+        """A block height with no divisor under the chunk cap (prime 13)
+        must take the padded ceil-split path, not degrade to 1-row
+        chunks — and stay bitwise identical to the unchunked render."""
+        from pathtracing_tpu.models import megakernel
+
+        scene, cam = cornell
+        cfg = RenderConfig(width=16, height=13, samples_per_pixel=2,
+                           max_depth=4, seed=0)
+        full = self._render(scene, cam, cfg)
+        old = megakernel.MAX_WAVE_RAYS
+        try:
+            megakernel.MAX_WAVE_RAYS = 16 * 4   # cap 4 rows; 13 is prime
+            chunked = self._render(scene, cam, cfg)
+        finally:
+            megakernel.MAX_WAVE_RAYS = old
+        np.testing.assert_array_equal(full, chunked)
+
     def test_compaction_bitwise(self, cornell):
         from pathtracing_tpu.models import megakernel
 
