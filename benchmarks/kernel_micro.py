@@ -140,13 +140,13 @@ def main() -> int:
             if trace is None:
                 return None
         elif name.startswith("dnf"):
-            # dnf[g<group>][w][m<debug_mode>], e.g. dnfg8, dnfw (windowed
-            # pop), dnfm1, dnfg2wm2
+            # dnf[g<group>][w][m<debug_mode>][b<band>], e.g. dnfg8, dnfw
+            # (windowed pop), dnfm1, dnfg2wm2, dnfb16 (banded cull)
             trace = cluster_trace.trace_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
             body = name[3:]
             import re as _re
-            mg = _re.match(r"(?:g(\d+))?(w)?(?:m(\d+))?$", body)
+            mg = _re.match(r"(?:g(\d+))?(w)?(?:m(\d+))?(?:b(\d+))?$", body)
             if mg is None:
                 raise SystemExit(f"bad kernel spec: {kernel!r}")
             if mg.group(1):
@@ -155,6 +155,8 @@ def main() -> int:
                 kw["windowed"] = True
             if mg.group(3):
                 kw["debug_mode"] = int(mg.group(3))
+            if mg.group(4):
+                kw["band"] = int(mg.group(4))
         elif name.startswith("anyhitdnf"):
             # anyhitdnf[g<group>]
             trace = cluster_trace.occluded_pallas_dnf

@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 T_MIN = 1e-4
-TILE = 256
+TILE = int(os.environ.get("WS_TILE", "256"))
 
 
 def slab(o, inv_d, lo, hi, cap):
@@ -107,6 +107,44 @@ def dnf_tile(cl, o, d, t0):
         tn[:, c] = np.inf
 
 
+def dnf_tile_banded(cl, o, d, t0, band: int):
+    """Banded-cull DNF policy: phase-1 keys reduced ONCE to per-band
+    minima over ``band``-ray row bands; each iteration culls the
+    (tile/band, C) band matrix against the band's max live cap instead
+    of the full per-ray matrix. Conservative (a pair live per-ray is
+    live per-band, so nothing real is ever culled) — the simulation
+    counts how many EXTRA idempotent evals the coarser cull admits.
+    ``band == tile`` degenerates to a static row + global max-cap stop.
+    Returns evals per tile."""
+    r = o.shape[0]
+    nb = r // band
+    inv_d = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+    cap = t0.copy()
+    lo_all, hi_all = cl.aabb_min, cl.aabb_max
+    t0a = (lo_all[None] - o[:, None]) * inv_d[:, None]
+    t1a = (hi_all[None] - o[:, None]) * inv_d[:, None]
+    tn = np.minimum(t0a, t1a).max(axis=2)
+    tf = np.maximum(t0a, t1a).min(axis=2)
+    hit = (tn <= tf) & (tf > T_MIN) & (tn < cap[:, None]) & (cap[:, None] > 0)
+    tn = np.where(hit, np.maximum(tn, 0.0), np.inf)
+    # One-time band reduction — the (nb, C) matrix is ALL later
+    # iterations touch; the (R, C) matrix is never re-read.
+    tnb = tn.reshape(nb, band, -1).min(axis=1)        # (nb, C)
+    evals = 0
+    while True:
+        capb = np.where(cap > 0, cap, 0.0).reshape(nb, band).max(axis=1)
+        alive = tnb < capb[:, None]
+        if not alive.any():
+            return evals
+        c = int(np.unravel_index(
+            np.argmin(np.where(alive, tnb, np.inf)), tnb.shape
+        )[1])
+        evals += 1
+        t = eval_cluster(cl, c, o, d, cap)
+        cap = np.minimum(cap, t.astype(np.float32))
+        tnb[:, c] = np.inf
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -117,6 +155,8 @@ def main():
 
     level = int(os.environ.get("WS_SCENE", "6"))
     res = int(os.environ.get("WS_RES", "128"))  # rays = res^2
+    bands = [int(b) for b in
+             os.environ.get("WS_BANDS", "").split(",") if b]
     scene, cam_cfg = scenes.cornell_mesh(level)
     camera = build_camera(cam_cfg, 1.0)
     n = res * res
@@ -187,6 +227,17 @@ def main():
             print(f"{wave:7s} bins={bins:4d} DNF:       "
                   f"pierced/tile={dv[:, 0].mean():6.1f}  "
                   f"evals/tile={dv[:, 1].mean():6.1f}", flush=True)
+            for band in bands:
+                if band > TILE:
+                    continue
+                bv = np.array([
+                    dnf_tile_banded(cl, o_np[i * TILE:(i + 1) * TILE],
+                                    d_np[i * TILE:(i + 1) * TILE],
+                                    t0_np[i * TILE:(i + 1) * TILE], band)
+                    for i in range(n // TILE)
+                ])
+                print(f"{wave:7s} bins={bins:4d} DNF band={band:3d}: "
+                      f"evals/tile={bv.mean():6.1f}", flush=True)
 
 
 if __name__ == "__main__":

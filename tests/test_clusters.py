@@ -145,6 +145,32 @@ def test_dnf_kernel_matches_jax(mesh_scene):
     )
 
 
+def test_dnf_banded_matches_jax(mesh_scene):
+    """Banded-cull DNF (per-band key minima, per-band max caps) must
+    agree with the oracle — the coarser cull is conservative, so only
+    extra idempotent evals are admitted, never different answers."""
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.ops import cluster_trace
+
+    o, d = random_rays(600, 2)
+    t0 = jnp.full(600, 3.0e38, jnp.float32)
+    t0 = t0.at[::11].set(0.0)
+    tj = cluster_trace.trace_jax(mesh_scene.clusters, o, d, t0)
+    live = np.asarray(t0) > 0
+    for band in (16, cluster_trace.DNF_TILE):
+        tw = cluster_trace.trace_pallas_dnf(
+            mesh_scene.clusters, o, d, t0, interpret=True, band=band
+        )
+        np.testing.assert_allclose(
+            np.where(live, np.asarray(tj[0]), 0.0),
+            np.where(live, np.asarray(tw[0]), 0.0), rtol=1e-6,
+        )
+        slot_match = np.asarray(tj[1]) == np.asarray(tw[1])
+        tie = np.asarray(tj[0]) == np.asarray(tw[0])
+        assert np.all(slot_match | tie | ~live), band
+
+
 def test_dnf_occlusion_matches_jax(mesh_scene):
     """Any-hit DNF kernel vs the oracle: exact boolean agreement."""
     import jax.numpy as jnp
