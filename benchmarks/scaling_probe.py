@@ -66,6 +66,43 @@ def time_mesh(n_tiles: int, n_samples: int, spp: int) -> float:
     return time.perf_counter() - t0
 
 
+def tile_axis_flops(n_tiles: int) -> float:
+    """Per-device HLO flops of one sharded step on an (n_tiles, 1) mesh
+    at FIXED total image size — the tile-axis work-replication detector
+    (VERDICT r2 item 6). Timing on virtual CPU devices is noisy and
+    serialized; compile-time cost analysis is deterministic: with honest
+    row sharding the per-device module renders H/n_tiles rows, so flops
+    must scale ~1/n_tiles. A regression that renders the full image per
+    device behind a correct-looking output sharding (e.g. replicated
+    traversal + slice) keeps results bit-identical — ONLY this gate sees
+    it."""
+    import jax
+
+    from pathtracing_tpu.models import scenes
+    from pathtracing_tpu.ops.camera import build_camera
+    from pathtracing_tpu.parallel import mesh as mesh_mod
+    from pathtracing_tpu.parallel import render as prender
+    from pathtracing_tpu.utils.config import RenderConfig
+
+    if os.environ.get("PROBE_BREAK") == "1":
+        prender._PROBE_FULL_BLOCK = True
+    mesh = mesh_mod.make_mesh(n_tiles, 1,
+                              devices=jax.devices()[:n_tiles])
+    config = RenderConfig(
+        width=64, height=64, samples_per_pixel=4, max_depth=4,
+        samples_per_step=1, seed=0,
+    )
+    scene, cam_cfg = scenes.cornell_sphere()
+    camera = build_camera(cam_cfg, 1.0)
+    step = prender.make_sharded_step(mesh, config)
+    state = prender.init_sharded_state(mesh, config)
+    compiled = step.lower(state, scene, camera).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", -1.0))
+
+
 def main() -> int:
     import jax
 
@@ -77,13 +114,31 @@ def main() -> int:
     tn = time_mesh(1, min(n_dev, spp), spp)
     # Weak-scaling efficiency: perfect sharding gives tn == t1 / N.
     eff = t1 / (min(n_dev, spp) * max(tn, 1e-9))
+
+    # Tile axis: per-device flops at 8 tiles vs 1 must scale ~1/8.
+    n_tiles = min(n_dev, 8)
+    flops_1 = tile_axis_flops(1)
+    flops_n = tile_axis_flops(n_tiles)
+    # Slack 2x over the ideal 1/n: per-device fixed overheads (camera
+    # setup, RNG streams) don't shrink with the stripe. A replicated-
+    # traversal regression lands at ratio ~1.0 — far above the gate.
+    tile_ratio = flops_n / max(flops_1, 1.0)
+    tile_gate = 2.0 / n_tiles
+    tile_ok = 0 < flops_n and tile_ratio <= tile_gate
+
     print(json.dumps({
         "devices": n_dev,
         "spp": spp,
         "sec_1dev": round(t1, 3),
         "sec_ndev": round(tn, 3),
         "parallel_efficiency": round(eff, 3),
+        "tile_flops_1": flops_1,
+        "tile_flops_n": flops_n,
+        "tile_flops_ratio": round(tile_ratio, 4),
+        "tile_gate": f"<= {tile_gate:.3f}",
+        "tile_ok": tile_ok,
     }))
+    rc = 0
     # On virtual CPU devices, XLA:CPU serializes device computations, so
     # efficiency ~1/N is EXPECTED; what this probe must catch is
     # efficiency << 1/N (e.g. full-image broadcasts making the N-device
@@ -93,8 +148,13 @@ def main() -> int:
         print(f"FAIL: efficiency {eff:.3f} below sanity floor "
               f"{floor:.3f} — look for sharding pathologies",
               file=sys.stderr)
-        return 1
-    return 0
+        rc = 1
+    if not tile_ok:
+        print(f"FAIL: tile-axis per-device flops ratio {tile_ratio:.3f} "
+              f"exceeds {tile_gate:.3f} — work is replicated across the "
+              "tile axis", file=sys.stderr)
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":

@@ -31,6 +31,15 @@ from pathtracing_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
 from pathtracing_tpu.utils.config import RenderConfig
 
 
+# Probe-test hook (benchmarks/scaling_probe.py, tests/test_parallel.py):
+# when True, every device renders the FULL image and slices out its own
+# stripe — the exact work-replication pathology the tile axis can hide
+# behind a correct-looking output sharding. Results stay bit-identical;
+# per-device flops blow up by n_tiles, which the probe's cost_analysis
+# gate must catch. Never enable outside the probe/tests.
+_PROBE_FULL_BLOCK = False
+
+
 def state_sharding(mesh: Mesh) -> RenderState:
     """NamedShardings for a RenderState on this mesh (rows sharded)."""
     return RenderState(
@@ -85,15 +94,27 @@ def make_sharded_step(mesh: Mesh, config: RenderConfig):
     def step_block(accum, spp, seed, scene, camera):
         tile = jax.lax.axis_index(TILE_AXIS)
         sample_shard = jax.lax.axis_index(SAMPLE_AXIS)
-        block = megakernel.render_samples(
-            scene, camera, config,
-            sample_start=spp + sample_shard,
-            n_samples=local_samples,
-            seed=seed,
-            row_start=tile * block_rows,
-            block_rows=block_rows,
-            sample_stride=n_sample_shards,
-        )
+        if _PROBE_FULL_BLOCK:   # work-replication pathology (probe only)
+            full = megakernel.render_samples(
+                scene, camera, config,
+                sample_start=spp + sample_shard,
+                n_samples=local_samples, seed=seed,
+                row_start=0, block_rows=config.height,
+                sample_stride=n_sample_shards,
+            )
+            block = jax.lax.dynamic_slice_in_dim(
+                full, tile * block_rows, block_rows, 0
+            )
+        else:
+            block = megakernel.render_samples(
+                scene, camera, config,
+                sample_start=spp + sample_shard,
+                n_samples=local_samples,
+                seed=seed,
+                row_start=tile * block_rows,
+                block_rows=block_rows,
+                sample_stride=n_sample_shards,
+            )
         # Merge the sample-shard partial sums over ICI.
         block = jax.lax.psum(block, SAMPLE_AXIS)
         return accum + block
