@@ -146,7 +146,9 @@ def main() -> int:
             kw = {"interpret": True} if on_cpu else {}
             body = name[3:]
             import re as _re
-            mg = _re.match(r"(?:g(\d+))?(w)?(?:m(\d+))?(?:b(\d+))?$", body)
+            mg = _re.match(
+                r"(?:g(\d+))?(w)?(?:m(\d+))?(?:b(\d+))?(h)?"
+                r"(?:p(\d+))?(a)?$", body)
             if mg is None:
                 raise SystemExit(f"bad kernel spec: {kernel!r}")
             if mg.group(1):
@@ -157,6 +159,12 @@ def main() -> int:
                 kw["debug_mode"] = int(mg.group(3))
             if mg.group(4):
                 kw["band"] = int(mg.group(4))
+            if mg.group(5):
+                kw["bf16"] = True   # dnfh: bf16 MXU eval (measurement)
+            if mg.group(6):
+                kw["pops"] = int(mg.group(6))   # pop rounds / iteration
+            if mg.group(7):
+                kw["eval_always"] = True        # drop the pl.when branch
         elif name.startswith("anyhitdnf"):
             # anyhitdnf[g<group>]
             trace = cluster_trace.occluded_pallas_dnf

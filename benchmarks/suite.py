@@ -192,6 +192,22 @@ def main() -> int:
     report("4-wavefront-1080p", f"{w}x{h} wavefront depth8 {ntri}-tri",
            segs * 2 / dt / 1e6, dt, rmse4, gate=gate4)
 
+    # ---- Config 4b: same workload, flagship megakernel engine ----------
+    # BASELINE config 4 names the wavefront engine, but the production
+    # headline (bench.py) runs the megakernel — report both so the
+    # committed table's slowest row isn't mistaken for the production
+    # rate (VERDICT r2 item 8). Both engines draw identical RNG streams,
+    # so the same cached fixed-seed reference gates this row too.
+    cfg_mk = RenderConfig(width=w, height=h, samples_per_pixel=2,
+                          max_depth=8, samples_per_step=1, seed=0)
+    img4m, dtm, _ = run_progressive(scene, camera, cfg_mk)
+    rmse4m = rmse(img4m, ref4) if rmse4 is not None else None
+    report("4b-megakernel-1080p",
+           f"{w}x{h} megakernel depth8 {ntri}-tri (flagship headline)",
+           segs * 2 / dtm / 1e6, dtm, rmse4m,
+           gate=(5e-3, "vs cached fixed-seed reference")
+           if rmse4m is not None else None)
+
     # ---- Config 5: multi-chip tile mesh --------------------------------
     import jax as _jax
 

@@ -698,14 +698,34 @@ def _dnf_gather_group(woop_ref, ids, k: int):
     return jnp.concatenate(parts, axis=1)
 
 
-def _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp: int):
+def _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp: int,
+                    bf16: bool = False):
     """_pair_eval over a grouped Woop block (4, 3*kp), on the VPU.
 
     The contraction dim is 4 (homogeneous coords), so an MXU matmul
     wastes 97% of the systolic array — and exact f32 needs a 6-pass
     bf16 emulation on top (measured ~0.9 µs per 128-triangle cluster).
     Four broadcast FMAs per operand on the VPU are bit-exact f32 at ~4x
-    the speed; d_aug[3] = 0 and o_aug[3] = 1 drop a term from each."""
+    the speed; d_aug[3] = 0 and o_aug[3] = 1 drop a term from each.
+    ``bf16`` (measurement-only, PERF.md r3) swaps in the single-pass
+    bf16 MXU matmul — ~1e-3 relative t error, never production."""
+    if bf16:
+        o16 = o_aug.astype(jnp.bfloat16)
+        d16 = d_aug.astype(jnp.bfloat16)
+        w16 = w_cat.astype(jnp.bfloat16)
+        op = jnp.dot(o16, w16, preferred_element_type=jnp.float32)
+        dp = jnp.dot(d16, w16, preferred_element_type=jnp.float32)
+        op_u, op_v, op_w = op[:, :kp], op[:, kp:2 * kp], op[:, 2 * kp:]
+        dp_u, dp_v, dp_w = dp[:, :kp], dp[:, kp:2 * kp], dp[:, 2 * kp:]
+        dw = jnp.where(jnp.abs(dp_w) < 1e-30, 1e-30, dp_w)
+        t = -op_w / dw
+        u = op_u + t * dp_u
+        v = op_v + t * dp_v
+        ok = (
+            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > T_MIN) & (t < best_t)
+        )
+        return jnp.where(ok, t, _BIG)
     op = w_cat[3:4, :] + o_aug[:, 0:1] * w_cat[0:1, :]
     op = op + o_aug[:, 1:2] * w_cat[1:2, :]
     op = op + o_aug[:, 2:3] * w_cat[2:3, :]
@@ -727,7 +747,7 @@ def _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp: int):
 
 def _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids, id_base, group,
                     tile, t_ref, slot_ref, normal_ref, hitmat_ref,
-                    debug_mode=0):
+                    debug_mode=0, bf16=False):
     """Dense group evaluation + shading epilogue shared by the flat and
     paged DNF kernels. ``w_cat`` (4, 3*kp) / ``mat_cat`` (1, kp) are the
     caller-gathered group blocks (the gather differs: flat vs page-local
@@ -737,7 +757,7 @@ def _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids, id_base, group,
     kp = k * group
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
     best_t = t_ref[:]
-    t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp)
+    t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp, bf16)
     t_min = jnp.min(t_pair, axis=1, keepdims=True)
     upd = t_min < best_t
     if debug_mode == 2:   # timing bisection: no shading epilogue
@@ -785,7 +805,8 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
                      key_ref, dead_ref, *, n_clusters: int,
                      tile: int, c_pad: int, idx_bits: int, group: int,
                      windowed: bool = False, debug_mode: int = 0,
-                     band: int = 0):
+                     band: int = 0, bf16: bool = False,
+                     pops: int = 1, eval_always: bool = False):
     """Dense nearest-first closest-hit: NO tree, NO scalar walk.
 
     The round-2 lookahead kernel sits near the scalar-op floor (~0.4 µs
@@ -852,9 +873,9 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
     def eval_group(ids):
         w_cat = _dnf_gather_group(woop_ref, ids, k)   # (4, 3*kp)
         mat_cat = jnp.concatenate([mat_ref[c] for c in ids], axis=1)
-        _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids, 0, group,
-                        tile, t_ref, slot_ref, normal_ref, hitmat_ref,
-                        debug_mode)
+        _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids, 0,
+                        group * pops, tile, t_ref, slot_ref, normal_ref,
+                        hitmat_ref, debug_mode, bf16)
 
     def cond(found):
         return found
@@ -873,27 +894,50 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         live = jnp.where(keys < bt, keys, _INT_MAX)   # conservative cull
         row = jnp.min(live, axis=0, keepdims=True)    # (1, c_pad)
         row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
-        if windowed:
-            ids, valids, any_valid, retire = _dnf_pop_window(
-                row, rowc, n_clusters, idx_bits, group
-            )
-        else:
-            ids, valids, _ = _dnf_pop_group(
-                row, rowc, n_clusters, idx_bits, group
-            )
-            any_valid = valids[0]   # pop 0 is the global min
-            retire = jnp.zeros((1, c_pad), jnp.bool_)
-            for c, v in zip(ids, valids):
-                retire = retire | ((rowc == c) & v)
-        dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
+        # ``pops`` > 1 runs several pop rounds per loop iteration (each
+        # sees the previous round's kills, so all ids are distinct —
+        # unlike a single wider group, which pads with clamp-duplicates
+        # past one pop per window) and dense-evaluates them in ONE
+        # widened pass: the per-iteration fixed costs (while-loop sync,
+        # branch, cull) amortize over pops*group clusters. best_t is
+        # one iteration stale for the whole batch — extra idempotent
+        # evals, never wrong answers.
+        all_ids = []
+        any_valid = jnp.bool_(False)
+        dead_new = jnp.zeros((1, c_pad), jnp.bool_)
+        for _ in range(pops):
+            if windowed:
+                ids, valids, av, retire = _dnf_pop_window(
+                    row, rowc, n_clusters, idx_bits, group
+                )
+            else:
+                ids, valids, _ = _dnf_pop_group(
+                    row, rowc, n_clusters, idx_bits, group
+                )
+                av = valids[0]   # pop 0 is the global min
+                retire = jnp.zeros((1, c_pad), jnp.bool_)
+                for c, v in zip(ids, valids):
+                    retire = retire | ((rowc == c) & v)
+            all_ids += ids
+            any_valid = any_valid | av
+            dead_new = dead_new | retire
+            if pops > 1:
+                row = jnp.where(retire, _INT_MAX, row)
+        dead_ref[:] = dead_ref[:] | dead_new.astype(jnp.int32)
 
         # debug_mode (timing bisection only — wrong results): 1 = skip
         # the dense eval (measures loop + cull + extraction; iterations
         # become pierced/group), 2 = eval but skip the shading epilogue.
+        # ``eval_always`` drops the pl.when branch: invalid pops clamp
+        # to real cluster ids whose evals are idempotent no-ops, so the
+        # only cost is one garbage eval on the final iteration.
         if debug_mode != 1:
-            @pl.when(any_valid)
-            def _():
-                eval_group(ids)
+            if eval_always:
+                eval_group(all_ids)
+            else:
+                @pl.when(any_valid)
+                def _():
+                    eval_group(all_ids)
 
         return any_valid
 
@@ -980,10 +1024,12 @@ def _dnf_bounds(clusters, c_pad: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "group",
-                                    "windowed", "debug_mode", "band"))
+                                    "windowed", "debug_mode", "band",
+                                    "bf16", "pops", "eval_always"))
 def trace_pallas_dnf(clusters, origin, direction, t_init,
                      interpret=False, tile=DNF_TILE, group=None,
-                     windowed=None, debug_mode=0, band=0):
+                     windowed=None, debug_mode=0, band=0, bf16=False,
+                     pops=1, eval_always=False):
     """Dense nearest-first cluster trace; same contract as trace_pallas.
 
     Flat scenes only (cluster count <= DNF_MAX_CLUSTERS and Woop data
@@ -1039,7 +1085,8 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
         functools.partial(_tile_kernel_dnf, n_clusters=c, tile=tile,
                           c_pad=c_pad, idx_bits=idx_bits, group=group,
                           windowed=windowed, debug_mode=debug_mode,
-                          band=band),
+                          band=band, bf16=bf16, pops=pops,
+                          eval_always=eval_always),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, 4), lambda i: (i, 0),
