@@ -272,11 +272,17 @@ def main() -> int:
     })
 
     # ---- Emit the table ------------------------------------------------
-    out = os.path.join(REPO, "benchmarks", "RESULTS.md")
+    # The committed RESULTS.md is the GATED TPU table; CPU/quick smoke
+    # runs land in RESULTS_cpu.md so they never overwrite the real
+    # scoreboard (VERDICT r2 item 5).
+    backend = _jax.default_backend()
+    name = "RESULTS.md" if backend == "tpu" else "RESULTS_cpu.md"
+    out = os.path.join(REPO, "benchmarks", name)
     with open(out, "w") as f:
         f.write("# Benchmark suite results\n\n")
-        f.write(f"Backend: {_jax.default_backend()}, "
-                f"{n_dev} device(s)\n\n")
+        f.write(f"Backend: {backend}, "
+                f"{n_dev} device(s)"
+                + (" — quick/smoke mode\n\n" if quick else "\n\n"))
         f.write("| config | description | Mrays/s | seconds | RMSE "
                 "| gate |\n")
         f.write("|---|---|---|---|---|---|\n")

@@ -947,7 +947,8 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
 def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
                          occ_ref, key_ref, dead_ref, *, n_clusters: int,
                          tile: int, c_pad: int, idx_bits: int,
-                         group: int, windowed: bool = False):
+                         group: int, windowed: bool = False,
+                         pops: int = 1, eval_always: bool = False):
     """Dense nearest-first any-hit: the _tile_kernel_dnf structure with
     the light occlusion epilogue (flip the lane's bit, drop its t-cap to
     0). Nearest-first ordering still pays — near geometry occludes most
@@ -976,26 +977,41 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
         live = jnp.where(keys < bt, keys, _INT_MAX)
         row = jnp.min(live, axis=0, keepdims=True)
         row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
-        if windowed:
-            ids, valids, any_valid, retire = _dnf_pop_window(
-                row, rowc, n_clusters, idx_bits, group
-            )
-        else:
-            ids, valids, _ = _dnf_pop_group(
-                row, rowc, n_clusters, idx_bits, group
-            )
-            any_valid = valids[0]
-            retire = jnp.zeros((1, c_pad), jnp.bool_)
-            for c, v in zip(ids, valids):
-                retire = retire | ((rowc == c) & v)
-        dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
+        all_ids = []
+        any_valid = jnp.bool_(False)
+        dead_new = jnp.zeros((1, c_pad), jnp.bool_)
+        for _ in range(pops):
+            if windowed:
+                ids, valids, av, retire = _dnf_pop_window(
+                    row, rowc, n_clusters, idx_bits, group
+                )
+            else:
+                ids, valids, _ = _dnf_pop_group(
+                    row, rowc, n_clusters, idx_bits, group
+                )
+                av = valids[0]
+                retire = jnp.zeros((1, c_pad), jnp.bool_)
+                for c, v in zip(ids, valids):
+                    retire = retire | ((rowc == c) & v)
+            all_ids += ids
+            any_valid = any_valid | av
+            dead_new = dead_new | retire
+            if pops > 1:
+                row = jnp.where(retire, _INT_MAX, row)
+        dead_ref[:] = dead_ref[:] | dead_new.astype(jnp.int32)
 
-        @pl.when(any_valid)
-        def _():
-            w_cat = _dnf_gather_group(woop_ref, ids, k)
-            t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, cap, kp)
+        def do_eval():
+            w_cat = _dnf_gather_group(woop_ref, all_ids, k)
+            t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, cap, kp * pops)
             t_min = jnp.min(t_pair, axis=1, keepdims=True)
             occ_ref[:] = jnp.where(t_min < cap, 1.0, occ_ref[:])
+
+        if eval_always:
+            do_eval()
+        else:
+            @pl.when(any_valid)
+            def _():
+                do_eval()
 
         return any_valid
 
@@ -1131,10 +1147,10 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "group",
-                                    "windowed"))
+                                    "windowed", "pops", "eval_always"))
 def occluded_pallas_dnf(clusters, origin, direction, t_max,
                         interpret=False, tile=DNF_TILE, group=None,
-                        windowed=None):
+                        windowed=None, pops=1, eval_always=False):
     """Dense nearest-first any-hit occlusion; contract of occluded_pallas."""
     c = clusters.woop.shape[0]
     r = origin.shape[0]
@@ -1176,7 +1192,8 @@ def occluded_pallas_dnf(clusters, origin, direction, t_max,
     occ = pl.pallas_call(
         functools.partial(_tile_kernel_occ_dnf, n_clusters=c, tile=tile,
                           c_pad=c_pad, idx_bits=idx_bits, group=group,
-                          windowed=windowed),
+                          windowed=windowed, pops=pops,
+                          eval_always=eval_always),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, 4), lambda i: (i, 0),

@@ -171,6 +171,44 @@ def test_dnf_banded_matches_jax(mesh_scene):
         assert np.all(slot_match | tie | ~live), band
 
 
+def test_dnf_pops_eval_always_bitwise(mesh_scene):
+    """pops>1 (batched pop rounds per loop iteration) and eval_always
+    (branch-free eval of clamp-padded pops) are pure scheduling changes:
+    both closest-hit and any-hit DNF kernels must match the baseline
+    kernel BITWISE for every combination."""
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.ops import cluster_trace
+
+    o, d = random_rays(600, 2)
+    t0 = jnp.full(600, 3.0e38, jnp.float32)
+    t0 = t0.at[::11].set(0.0)
+    base = cluster_trace.trace_pallas_dnf(
+        mesh_scene.clusters, o, d, t0, interpret=True
+    )
+    tmax = jnp.asarray(
+        np.random.RandomState(5).rand(600).astype(np.float32) * 2.0
+    )
+    occ_base = cluster_trace.occluded_pallas_dnf(
+        mesh_scene.clusters, o, d, tmax, interpret=True
+    )
+    for kw in (dict(pops=2), dict(eval_always=True),
+               dict(pops=2, eval_always=True),
+               dict(pops=3, eval_always=True),
+               dict(windowed=True, pops=2)):
+        tw = cluster_trace.trace_pallas_dnf(
+            mesh_scene.clusters, o, d, t0, interpret=True, **kw
+        )
+        for a, b in zip(base, tw):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(kw))
+        occ = cluster_trace.occluded_pallas_dnf(
+            mesh_scene.clusters, o, d, tmax, interpret=True, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_base),
+                                      err_msg=str(kw))
+
+
 def test_dnf_occlusion_matches_jax(mesh_scene):
     """Any-hit DNF kernel vs the oracle: exact boolean agreement."""
     import jax.numpy as jnp
