@@ -148,7 +148,7 @@ def main() -> int:
             import re as _re
             mg = _re.match(
                 r"(?:g(\d+))?(w)?(?:m(\d+))?(?:b(\d+))?(h)?"
-                r"(?:p(\d+))?(a)?$", body)
+                r"(?:p(\d+))?(a)?(?:c(\d+))?$", body)
             if mg is None:
                 raise SystemExit(f"bad kernel spec: {kernel!r}")
             if mg.group(1):
@@ -165,16 +165,20 @@ def main() -> int:
                 kw["pops"] = int(mg.group(6))   # pop rounds / iteration
             if mg.group(7):
                 kw["eval_always"] = True        # drop the pl.when branch
+            if mg.group(8):
+                kw["chains"] = int(mg.group(8))  # independent tile chains
         elif name.startswith("anyhitdnf"):
             # anyhitdnf[g<group>]
             trace = cluster_trace.occluded_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
             import re as _re
-            mg = _re.match(r"anyhitdnf(?:g(\d+))?$", name)
+            mg = _re.match(r"anyhitdnf(?:g(\d+))?(?:c(\d+))?$", name)
             if mg is None:
                 raise SystemExit(f"bad kernel spec: {kernel!r}")
             if mg.group(1):
                 kw["group"] = int(mg.group(1))
+            if mg.group(2):
+                kw["chains"] = int(mg.group(2))
         elif name.startswith("la") or name.startswith("lb"):
             # Lookahead variants la<K>x<B> (lb accepted as an alias);
             # trailing "a" = unconditional drain, e.g. lb4x1a.

@@ -70,6 +70,23 @@ def resolve(state: RenderState) -> jnp.ndarray:
     return state.accum / n
 
 
+@functools.partial(jax.jit, static_argnames=("factor",))
+def resolve_preview(state: RenderState, factor: int) -> jnp.ndarray:
+    """``resolve`` mean-pooled by ``factor`` ON DEVICE — the live-preview
+    fetch path. A 1080p linear frame is ~24 MB; over the ~30 MB/s
+    tunnel that is a ~0.8 s stall per step, so the preview ships a
+    factor^2-smaller image instead (factor 4 → 1.5 MB, <5% of a step).
+    Edge rows/cols short of a full pool window are cropped (the preview
+    is a monitor, not the output — PNG writes always use ``resolve``)."""
+    img = resolve(state)
+    h, w, _ = img.shape
+    hc, wc = (h // factor) * factor, (w // factor) * factor
+    pooled = img[:hc, :wc, :].reshape(
+        hc // factor, factor, wc // factor, factor, 3
+    )
+    return jnp.mean(pooled, axis=(1, 3))
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def render_once(scene, camera: Camera, config: RenderConfig) -> jnp.ndarray:
     """Single-shot render at ``config.samples_per_pixel`` (mean radiance)."""

@@ -806,7 +806,8 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
                      tile: int, c_pad: int, idx_bits: int, group: int,
                      windowed: bool = False, debug_mode: int = 0,
                      band: int = 0, bf16: bool = False,
-                     pops: int = 1, eval_always: bool = False):
+                     pops: int = 1, eval_always: bool = False,
+                     chains: int = 1):
     """Dense nearest-first closest-hit: NO tree, NO scalar walk.
 
     The round-2 lookahead kernel sits near the scalar-op floor (~0.4 µs
@@ -840,17 +841,18 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
     block via one contiguous pre-transposed load (superset evals cost
     more than the saved syncs: 2.12 vs 3.16 Mrays/s on bounce waves).
     """
-    o_aug = o_ref[:]          # (tile, 4)
+    nrows = tile * chains
+    o_aug = o_ref[:]          # (tile*chains, 4)
     d_aug = d_ref[:]
     inv_d = _safe_inv(d_aug[:, 0:3])
     t_ref[:] = t0_ref[:]
-    slot_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
-    normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
-    hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
+    slot_ref[:] = jnp.full((nrows, 1), -1, jnp.int32)
+    normal_ref[:] = jnp.zeros((nrows, 4), jnp.float32)
+    hitmat_ref[:] = jnp.zeros((nrows, 1), jnp.int32)
     k = CLUSTER_SIZE
     rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
 
-    keys0 = _dnf_phase1(o_aug, inv_d, cb_ref, t0_ref[:], tile,
+    keys0 = _dnf_phase1(o_aug, inv_d, cb_ref, t0_ref[:], nrows,
                         c_pad, idx_bits, n_clusters,
                         interleave=c_pad // 128 if windowed else 0)
     if band:
@@ -868,32 +870,39 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         )
     else:
         key_ref[:] = keys0
-    dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
+    dead_ref[:] = jnp.zeros((chains, c_pad), jnp.int32)
 
-    def eval_group(ids):
+    def eval_group(ids, ch):
+        cs, ce = ch * tile, (ch + 1) * tile
         w_cat = _dnf_gather_group(woop_ref, ids, k)   # (4, 3*kp)
         mat_cat = jnp.concatenate([mat_ref[c] for c in ids], axis=1)
-        _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids, 0,
-                        group * pops, tile, t_ref, slot_ref, normal_ref,
-                        hitmat_ref, debug_mode, bf16)
+        _dnf_eval_group(o_aug[cs:ce], d_aug[cs:ce], w_cat, mat_cat, ids,
+                        0, group * pops, tile, t_ref.at[cs:ce],
+                        slot_ref.at[cs:ce], normal_ref.at[cs:ce],
+                        hitmat_ref.at[cs:ce], debug_mode, bf16)
 
-    def cond(found):
-        return found
-
-    def body(found):
-        best_t = t_ref[:]
+    def chain_step(ch):
+        """One pop+eval iteration of chain ``ch`` (rows
+        [ch*tile, (ch+1)*tile)). Chains share NO state, so Mosaic's
+        static scheduler is free to overlap one chain's scalar phase
+        (window-min extraction, tournament) with another's vector
+        phase (re-cull, dense eval) — the single-chain kernel
+        serializes them on the scalar<->vector sync chain."""
+        cs, ce = ch * tile, (ch + 1) * tile
+        best_t = t_ref[cs:ce, :]
         if band:
             nbands = tile // band
             bt = _bt_inflate(jnp.concatenate(
                 [jnp.max(best_t[b * band:(b + 1) * band, :], axis=0,
                          keepdims=True) for b in range(nbands)], axis=0
             ), idx_bits)                              # (nbands, 1)
+            keys = key_ref[:]
         else:
             bt = _bt_inflate(best_t, idx_bits)        # (tile, 1)
-        keys = key_ref[:]
+            keys = key_ref[cs:ce, :]
         live = jnp.where(keys < bt, keys, _INT_MAX)   # conservative cull
         row = jnp.min(live, axis=0, keepdims=True)    # (1, c_pad)
-        row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
+        row = jnp.where(dead_ref[ch:ch + 1, :] > 0, _INT_MAX, row)
         # ``pops`` > 1 runs several pop rounds per loop iteration (each
         # sees the previous round's kills, so all ids are distinct —
         # unlike a single wider group, which pads with clamp-duplicates
@@ -901,7 +910,10 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         # widened pass: the per-iteration fixed costs (while-loop sync,
         # branch, cull) amortize over pops*group clusters. best_t is
         # one iteration stale for the whole batch — extra idempotent
-        # evals, never wrong answers.
+        # evals, never wrong answers. (Measured NEGATIVE on the bounce
+        # wave — 3.74 -> 3.54 Mrays/s at pops=2, PERF.md r3b — the
+        # tournament, not the loop sync, is the floor; kept as a
+        # measurement variant.)
         all_ids = []
         any_valid = jnp.bool_(False)
         dead_new = jnp.zeros((1, c_pad), jnp.bool_)
@@ -923,7 +935,9 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
             dead_new = dead_new | retire
             if pops > 1:
                 row = jnp.where(retire, _INT_MAX, row)
-        dead_ref[:] = dead_ref[:] | dead_new.astype(jnp.int32)
+        dead_ref[ch:ch + 1, :] = (
+            dead_ref[ch:ch + 1, :] | dead_new.astype(jnp.int32)
+        )
 
         # debug_mode (timing bisection only — wrong results): 1 = skip
         # the dense eval (measures loop + cull + extraction; iterations
@@ -933,12 +947,26 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         # only cost is one garbage eval on the final iteration.
         if debug_mode != 1:
             if eval_always:
-                eval_group(all_ids)
+                eval_group(all_ids, ch)
             else:
                 @pl.when(any_valid)
                 def _():
-                    eval_group(all_ids)
+                    eval_group(all_ids, ch)
 
+        return any_valid
+
+    def cond(found):
+        return found
+
+    def body(found):
+        # A finished chain is self-stabilizing (best_t and the dead row
+        # are monotone, so its any_valid stays False and its eval is
+        # branch-skipped); it costs one cull+tournament per surplus
+        # iteration of its partners — cycles the scheduler overlaps
+        # with the live chains' vector work anyway.
+        any_valid = jnp.bool_(False)
+        for ch in range(chains):
+            any_valid = any_valid | chain_step(ch)
         return any_valid
 
     jax.lax.while_loop(cond, body, jnp.bool_(True))
@@ -948,35 +976,37 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
                          occ_ref, key_ref, dead_ref, *, n_clusters: int,
                          tile: int, c_pad: int, idx_bits: int,
                          group: int, windowed: bool = False,
-                         pops: int = 1, eval_always: bool = False):
+                         pops: int = 1, eval_always: bool = False,
+                         chains: int = 1):
     """Dense nearest-first any-hit: the _tile_kernel_dnf structure with
     the light occlusion epilogue (flip the lane's bit, drop its t-cap to
     0). Nearest-first ordering still pays — near geometry occludes most
-    rays fastest, and each flipped lane vanishes from the next re-cull."""
+    rays fastest, and each flipped lane vanishes from the next re-cull.
+    ``chains`` as in _tile_kernel_dnf: independent tile-sized chains per
+    program whose scalar/vector phases the scheduler can overlap."""
+    nrows = tile * chains
     o_aug = o_ref[:]
     d_aug = d_ref[:]
     inv_d = _safe_inv(d_aug[:, 0:3])
-    occ_ref[:] = jnp.zeros((tile, 1), jnp.float32)
+    occ_ref[:] = jnp.zeros((nrows, 1), jnp.float32)
     t_cap0 = t0_ref[:]
     k = CLUSTER_SIZE
     kp = k * group
     rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
 
-    key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t_cap0, tile, c_pad,
+    key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t_cap0, nrows, c_pad,
                              idx_bits, n_clusters,
                              interleave=c_pad // 128 if windowed else 0)
-    dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
+    dead_ref[:] = jnp.zeros((chains, c_pad), jnp.int32)
 
-    def cond(found):
-        return found
-
-    def body(found):
-        cap = jnp.where(occ_ref[:] > 0.0, 0.0, t_cap0)
+    def chain_step(ch):
+        cs, ce = ch * tile, (ch + 1) * tile
+        cap = jnp.where(occ_ref[cs:ce, :] > 0.0, 0.0, t_cap0[cs:ce, :])
         bt = _bt_inflate(cap, idx_bits)
-        keys = key_ref[:]
+        keys = key_ref[cs:ce, :]
         live = jnp.where(keys < bt, keys, _INT_MAX)
         row = jnp.min(live, axis=0, keepdims=True)
-        row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
+        row = jnp.where(dead_ref[ch:ch + 1, :] > 0, _INT_MAX, row)
         all_ids = []
         any_valid = jnp.bool_(False)
         dead_new = jnp.zeros((1, c_pad), jnp.bool_)
@@ -998,13 +1028,18 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
             dead_new = dead_new | retire
             if pops > 1:
                 row = jnp.where(retire, _INT_MAX, row)
-        dead_ref[:] = dead_ref[:] | dead_new.astype(jnp.int32)
+        dead_ref[ch:ch + 1, :] = (
+            dead_ref[ch:ch + 1, :] | dead_new.astype(jnp.int32)
+        )
 
         def do_eval():
             w_cat = _dnf_gather_group(woop_ref, all_ids, k)
-            t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, cap, kp * pops)
+            t_pair = _pair_eval_wide(o_aug[cs:ce], d_aug[cs:ce], w_cat,
+                                     cap, kp * pops)
             t_min = jnp.min(t_pair, axis=1, keepdims=True)
-            occ_ref[:] = jnp.where(t_min < cap, 1.0, occ_ref[:])
+            occ_ref[cs:ce, :] = jnp.where(
+                t_min < cap, 1.0, occ_ref[cs:ce, :]
+            )
 
         if eval_always:
             do_eval()
@@ -1013,6 +1048,15 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
             def _():
                 do_eval()
 
+        return any_valid
+
+    def cond(found):
+        return found
+
+    def body(found):
+        any_valid = jnp.bool_(False)
+        for ch in range(chains):
+            any_valid = any_valid | chain_step(ch)
         return any_valid
 
     jax.lax.while_loop(cond, body, jnp.bool_(True))
@@ -1041,18 +1085,21 @@ def _dnf_bounds(clusters, c_pad: int):
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "group",
                                     "windowed", "debug_mode", "band",
-                                    "bf16", "pops", "eval_always"))
+                                    "bf16", "pops", "eval_always",
+                                    "chains"))
 def trace_pallas_dnf(clusters, origin, direction, t_init,
                      interpret=False, tile=DNF_TILE, group=None,
                      windowed=None, debug_mode=0, band=0, bf16=False,
-                     pops=1, eval_always=False):
+                     pops=1, eval_always=False, chains=1):
     """Dense nearest-first cluster trace; same contract as trace_pallas.
 
     Flat scenes only (cluster count <= DNF_MAX_CLUSTERS and Woop data
     whole-in-VMEM); callers fall back to the tree kernels past that.
     ``band`` (experimental, must divide ``tile``) switches the
     per-iteration re-cull to per-band key minima — exact results,
-    coarser culling; see _tile_kernel_dnf.
+    coarser culling; see _tile_kernel_dnf. ``chains`` runs that many
+    INDEPENDENT tile-sized ray chains per Pallas program so their
+    scalar and vector phases can overlap (see chain_step).
     """
     c = clusters.woop.shape[0]
     r = origin.shape[0]
@@ -1076,7 +1123,8 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
         # Windowed: one pop per window up to 6 (eval width tracks the
         # actual pops — group > nw only pads the eval with clamp-dups).
         group = min(6, c_pad // 128) if windowed else 4
-    r_pad = -(-r // tile) * tile
+    block = tile * chains
+    r_pad = -(-r // block) * block
     pad = r_pad - r
     if pad:
         origin = jnp.pad(origin, ((0, pad), (0, 0)))
@@ -1093,36 +1141,38 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
         nw = c_pad // 128
         col = jnp.arange(c_pad, dtype=jnp.int32)
         cb = cb[:, (col % 128) * nw + col // 128]
-    grid = r_pad // tile
+    grid = r_pad // block
 
     if band and tile % band:
         raise ValueError(f"band {band} must divide tile {tile}")
+    if band and chains > 1:
+        raise ValueError("band and chains are mutually exclusive")
     t, slot, normal, mat = pl.pallas_call(
         functools.partial(_tile_kernel_dnf, n_clusters=c, tile=tile,
                           c_pad=c_pad, idx_bits=idx_bits, group=group,
                           windowed=windowed, debug_mode=debug_mode,
                           band=band, bf16=bf16, pops=pops,
-                          eval_always=eval_always),
+                          eval_always=eval_always, chains=chains),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+            pl.BlockSpec((block, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+            pl.BlockSpec((block, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster bounds
             pl.BlockSpec(memory_space=pltpu.VMEM),   # woop
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mat
         ],
         out_specs=(
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+            pl.BlockSpec((block, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -1132,9 +1182,9 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
             jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile // band if band else tile, c_pad),
+            pltpu.VMEM((tile // band if band else block, c_pad),
                        jnp.int32),                    # packed keys
-            pltpu.VMEM((1, c_pad), jnp.int32),        # retired clusters
+            pltpu.VMEM((chains, c_pad), jnp.int32),   # retired clusters
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -1147,10 +1197,12 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "group",
-                                    "windowed", "pops", "eval_always"))
+                                    "windowed", "pops", "eval_always",
+                                    "chains"))
 def occluded_pallas_dnf(clusters, origin, direction, t_max,
                         interpret=False, tile=DNF_TILE, group=None,
-                        windowed=None, pops=1, eval_always=False):
+                        windowed=None, pops=1, eval_always=False,
+                        chains=1):
     """Dense nearest-first any-hit occlusion; contract of occluded_pallas."""
     c = clusters.woop.shape[0]
     r = origin.shape[0]
@@ -1172,7 +1224,8 @@ def occluded_pallas_dnf(clusters, origin, direction, t_max,
         # Windowed: one pop per window up to 6 (eval width tracks the
         # actual pops — group > nw only pads the eval with clamp-dups).
         group = min(6, c_pad // 128) if windowed else 4
-    r_pad = -(-r // tile) * tile
+    block = tile * chains
+    r_pad = -(-r // block) * block
     pad = r_pad - r
     if pad:
         origin = jnp.pad(origin, ((0, pad), (0, 0)))
@@ -1187,30 +1240,30 @@ def occluded_pallas_dnf(clusters, origin, direction, t_max,
         nw = c_pad // 128
         col = jnp.arange(c_pad, dtype=jnp.int32)
         cb = cb[:, (col % 128) * nw + col // 128]
-    grid = r_pad // tile
+    grid = r_pad // block
 
     occ = pl.pallas_call(
         functools.partial(_tile_kernel_occ_dnf, n_clusters=c, tile=tile,
                           c_pad=c_pad, idx_bits=idx_bits, group=group,
                           windowed=windowed, pops=pops,
-                          eval_always=eval_always),
+                          eval_always=eval_always, chains=chains),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+            pl.BlockSpec((block, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+            pl.BlockSpec((block, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster bounds
             pl.BlockSpec(memory_space=pltpu.VMEM),   # woop
         ],
-        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile, c_pad), jnp.int32),     # packed keys
-            pltpu.VMEM((1, c_pad), jnp.int32),        # retired clusters
+            pltpu.VMEM((block, c_pad), jnp.int32),    # packed keys
+            pltpu.VMEM((chains, c_pad), jnp.int32),   # retired clusters
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

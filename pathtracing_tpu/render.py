@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "Cornell box, whose outside is black)")
     p.add_argument("--preview", action="store_true",
                    help="live preview via matplotlib (if installed)")
+    p.add_argument("--preview-scale", type=int, default=0, metavar="F",
+                   help="preview downsample factor (device-side mean "
+                        "pool; 0 = auto: longest side <= ~480 px)")
+    p.add_argument("--preview-every", type=int, default=1, metavar="N",
+                   help="update the preview every N steps (default 1)")
     p.add_argument("--debug", action="store_true",
                    help="enable NaN checking (reference DEBUG-validation "
                         "analogue)")
@@ -216,6 +221,14 @@ def main(argv=None) -> int:
 
     mlog = metrics.MetricsLog(jsonl_path=args.metrics_jsonl)
     preview = _Preview() if args.preview else None
+    # Device-side downsample factor for preview-only fetches: the
+    # reference presents every frame full-res because its swapchain is
+    # on the GPU (`Renderer.cs:976-991`); here the "display cable" is a
+    # ~30 MB/s tunnel, so the preview ships a pooled image and only PNG
+    # snapshots pay for full resolution.
+    prev_factor = args.preview_scale
+    if prev_factor <= 0:
+        prev_factor = max(1, -(-max(config.width, config.height) // 480))
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -262,11 +275,17 @@ def main(argv=None) -> int:
                 ckpt.save(args.checkpoint, state, config)
             do_png = bool(args.snapshot_every
                           and step % args.snapshot_every == 0)
-            if do_png or preview is not None:
+            want_preview = (preview is not None
+                            and step % max(args.preview_every, 1) == 0)
+            if do_png or want_preview:
                 # Device-side copy only — deferred to the next iteration
                 # (the copy must happen before step_fn donates state).
-                pending = (progressive.resolve(state), int(state.spp),
-                           do_png)
+                # Preview-only snapshots are pooled on device so the
+                # tunnel fetch stays small (resolve_preview docstring).
+                img_dev = (progressive.resolve(state) if do_png
+                           else progressive.resolve_preview(
+                               state, prev_factor))
+                pending = (img_dev, int(state.spp), do_png)
         if pending is not None and pending[2]:
             image.write_png(args.out, np.asarray(pending[0]),
                             args.exposure, args.tonemap)

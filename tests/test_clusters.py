@@ -172,10 +172,11 @@ def test_dnf_banded_matches_jax(mesh_scene):
 
 
 def test_dnf_pops_eval_always_bitwise(mesh_scene):
-    """pops>1 (batched pop rounds per loop iteration) and eval_always
-    (branch-free eval of clamp-padded pops) are pure scheduling changes:
-    both closest-hit and any-hit DNF kernels must match the baseline
-    kernel BITWISE for every combination."""
+    """pops>1 (batched pop rounds per loop iteration), eval_always
+    (branch-free eval of clamp-padded pops) and chains>1 (independent
+    tile chains per program) are pure scheduling changes: both
+    closest-hit and any-hit DNF kernels must match the baseline kernel
+    BITWISE for every combination."""
     import jax.numpy as jnp
 
     from pathtracing_tpu.ops import cluster_trace
@@ -195,7 +196,9 @@ def test_dnf_pops_eval_always_bitwise(mesh_scene):
     for kw in (dict(pops=2), dict(eval_always=True),
                dict(pops=2, eval_always=True),
                dict(pops=3, eval_always=True),
-               dict(windowed=True, pops=2)):
+               dict(windowed=True, pops=2),
+               dict(chains=2), dict(chains=4),
+               dict(chains=2, pops=2, eval_always=True)):
         tw = cluster_trace.trace_pallas_dnf(
             mesh_scene.clusters, o, d, t0, interpret=True, **kw
         )

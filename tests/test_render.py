@@ -198,6 +198,24 @@ class TestWaveRestructuring:
         np.testing.assert_array_equal(compacted, plain)
 
 
+class TestPreviewResolve:
+    def test_resolve_preview_mean_pools(self):
+        """Device-side preview downsample = mean pool of resolve(),
+        cropping edge rows/cols short of a full window."""
+        h, w, f = 11, 14, 4
+        accum = jnp.asarray(
+            np.random.default_rng(1).random((h, w, 3), np.float32) * 8
+        )
+        state = progressive.RenderState(
+            accum=accum, spp=jnp.int32(2), seed=jnp.uint32(0)
+        )
+        small = np.asarray(progressive.resolve_preview(state, f))
+        assert small.shape == (h // f, w // f, 3)
+        full = np.asarray(progressive.resolve(state))
+        ref = full[:8, :12].reshape(2, 4, 3, 4, 3).mean(axis=(1, 3))
+        np.testing.assert_allclose(small, ref, rtol=1e-6)
+
+
 class TestImageIO:
     def test_png_roundtrip(self):
         r = np.random.default_rng(0)
