@@ -747,21 +747,43 @@ def _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp: int,
 
 def _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids, id_base, group,
                     tile, t_ref, slot_ref, normal_ref, hitmat_ref,
-                    debug_mode=0, bf16=False):
+                    debug_mode=0, bf16=False, seg=None):
     """Dense group evaluation + shading epilogue shared by the flat and
     paged DNF kernels. ``w_cat`` (4, 3*kp) / ``mat_cat`` (1, kp) are the
     caller-gathered group blocks (the gather differs: flat vs page-local
     refs); ``id_base`` offsets page-local cluster ids to global ids for
-    the slot encoding (0 for the flat kernel)."""
+    the slot encoding (0 for the flat kernel). ``seg`` = (cs, ce) when
+    the output refs cover a multi-chain block and this eval updates only
+    rows [cs, ce): the refs are loaded/stored WHOLE with value-level
+    slicing — Mosaic rejects row-slices of lane-narrow (N, 1)/(N, 4)
+    refs (memref_slice must be 128-lane aligned)."""
     k = CLUSTER_SIZE
     kp = k * group
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
-    best_t = t_ref[:]
+
+    def load(ref):
+        full = ref[:]
+        if seg is None:
+            return full, full
+        return full, full[seg[0]:seg[1]]
+
+    def store(ref, full, new_seg):
+        if seg is None:
+            ref[:] = new_seg
+            return
+        cs, ce = seg
+        parts = ([full[:cs]] if cs else []) + [new_seg] \
+            + ([full[ce:]] if ce < full.shape[0] else [])
+        ref[:] = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=0
+        )
+
+    t_full, best_t = load(t_ref)
     t_pair = _pair_eval_wide(o_aug, d_aug, w_cat, best_t, kp, bf16)
     t_min = jnp.min(t_pair, axis=1, keepdims=True)
     upd = t_min < best_t
     if debug_mode == 2:   # timing bisection: no shading epilogue
-        t_ref[:] = jnp.where(upd, t_min, best_t)
+        store(t_ref, t_full, jnp.where(upd, t_min, best_t))
         return
     pick = t_pair <= t_min
     slot = jnp.min(
@@ -790,14 +812,17 @@ def _dnf_eval_group(o_aug, d_aug, w_cat, mat_cat, ids, id_base, group,
     for j in range(1, group):
         cwin = jnp.where(slot >= j * k, ids[j], cwin)
     gslot = (id_base + cwin) * k + (slot & (k - 1))
-    t_ref[:] = jnp.where(upd, t_min, best_t)
-    slot_ref[:] = jnp.where(upd, gslot, slot_ref[:])
+    store(t_ref, t_full, jnp.where(upd, t_min, best_t))
+    slot_full, slot_cur = load(slot_ref)
+    store(slot_ref, slot_full, jnp.where(upd, gslot, slot_cur))
     n_new = jnp.concatenate(
         [nx * inv_len, ny * inv_len, nz * inv_len,
          jnp.zeros((tile, 1), jnp.float32)], axis=1
     )
-    normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
-    hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
+    normal_full, normal_cur = load(normal_ref)
+    store(normal_ref, normal_full, jnp.where(upd, n_new, normal_cur))
+    hm_full, hm_cur = load(hitmat_ref)
+    store(hitmat_ref, hm_full, jnp.where(upd, mat_sel, hm_cur))
 
 
 def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
@@ -877,9 +902,9 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         w_cat = _dnf_gather_group(woop_ref, ids, k)   # (4, 3*kp)
         mat_cat = jnp.concatenate([mat_ref[c] for c in ids], axis=1)
         _dnf_eval_group(o_aug[cs:ce], d_aug[cs:ce], w_cat, mat_cat, ids,
-                        0, group * pops, tile, t_ref.at[cs:ce],
-                        slot_ref.at[cs:ce], normal_ref.at[cs:ce],
-                        hitmat_ref.at[cs:ce], debug_mode, bf16)
+                        0, group * pops, tile, t_ref, slot_ref,
+                        normal_ref, hitmat_ref, debug_mode, bf16,
+                        seg=None if chains == 1 else (cs, ce))
 
     def chain_step(ch):
         """One pop+eval iteration of chain ``ch`` (rows
@@ -887,9 +912,11 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         static scheduler is free to overlap one chain's scalar phase
         (window-min extraction, tournament) with another's vector
         phase (re-cull, dense eval) — the single-chain kernel
-        serializes them on the scalar<->vector sync chain."""
+        serializes them on the scalar<->vector sync chain. Narrow
+        (N, 1) refs are loaded whole and value-sliced; only the
+        lane-wide key matrix uses direct (128-aligned) ref slices."""
         cs, ce = ch * tile, (ch + 1) * tile
-        best_t = t_ref[cs:ce, :]
+        best_t = t_ref[:] if chains == 1 else t_ref[:][cs:ce, :]
         if band:
             nbands = tile // band
             bt = _bt_inflate(jnp.concatenate(
@@ -899,10 +926,13 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
             keys = key_ref[:]
         else:
             bt = _bt_inflate(best_t, idx_bits)        # (tile, 1)
-            keys = key_ref[cs:ce, :]
+            keys = (key_ref[:] if chains == 1
+                    else key_ref[cs:ce, :])
         live = jnp.where(keys < bt, keys, _INT_MAX)   # conservative cull
         row = jnp.min(live, axis=0, keepdims=True)    # (1, c_pad)
-        row = jnp.where(dead_ref[ch:ch + 1, :] > 0, _INT_MAX, row)
+        dead_row = (dead_ref[:] if chains == 1
+                    else dead_ref[:][ch:ch + 1, :])
+        row = jnp.where(dead_row > 0, _INT_MAX, row)
         # ``pops`` > 1 runs several pop rounds per loop iteration (each
         # sees the previous round's kills, so all ids are distinct —
         # unlike a single wider group, which pads with clamp-duplicates
@@ -935,9 +965,16 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
             dead_new = dead_new | retire
             if pops > 1:
                 row = jnp.where(retire, _INT_MAX, row)
-        dead_ref[ch:ch + 1, :] = (
-            dead_ref[ch:ch + 1, :] | dead_new.astype(jnp.int32)
-        )
+        if chains == 1:
+            dead_ref[:] = dead_ref[:] | dead_new.astype(jnp.int32)
+        else:
+            # Row-masked RMW: (chains, c_pad) is lane-narrow in rows, so
+            # a [ch:ch+1] ref slice would be an unaligned memref_slice.
+            cur = dead_ref[:]
+            ri = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0)
+            dead_ref[:] = jnp.where(
+                ri == ch, cur | dead_new.astype(jnp.int32), cur
+            )
 
         # debug_mode (timing bisection only — wrong results): 1 = skip
         # the dense eval (measures loop + cull + extraction; iterations
@@ -1001,12 +1038,16 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
 
     def chain_step(ch):
         cs, ce = ch * tile, (ch + 1) * tile
-        cap = jnp.where(occ_ref[cs:ce, :] > 0.0, 0.0, t_cap0[cs:ce, :])
+        occ_full = occ_ref[:]
+        occ_cur = occ_full if chains == 1 else occ_full[cs:ce, :]
+        cap = jnp.where(occ_cur > 0.0, 0.0, t_cap0[cs:ce, :])
         bt = _bt_inflate(cap, idx_bits)
-        keys = key_ref[cs:ce, :]
+        keys = key_ref[:] if chains == 1 else key_ref[cs:ce, :]
         live = jnp.where(keys < bt, keys, _INT_MAX)
         row = jnp.min(live, axis=0, keepdims=True)
-        row = jnp.where(dead_ref[ch:ch + 1, :] > 0, _INT_MAX, row)
+        dead_row = (dead_ref[:] if chains == 1
+                    else dead_ref[:][ch:ch + 1, :])
+        row = jnp.where(dead_row > 0, _INT_MAX, row)
         all_ids = []
         any_valid = jnp.bool_(False)
         dead_new = jnp.zeros((1, c_pad), jnp.bool_)
@@ -1028,18 +1069,29 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
             dead_new = dead_new | retire
             if pops > 1:
                 row = jnp.where(retire, _INT_MAX, row)
-        dead_ref[ch:ch + 1, :] = (
-            dead_ref[ch:ch + 1, :] | dead_new.astype(jnp.int32)
-        )
+        if chains == 1:
+            dead_ref[:] = dead_ref[:] | dead_new.astype(jnp.int32)
+        else:
+            cur = dead_ref[:]
+            ri = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0)
+            dead_ref[:] = jnp.where(
+                ri == ch, cur | dead_new.astype(jnp.int32), cur
+            )
 
         def do_eval():
             w_cat = _dnf_gather_group(woop_ref, all_ids, k)
             t_pair = _pair_eval_wide(o_aug[cs:ce], d_aug[cs:ce], w_cat,
                                      cap, kp * pops)
             t_min = jnp.min(t_pair, axis=1, keepdims=True)
-            occ_ref[cs:ce, :] = jnp.where(
-                t_min < cap, 1.0, occ_ref[cs:ce, :]
-            )
+            occ_new = jnp.where(t_min < cap, 1.0, occ_ref[:][cs:ce, :])
+            if chains == 1:
+                occ_ref[:] = occ_new
+            else:
+                full = occ_ref[:]
+                parts = ([full[:cs]] if cs else []) + [occ_new] \
+                    + ([full[ce:]] if ce < full.shape[0] else [])
+                occ_ref[:] = (parts[0] if len(parts) == 1
+                              else jnp.concatenate(parts, axis=0))
 
         if eval_always:
             do_eval()
