@@ -293,8 +293,8 @@ def uses_dnf(scene: Scene) -> bool:
     — engines use it to pick wave policies at trace time: DNF waves
     measure FASTER unsorted on every wave type, flat and paged alike
     (PERF.md r2c/r2e), and benefit from the megakernel's live-first
-    compaction. Only the rare unpaged band past the DNF budget (and
-    bf16 mode) still wants the octant-sorted tree walk."""
+    compaction. Only the rare unpaged band past the DNF budget still
+    wants the octant-sorted tree walk."""
     return scene.clusters is not None and (
         scene.pages is not None
         or scene.clusters.woop.shape[0] <= cluster_trace.DNF_MAX_CLUSTERS
@@ -431,13 +431,14 @@ def intersect_batch(scene: Scene, origin, direction,
         tri_t, slot, n_tri, mat_tri = cluster_trace.trace_jax(
             scene.clusters, origin_t, direction_t, t_init_t
         )
-    elif traversal in ("cluster_pallas", "cluster_pallas_bf16",
-                       "cluster_interpret"):
-        if scene.pages is not None and traversal != "cluster_pallas_bf16":
+    elif traversal in ("cluster_pallas", "cluster_interpret"):
+        # (The cluster_pallas_bf16 mode is retired: every bf16 variant
+        # measured slower — bf16 tree walk ~2x slower family, bf16 MXU
+        # eval negative on bounce waves; PERF.md r3d.)
+        if scene.pages is not None:
             # HBM-resident scene: stream Woop pages through VMEM with
             # the per-page dense nearest-first sweep (5x the per-page
-            # tree walk on bounce waves, PERF.md r2e; the tree variant
-            # remains the bf16 path).
+            # tree walk on bounce waves, PERF.md r2e).
             tri_t, slot, n_tri, mat_tri = (
                 cluster_trace.trace_pallas_paged_dnf(
                     scene.clusters, scene.pages, origin_t, direction_t,
@@ -445,13 +446,7 @@ def intersect_batch(scene: Scene, origin, direction,
                     interpret=(traversal == "cluster_interpret"),
                 )
             )
-        elif scene.pages is not None:
-            tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas_paged(
-                scene.clusters, scene.pages, origin_t, direction_t,
-                t_init_t, bf16=True,
-            )
-        elif (traversal != "cluster_pallas_bf16"
-              and scene.clusters.woop.shape[0]
+        elif (scene.clusters.woop.shape[0]
               <= cluster_trace.DNF_MAX_CLUSTERS):
             # Production path: dense nearest-first kernel — no tree, no
             # scalar walk; scalar syncs scale with evaluated clusters
@@ -461,13 +456,12 @@ def intersect_batch(scene: Scene, origin, direction,
                 interpret=(traversal == "cluster_interpret"),
             )
         else:
-            # bf16 mode or past the DNF scratch budget: octant-ordered
-            # 4-step lookahead walk (falls back to the plain ordered
-            # walk past the cand_box ceiling — see trace_pallas).
+            # Past the DNF scratch budget: octant-ordered 4-step
+            # lookahead walk (falls back to the plain ordered walk past
+            # the cand_box ceiling — see trace_pallas).
             tri_t, slot, n_tri, mat_tri = cluster_trace.trace_pallas(
                 scene.clusters, origin_t, direction_t, t_init_t,
                 interpret=(traversal == "cluster_interpret"),
-                bf16=(traversal == "cluster_pallas_bf16"),
                 lookahead=4, drain=1,
             )
     else:

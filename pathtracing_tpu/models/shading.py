@@ -101,14 +101,13 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     # bounce 3.19 vs 2.80, shadow 5.95 vs 4.41 Mrays/s — PERF.md r2):
     # image/pool order already bounds the per-tile cluster footprint
     # better than 216 octant bins, and the counting sort itself is pure
-    # cost. The tree kernels still want the sort — and bf16 mode routes
-    # to them regardless of scene shape, so the policy checks BOTH the
-    # scene (static shapes) and the resolved traversal. Binning is
-    # order-restoring, so either choice is bitwise-identical.
-    bin_rays = bin_rays and not (
-        scene_mod.uses_dnf(scene)
-        and traversal != "cluster_pallas_bf16"
-    )
+    # cost. The tree kernels (past the DNF scratch budget) still want
+    # the sort, so the policy checks the scene's static shapes. Binning
+    # is order-restoring, so either choice is bitwise-identical.
+    # (The bf16 tree-walk traversal mode that also used to force the
+    # sort is retired — every bf16 variant measured slower, PERF.md
+    # r3d.)
+    bin_rays = bin_rays and not scene_mod.uses_dnf(scene)
     with jax.named_scope("intersect"):
         hit = scene_mod.intersect_batch(
             scene, o, d, traversal, active=active, bin_rays=bin_rays

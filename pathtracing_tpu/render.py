@@ -61,8 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable next-event estimation (direct light "
                         "sampling); brute-force path tracing only")
     p.add_argument("--traversal", default="auto",
-                   choices=["auto", "bvh", "cluster_jax", "cluster_pallas",
-                            "cluster_pallas_bf16"],
+                   choices=["auto", "bvh", "cluster_jax",
+                            "cluster_pallas"],
                    help="intersection backend (auto: Pallas cluster "
                         "kernel on TPU, threaded BVH elsewhere)")
     p.add_argument("--out", default="render.png")
