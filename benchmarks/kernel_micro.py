@@ -140,14 +140,15 @@ def main() -> int:
             if trace is None:
                 return None
         elif name.startswith("dnf"):
-            # dnf[g<group>][w][m<debug_mode>][b<band>], e.g. dnfg8, dnfw
-            # (windowed pop), dnfm1, dnfg2wm2, dnfb16 (banded cull)
+            # dnf[g<group>][w|w2][m<debug_mode>][b<band>], e.g. dnfg8,
+            # dnfw (windowed pop), dnfg6w2 (2nd-smallest-per-window),
+            # dnfm1, dnfg2wm2, dnfb16 (banded cull)
             trace = cluster_trace.trace_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
             body = name[3:]
             import re as _re
             mg = _re.match(
-                r"(?:g(\d+))?(w)?(?:m(\d+))?(?:b(\d+))?(h)?"
+                r"(?:g(\d+))?(w2?)?(?:m(\d+))?(?:b(\d+))?(h)?"
                 r"(?:p(\d+))?(a)?(?:c(\d+))?$", body)
             if mg is None:
                 raise SystemExit(f"bad kernel spec: {kernel!r}")
@@ -155,6 +156,8 @@ def main() -> int:
                 kw["group"] = int(mg.group(1))
             if mg.group(2):
                 kw["windowed"] = True
+                if mg.group(2) == "w2":
+                    kw["win2"] = True   # 2nd-smallest-per-window pops
             if mg.group(3):
                 kw["debug_mode"] = int(mg.group(3))
             if mg.group(4):
@@ -172,13 +175,15 @@ def main() -> int:
             trace = cluster_trace.occluded_pallas_dnf
             kw = {"interpret": True} if on_cpu else {}
             import re as _re
-            mg = _re.match(r"anyhitdnf(?:g(\d+))?(?:c(\d+))?$", name)
+            mg = _re.match(r"anyhitdnf(?:g(\d+))?(2)?(?:c(\d+))?$", name)
             if mg is None:
                 raise SystemExit(f"bad kernel spec: {kernel!r}")
             if mg.group(1):
                 kw["group"] = int(mg.group(1))
             if mg.group(2):
-                kw["chains"] = int(mg.group(2))
+                kw["win2"] = True       # 2nd-smallest-per-window pops
+            if mg.group(3):
+                kw["chains"] = int(mg.group(3))
         elif name.startswith("la") or name.startswith("lb"):
             # Lookahead variants la<K>x<B> (lb accepted as an alias);
             # trailing "a" = unconditional drain, e.g. lb4x1a.

@@ -643,7 +643,8 @@ def _dnf_pop_group(row, rowc, n_clusters: int, idx_bits: int, p: int):
     return ids, valids, row
 
 
-def _dnf_pop_window(row, rowc, n_clusters: int, idx_bits: int, p: int):
+def _dnf_pop_window(row, rowc, n_clusters: int, idx_bits: int, p: int,
+                    win2: bool = False):
     """Windowed pop: ONE vector min per 128-lane window of the row, then
     a scalar-core insertion tournament keeps the ``p`` smallest window
     minima — replacing ``p`` SERIAL min-reduce→scalar syncs with nw
@@ -653,22 +654,32 @@ def _dnf_pop_window(row, rowc, n_clusters: int, idx_bits: int, p: int):
     windows, so the p nearest clusters usually occupy distinct windows;
     when they do not, the runner-up pops one iteration later (extra
     iterations, never wrong answers — evals are idempotent).
+    ``win2`` also extracts each window's SECOND-smallest key (mask the
+    min's lane — keys are unique, every column carries a distinct
+    cluster id — and reduce again): 2nw tournament candidates, so a
+    collision among the p nearest costs a runner-up pop THIS iteration
+    instead of a whole extra iteration. Measurement variant for the
+    windowed pop's ~1.35x collision-waste term (PERF.md r3e).
     Returns (ids, valids, any_valid, retire column mask). ``any_valid``
-    is the loop-continuation signal: with the p >= nw shortcut the
+    is the loop-continuation signal: with the p >= n_cands shortcut the
     group is NOT sorted, so ``valids[0]`` alone would terminate early
     when window 0 happens to be empty."""
     nw = row.shape[1] // 128
-    wmin = jnp.min(row.reshape(nw, 128), axis=1)   # (nw,)
-    if p >= nw:
-        # One pop per window — no tournament needed (order within the
+    r = row.reshape(nw, 128)
+    wmin = jnp.min(r, axis=1)                      # (nw,)
+    cands = [wmin[i] for i in range(nw)]
+    if win2:
+        r2 = jnp.where(r == wmin[:, None], _INT_MAX, r)
+        wmin2 = jnp.min(r2, axis=1)                # (nw,)
+        cands += [wmin2[i] for i in range(nw)]
+    if p >= len(cands):
+        # One pop per candidate — no tournament needed (order within the
         # group is irrelevant: evals are idempotent and the conservative
         # cull only needs the true nearest to be IN the group).
-        best = [wmin[i] for i in range(nw)]
-        best += [jnp.int32(_INT_MAX)] * (p - nw)
+        best = cands + [jnp.int32(_INT_MAX)] * (p - len(cands))
     else:
         best = [jnp.int32(_INT_MAX)] * p
-        for i in range(nw):
-            v = wmin[i]
+        for v in cands:
             for j in range(p):
                 lo = jnp.minimum(best[j], v)
                 v = jnp.maximum(best[j], v)
@@ -832,7 +843,7 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
                      windowed: bool = False, debug_mode: int = 0,
                      band: int = 0, bf16: bool = False,
                      pops: int = 1, eval_always: bool = False,
-                     chains: int = 1):
+                     chains: int = 1, win2: bool = False):
     """Dense nearest-first closest-hit: NO tree, NO scalar walk.
 
     The round-2 lookahead kernel sits near the scalar-op floor (~0.4 µs
@@ -950,7 +961,7 @@ def _tile_kernel_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref, mat_ref,
         for _ in range(pops):
             if windowed:
                 ids, valids, av, retire = _dnf_pop_window(
-                    row, rowc, n_clusters, idx_bits, group
+                    row, rowc, n_clusters, idx_bits, group, win2
                 )
             else:
                 ids, valids, _ = _dnf_pop_group(
@@ -1014,7 +1025,7 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
                          tile: int, c_pad: int, idx_bits: int,
                          group: int, windowed: bool = False,
                          pops: int = 1, eval_always: bool = False,
-                         chains: int = 1):
+                         chains: int = 1, win2: bool = False):
     """Dense nearest-first any-hit: the _tile_kernel_dnf structure with
     the light occlusion epilogue (flip the lane's bit, drop its t-cap to
     0). Nearest-first ordering still pays — near geometry occludes most
@@ -1054,7 +1065,7 @@ def _tile_kernel_occ_dnf(o_ref, d_ref, t0_ref, cb_ref, woop_ref,
         for _ in range(pops):
             if windowed:
                 ids, valids, av, retire = _dnf_pop_window(
-                    row, rowc, n_clusters, idx_bits, group
+                    row, rowc, n_clusters, idx_bits, group, win2
                 )
             else:
                 ids, valids, _ = _dnf_pop_group(
@@ -1138,11 +1149,11 @@ def _dnf_bounds(clusters, c_pad: int):
                    static_argnames=("interpret", "tile", "group",
                                     "windowed", "debug_mode", "band",
                                     "bf16", "pops", "eval_always",
-                                    "chains"))
+                                    "chains", "win2"))
 def trace_pallas_dnf(clusters, origin, direction, t_init,
                      interpret=False, tile=DNF_TILE, group=None,
                      windowed=None, debug_mode=0, band=0, bf16=False,
-                     pops=1, eval_always=False, chains=1):
+                     pops=1, eval_always=False, chains=1, win2=False):
     """Dense nearest-first cluster trace; same contract as trace_pallas.
 
     Flat scenes only (cluster count <= DNF_MAX_CLUSTERS and Woop data
@@ -1204,7 +1215,8 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
                           c_pad=c_pad, idx_bits=idx_bits, group=group,
                           windowed=windowed, debug_mode=debug_mode,
                           band=band, bf16=bf16, pops=pops,
-                          eval_always=eval_always, chains=chains),
+                          eval_always=eval_always, chains=chains,
+                          win2=win2),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block, 4), lambda i: (i, 0),
@@ -1250,11 +1262,11 @@ def trace_pallas_dnf(clusters, origin, direction, t_init,
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "group",
                                     "windowed", "pops", "eval_always",
-                                    "chains"))
+                                    "chains", "win2"))
 def occluded_pallas_dnf(clusters, origin, direction, t_max,
                         interpret=False, tile=DNF_TILE, group=None,
                         windowed=None, pops=1, eval_always=False,
-                        chains=1):
+                        chains=1, win2=False):
     """Dense nearest-first any-hit occlusion; contract of occluded_pallas."""
     c = clusters.woop.shape[0]
     r = origin.shape[0]
@@ -1298,7 +1310,8 @@ def occluded_pallas_dnf(clusters, origin, direction, t_max,
         functools.partial(_tile_kernel_occ_dnf, n_clusters=c, tile=tile,
                           c_pad=c_pad, idx_bits=idx_bits, group=group,
                           windowed=windowed, pops=pops,
-                          eval_always=eval_always, chains=chains),
+                          eval_always=eval_always, chains=chains,
+                          win2=win2),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block, 4), lambda i: (i, 0),

@@ -197,6 +197,8 @@ def test_dnf_pops_eval_always_bitwise(mesh_scene):
                dict(pops=2, eval_always=True),
                dict(pops=3, eval_always=True),
                dict(windowed=True, pops=2),
+               dict(windowed=True, win2=True),
+               dict(windowed=True, win2=True, pops=2),
                dict(chains=2), dict(chains=4),
                dict(chains=2, pops=2, eval_always=True)):
         tw = cluster_trace.trace_pallas_dnf(
@@ -324,15 +326,16 @@ def test_windowed_pop_matches_serial(mesh_scene):
         group=4,
     )
     for g in (2, 4, 8):
-        win = cluster_trace.trace_pallas_dnf(
-            mesh_scene.clusters, o, d, t0, interpret=True,
-            windowed=True, group=g,
-        )
-        live = np.asarray(t0) > 0
-        for a, b in zip(base, win):
-            np.testing.assert_array_equal(
-                np.asarray(a)[live], np.asarray(b)[live]
+        for win2 in (False, True):
+            win = cluster_trace.trace_pallas_dnf(
+                mesh_scene.clusters, o, d, t0, interpret=True,
+                windowed=True, group=g, win2=win2,
             )
+            live = np.asarray(t0) > 0
+            for a, b in zip(base, win):
+                np.testing.assert_array_equal(
+                    np.asarray(a)[live], np.asarray(b)[live]
+                )
 
 
 def test_windowed_multiwindow_matches_oracle():
@@ -351,6 +354,13 @@ def test_windowed_multiwindow_matches_oracle():
     )
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    # win2 (2nd-smallest-per-window pops) on the real 8-window shape:
+    # the tournament sees 16 candidates — results must stay bitwise.
+    got2 = cluster_trace.trace_pallas_dnf(
+        scene.clusters, o, d, t0, interpret=True, win2=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got2[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got2[1]))
 
     tmax = jnp.full((256,), 1.0, jnp.float32)
     occ = cluster_trace.occluded_pallas_dnf(
