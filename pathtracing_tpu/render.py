@@ -79,6 +79,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clamp", type=float, default=0.0,
                    help="per-sample radiance clamp (firefly suppression; "
                         "0 = unbiased/off)")
+    p.add_argument("--denoise", action="store_true",
+                   help="edge-avoiding à-trous denoise of the final "
+                        "image, guided by first-hit normal/albedo/depth "
+                        "feature buffers (ops/denoise.py; ~10x effective "
+                        "spp on low-spp renders)")
+    p.add_argument("--denoise-iters", type=int, default=5,
+                   help="à-trous iterations (dilations 1,2,4,...)")
+    p.add_argument("--denoise-sigma-color", type=float, default=None,
+                   help="color range sigma (default: 2.8/sqrt(spp))")
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="write the PNG every N steps (0 = only at end)")
     p.add_argument("--checkpoint", default=None,
@@ -303,8 +312,11 @@ def main(argv=None) -> int:
         np.savez(args.out_hdr,
                  radiance=np.asarray(progressive.resolve(state)),
                  spp=int(state.spp))
-    image.write_png(args.out, progressive.resolve(state),
-                    args.exposure, args.tonemap)
+    final = _maybe_denoise(
+        args, config, scene, camera, progressive.resolve(state),
+        int(state.spp),
+    )
+    image.write_png(args.out, final, args.exposure, args.tonemap)
     ptlog.log_information(
         "wrote %s (%d spp, %d steps)", args.out, int(state.spp), step
     )
@@ -379,6 +391,24 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
     return 0
 
 
+def _maybe_denoise(args, config, scene, camera, img, spp):
+    """Apply the --denoise post-pass to a resolved linear image."""
+    if not args.denoise:
+        return img
+    from pathtracing_tpu.ops import denoise as denoise_mod
+
+    out = denoise_mod.denoise_render(
+        scene, camera, config, img, spp=spp,
+        iterations=args.denoise_iters,
+        sigma_color=args.denoise_sigma_color,
+    )
+    ptlog.log_information(
+        "denoised (%d à-trous iterations, %s spp)",
+        args.denoise_iters, spp,
+    )
+    return out
+
+
 def _tiled_main(args, config, scene, camera) -> int:
     """Band-tiled render driver: per-band completion tracking + resume +
     optional fault injection (SURVEY.md §5.3), or adaptive sampling."""
@@ -391,8 +421,11 @@ def _tiled_main(args, config, scene, camera) -> int:
         state = tiles.render_tiled_adaptive(
             scene, camera, config, args.tiles, progress=progress
         )
-        image.write_png(args.out, tiles.resolve_tiled(state),
-                        args.exposure, args.tonemap)
+        mean = _maybe_denoise(
+            args, config, scene, camera, tiles.resolve_tiled(state),
+            float(np.mean(state.band_spp)),
+        )
+        image.write_png(args.out, mean, args.exposure, args.tonemap)
         ptlog.log_information(
             "wrote %s (adaptive; band spp %s)", args.out,
             list(map(int, state.band_spp)),
@@ -417,6 +450,9 @@ def _tiled_main(args, config, scene, camera) -> int:
         inject_fault_band=args.inject_fault, progress=progress,
     )
     mean = state.accum / np.maximum(state.band_spp.min(), 1)
+    mean = _maybe_denoise(
+        args, config, scene, camera, mean, int(state.band_spp.min())
+    )
     image.write_png(args.out, mean, args.exposure, args.tonemap)
     ptlog.log_information(
         "wrote %s (%d bands x %d spp)", args.out, args.tiles,

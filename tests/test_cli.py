@@ -127,3 +127,13 @@ def test_preview_object_updates():
     p.update(img * 0.5, 2)
     assert p._im is first  # reuses the image artist
     assert p._ax.get_title() == "2 spp"
+
+
+def test_denoise_flag(tmp_path):
+    out = str(tmp_path / "d.png")
+    r = run_cli("--scene", "cornell_sphere", "--width", "32",
+                "--height", "32", "--spp", "2", "--spp-per-step", "2",
+                "--max-depth", "3", "--denoise", "--out", out)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+    assert "denoised" in (r.stderr + r.stdout)
