@@ -52,6 +52,10 @@ class Scene(NamedTuple):
     # clusters are renumbered page-contiguously and the Pallas traversal
     # streams pages (cluster_trace.trace_pallas_paged).
     pages: cluster_ops.PageSet = None
+    # Image-based environment light (ops.envmap.EnvMap); None falls back
+    # to the static `background` mode. When set, escaped rays look up
+    # the lat-long map and NEE importance-samples it as a light.
+    env: "object" = None
 
     @property
     def material_table(self):
@@ -81,6 +85,17 @@ class SceneBuilder:
         self._tri = []          # (v0, v1, v2, mat)
         self._tri_chunks = []   # (v0 (k,3), v1, v2, mat (k,)) arrays
         self._mat = []          # (type, albedo, param, emit)
+        self._env = None        # ops.envmap.EnvMap (image-based light)
+
+    def environment(self, texels_or_envmap) -> None:
+        """Attach an image-based environment light: either a pre-built
+        ``ops.envmap.EnvMap`` or a (H, W, 3) lat-long radiance grid."""
+        from pathtracing_tpu.ops import envmap as envmap_ops
+
+        if isinstance(texels_or_envmap, envmap_ops.EnvMap):
+            self._env = texels_or_envmap
+        else:
+            self._env = envmap_ops.build_envmap(texels_or_envmap)
 
     # -- materials ---------------------------------------------------------
     def add_material(self, mtype, albedo=(0.0, 0.0, 0.0), param=0.0,
@@ -225,6 +240,7 @@ class SceneBuilder:
                 sph_center=sph_center, sph_radius=sph_radius,
                 sph_mat=sph_mat,
             ),
+            env=self._env,
         )
 
 

@@ -30,7 +30,15 @@ Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
   ]
 }
 
-Relative mesh paths resolve against the JSON file's directory.
+An optional top-level ``environment`` attaches an image-based light
+(``ops/envmap.py``), one of:
+
+  "environment": {"image": "probe.hdr", "scale": 1.0,
+                  "rotate_degrees": 0}
+  "environment": {"sky": {"sun_direction": [..], ...sky_texels kwargs}}
+  "environment": {"uniform": [r, g, b]}
+
+Relative mesh/HDR paths resolve against the JSON file's directory.
 """
 
 from __future__ import annotations
@@ -121,5 +129,12 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             b.add_mesh(verts, faces, mat(obj))
         else:
             raise ValueError(f"unknown object type {otype!r}")
+
+    if "environment" in spec:
+        from pathtracing_tpu.ops import envmap as envmap_ops
+
+        b.environment(
+            envmap_ops.load_environment(spec["environment"], base_dir)
+        )
 
     return b.build(), camera

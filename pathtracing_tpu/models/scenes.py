@@ -212,6 +212,32 @@ def sphere_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def envmap_demo() -> Tuple[Scene, CameraConfig]:
+    """Outdoor image-based-lighting demo: procedural sun-sky environment
+    (ops/envmap.py — HDR sun disc ~4 orders brighter than the sky,
+    importance-sampled by NEE), a ground plane, and a diffuse / glossy /
+    glass sphere row. The environment is the only light — nothing
+    renders without the env-NEE/MIS path."""
+    from pathtracing_tpu.ops import envmap as envmap_ops
+
+    b = SceneBuilder()
+    ground = b.checker((0.45, 0.45, 0.45), (0.2, 0.25, 0.3), 1.5)
+    white = b.lambertian((0.75, 0.72, 0.68))
+    gold = b.ggx((1.0, 0.78, 0.34), 0.15)
+    glass = b.dielectric(1.5)
+    b.add_quad((-20.0, 0.0, -20.0), (40.0, 0.0, 0.0), (0.0, 0.0, 40.0),
+               ground)
+    b.add_sphere((-1.3, 0.55, 0.0), 0.55, white)
+    b.add_sphere((0.0, 0.55, 0.0), 0.55, gold)
+    b.add_sphere((1.3, 0.55, 0.0), 0.55, glass)
+    b.environment(envmap_ops.sky_texels(
+        sun_direction=(0.45, 0.55, -0.55), sky_scale=0.35,
+    ))
+    cam = CameraConfig(position=(0.0, 1.1, 3.4),
+                       look_at=(0.0, 0.55, 0.0), vfov_degrees=38.0)
+    return b.build(), cam
+
+
 SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_sphere": cornell_sphere,
     "cornell_bsdf": cornell_bsdf,
@@ -219,6 +245,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "sphere_demo": sphere_demo,
     "veach_mis": veach_mis,
     "checker_demo": checker_demo,
+    "envmap_demo": envmap_demo,
 }
 
 

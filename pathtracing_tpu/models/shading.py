@@ -113,7 +113,26 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             scene, o, d, traversal, active=active, bin_rays=bin_rays
         )
 
-    env = background_radiance(d, background)
+    has_env = scene.env is not None
+    if has_env:
+        from pathtracing_tpu.ops import envmap as envmap_ops
+
+        # Image-based environment light: escaped rays look up the
+        # lat-long map. Under NEE the environment is ALSO sampled as a
+        # light (block below), so a BSDF-sampled escape from an
+        # NEE-capable vertex is the "other estimator" of the same
+        # integral — power-heuristic weight, mirroring the area-light
+        # emit_w path. Area lights and the environment are DISJOINT
+        # sources (surface emission vs radiance-at-infinity), so both
+        # NEE estimators simply add; each is MIS'd against BSDF
+        # sampling independently.
+        env = envmap_ops.radiance(scene.env, d)
+        if nee:
+            pdf_env_d = envmap_ops.pdf(scene.env, d)
+            w_esc = prev_pdf**2 / (prev_pdf**2 + pdf_env_d**2 + 1e-30)
+            env = env * jnp.where(prev_nee, w_esc, 1.0)[:, None]
+    else:
+        env = background_radiance(d, background)
     escaped = active & jnp.logical_not(hit.valid)
     radiance = radiance + jnp.where(escaped[:, None], throughput * env, 0.0)
 
@@ -195,6 +214,48 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         scale = cos_s / jnp.maximum(pdf_l, 1e-20) * w
         contrib = throughput * f_lobe * lemit * scale[:, None]
         radiance = radiance + jnp.where(vis[:, None], contrib, 0.0)
+
+    if nee and has_env:
+        # Environment NEE: importance-sample the lat-long map
+        # (∝ luminance·sinθ — what makes a small HDR sun disc usable),
+        # cast an any-hit shadow ray toward infinity, MIS against the
+        # BSDF lobe. Disjoint from area-light emission (see the escape
+        # block above), so this adds to — never double-counts — the
+        # area-light NEE estimate.
+        from pathtracing_tpu.ops import envmap as envmap_ops
+
+        ue = jax.vmap(
+            lambda k, dp: jax.random.uniform(
+                rng.stream_key(k, dp, rng.STREAM_ENV), (2,),
+                dtype=jnp.float32,
+            )
+        )(keys, depth)
+        wi_e, pdf_e = envmap_ops.sample(scene.env, ue[:, 0], ue[:, 1])
+        le = envmap_ops.radiance(scene.env, wi_e)
+
+        cos_e = linalg.dot(hit.normal, wi_e)
+        cand_e = live & nee_lobe & (cos_e > 1e-6) & (pdf_e > 1e-12)
+        occ_e = scene_mod.occluded_batch(
+            scene, hit.position, wi_e,
+            jnp.full(r, 1.0e7, jnp.float32), traversal, active=cand_e,
+            bin_rays=bin_rays,
+        )
+        vis_e = cand_e & jnp.logical_not(occ_e)
+        n_shadow = n_shadow + jnp.sum(
+            cand_e.astype(jnp.int32)
+        ).astype(jnp.float32)
+
+        is_ggx_e = mtype == materials.TYPE_GGX
+        f_ggx_e, pdf_ggx_e = materials.ggx_eval(
+            alb, par, hit.normal, -d, wi_e
+        )
+        f_lobe_e = jnp.where(is_ggx_e[:, None], f_ggx_e, alb * INV_PI)
+        pdf_b_e = jnp.where(is_ggx_e, pdf_ggx_e, cos_e * INV_PI)
+
+        w_e = pdf_e**2 / (pdf_e**2 + pdf_b_e**2 + 1e-30)
+        scale_e = cos_e / jnp.maximum(pdf_e, 1e-20) * w_e
+        contrib_e = throughput * f_lobe_e * le * scale_e[:, None]
+        radiance = radiance + jnp.where(vis_e[:, None], contrib_e, 0.0)
 
     u = jax.vmap(
         lambda k, dp: jax.random.uniform(

@@ -19,6 +19,7 @@ STREAM_LENS = 0x7F4A
 STREAM_SCATTER = 0x85EB
 STREAM_RR = 0xC2B2
 STREAM_NEE = 0x5BD1
+STREAM_ENV = 0x68E3
 # Extra fold_in salt for ld_scalar so its rotation stream is disjoint
 # from every ld_pair stream BY CONSTRUCTION (a former ``stream_tag + 1``
 # derivation would silently correlate if a future tag ever equaled an
