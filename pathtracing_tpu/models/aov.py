@@ -22,7 +22,7 @@ from pathtracing_tpu.models import shading
 from pathtracing_tpu.ops import materials
 from pathtracing_tpu.utils.config import RenderConfig
 
-AOV_KINDS = ("normal", "depth", "albedo", "mat_id")
+AOV_KINDS = ("normal", "depth", "albedo", "mat_id", "uv")
 
 
 @functools.partial(jax.jit, static_argnames=("config", "kind"))
@@ -44,10 +44,29 @@ def render_aov(scene, camera, config: RenderConfig, kind: str):
     )
     bg = shading.background_radiance(direction, config.background)
 
+    # Surface attributes (smooth shading normals / UV textures) feed the
+    # feature buffers exactly as they feed the integrator, so the guided
+    # denoiser sees the same normals the shading used.
+    uv = None
+    if scene.attr_shn is not None or scene.textures is not None:
+        s_normal, uv = scene_mod.surface_attributes(scene, hit)
+        if scene.attr_shn is not None:
+            hit = hit._replace(normal=s_normal)
+
     if kind == "normal":
         # The reference's shade: color = n * 0.5 + 0.5 (`Test.hlsl:32`).
         img = jnp.where(
             hit.valid[:, None], hit.normal * 0.5 + 0.5, bg
+        )
+    elif kind == "uv":
+        if uv is None:
+            uv = jnp.zeros((h * w, 2), jnp.float32)
+        img = jnp.where(
+            hit.valid[:, None],
+            jnp.stack(
+                [uv[:, 0] % 1.0, uv[:, 1] % 1.0, jnp.zeros(h * w)], axis=-1
+            ),
+            bg,
         )
     elif kind == "depth":
         t = jnp.where(hit.valid, hit.t, 0.0)
@@ -64,6 +83,16 @@ def render_aov(scene, camera, config: RenderConfig, kind: str):
             mtype, alb, par, emit, hit.position
         )
         emit = materials.effective_emission(mtype, emit)
+        if scene.textures is not None and uv is not None:
+            from pathtracing_tpu.ops import texture as texture_ops
+
+            tex_id = scene.mat_tex[
+                jnp.clip(hit.mat_id, 0, scene.mat_tex.shape[0] - 1)
+            ]
+            tex_rgb = texture_ops.sample_bilinear(scene.textures, tex_id, uv)
+            alb = jnp.where(
+                ((tex_id >= 0) & hit.valid)[:, None], alb * tex_rgb, alb
+            )
         # Emitters display as (clipped) white in the albedo pass.
         img = jnp.where(hit.valid[:, None], jnp.clip(alb + emit, 0.0, 1.0),
                         bg)

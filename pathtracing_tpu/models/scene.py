@@ -17,6 +17,7 @@ Layout invariants:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -56,6 +57,19 @@ class Scene(NamedTuple):
     # to the static `background` mode. When set, escaped rays look up
     # the lat-long map and NEE importance-samples it as a light.
     env: "object" = None
+    # Surface attributes (None unless the builder saw any — scenes
+    # without them keep the zero-gather hot path and identical jit
+    # keys). attr_uv (T, 3, 2) / attr_shn (T, 3, 3): per-corner texture
+    # coordinates / shading normals in tri_v0 order (shn rows of 0 mean
+    # "use the geometric normal"). slot_to_tri (C*128,) i32 maps padded
+    # cluster slot ids to tri_v0 rows (-1 = padding).
+    attr_uv: jnp.ndarray = None
+    attr_shn: jnp.ndarray = None
+    slot_to_tri: jnp.ndarray = None
+    # Image textures (ops.texture.TextureAtlas) + per-material texture id
+    # ((K,) i32, -1 = untextured); both None for texture-free scenes.
+    textures: "object" = None
+    mat_tex: jnp.ndarray = None
 
     @property
     def material_table(self):
@@ -73,6 +87,10 @@ class Hit(NamedTuple):
     valid: jnp.ndarray     # bool
     tri: jnp.ndarray       # bool, hit a triangle (vs sphere) — drives the
                            # MIS weighting of area-light hits
+    prim: jnp.ndarray      # int32 index into tri_v0 order for triangle
+                           # hits (-1 for spheres/misses, and for cluster
+                           # paths when the scene has no slot_to_tri) —
+                           # feeds surface-attribute interpolation
 
 
 class SceneBuilder:
@@ -82,9 +100,13 @@ class SceneBuilder:
 
     def __init__(self) -> None:
         self._sph = []          # (center, radius, mat)
-        self._tri = []          # (v0, v1, v2, mat)
-        self._tri_chunks = []   # (v0 (k,3), v1, v2, mat (k,)) arrays
+        self._tri = []          # (v0, v1, v2, mat, uv3 | None)
+        # (v0 (k,3), v1, v2, mat (k,), uv3 (k,3,2) | None,
+        #  shn3 (k,3,3) | None) arrays
+        self._tri_chunks = []
         self._mat = []          # (type, albedo, param, emit)
+        self._mat_tex = []      # per-material texture id (-1 = none)
+        self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
 
     def environment(self, texels_or_envmap) -> None:
@@ -97,23 +119,54 @@ class SceneBuilder:
         else:
             self._env = envmap_ops.build_envmap(texels_or_envmap)
 
+    # -- textures ----------------------------------------------------------
+    def add_texture(self, image) -> int:
+        """Register a texture: an (H, W, 3) linear float array, or a path
+        (PNG/JPEG converted from sRGB; .hdr/.npy pass through). Returns
+        the texture id to pass as a material's ``texture=``."""
+        if isinstance(image, (str, os.PathLike)):
+            from pathtracing_tpu.ops import texture as texture_ops
+
+            image = texture_ops.load_texture(os.fspath(image))
+        self._tex.append(np.asarray(image, np.float32))
+        return len(self._tex) - 1
+
+    def _tex_id(self, texture) -> int:
+        if texture is None:
+            return -1
+        if isinstance(texture, int):
+            if not 0 <= texture < len(self._tex):
+                raise ValueError(f"unknown texture id {texture}")
+            return texture
+        return self.add_texture(texture)
+
     # -- materials ---------------------------------------------------------
     def add_material(self, mtype, albedo=(0.0, 0.0, 0.0), param=0.0,
-                     emit=(0.0, 0.0, 0.0)) -> int:
+                     emit=(0.0, 0.0, 0.0), texture=None) -> int:
+        """``texture`` (optional): a texture id from ``add_texture``, an
+        image array, or a path. The sampled color MODULATES the albedo
+        at UV-mapped hits (white albedo shows the texture alone)."""
         self._mat.append((int(mtype), tuple(albedo), float(param), tuple(emit)))
+        self._mat_tex.append(self._tex_id(texture))
         return len(self._mat) - 1
 
-    def lambertian(self, albedo) -> int:
-        return self.add_material(materials.TYPE_LAMBERTIAN, albedo)
+    def lambertian(self, albedo, texture=None) -> int:
+        return self.add_material(
+            materials.TYPE_LAMBERTIAN, albedo, texture=texture
+        )
 
-    def metal(self, albedo, fuzz=0.0) -> int:
-        return self.add_material(materials.TYPE_METAL, albedo, fuzz)
+    def metal(self, albedo, fuzz=0.0, texture=None) -> int:
+        return self.add_material(
+            materials.TYPE_METAL, albedo, fuzz, texture=texture
+        )
 
-    def ggx(self, f0, roughness=0.1) -> int:
+    def ggx(self, f0, roughness=0.1, texture=None) -> int:
         """Microfacet conductor: f0 = Fresnel normal reflectance,
         roughness = GGX alpha. Unlike ``metal`` it has a real pdf, so
         glossy vertices participate in NEE/MIS."""
-        return self.add_material(materials.TYPE_GGX, f0, roughness)
+        return self.add_material(
+            materials.TYPE_GGX, f0, roughness, texture=texture
+        )
 
     def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0)) -> int:
         return self.add_material(materials.TYPE_DIELECTRIC, tint, ior)
@@ -134,27 +187,67 @@ class SceneBuilder:
     def add_sphere(self, center, radius, mat_id) -> None:
         self._sph.append((tuple(center), float(radius), int(mat_id)))
 
-    def add_triangle(self, v0, v1, v2, mat_id) -> None:
-        self._tri.append((tuple(v0), tuple(v1), tuple(v2), int(mat_id)))
+    def add_triangle(self, v0, v1, v2, mat_id, uv=None) -> None:
+        """``uv`` (optional): three (u, v) pairs, one per corner."""
+        uv3 = None if uv is None else tuple(
+            (float(p[0]), float(p[1])) for p in uv
+        )
+        self._tri.append((tuple(v0), tuple(v1), tuple(v2), int(mat_id), uv3))
 
-    def add_quad(self, corner, edge_u, edge_v, mat_id) -> None:
-        """Parallelogram as two triangles (Cornell walls)."""
+    def add_quad(self, corner, edge_u, edge_v, mat_id, uv=False) -> None:
+        """Parallelogram as two triangles (Cornell walls). ``uv=True``
+        attaches the unit square's texture coordinates (corner = (0,0),
+        corner+edge_u = (1,0), corner+edge_v = (0,1))."""
         c = np.asarray(corner, np.float64)
         u = np.asarray(edge_u, np.float64)
         v = np.asarray(edge_v, np.float64)
-        self.add_triangle(c, c + u, c + u + v, mat_id)
-        self.add_triangle(c, c + u + v, c + v, mat_id)
+        uv_a = ((0, 0), (1, 0), (1, 1)) if uv else None
+        uv_b = ((0, 0), (1, 1), (0, 1)) if uv else None
+        self.add_triangle(c, c + u, c + u + v, mat_id, uv=uv_a)
+        self.add_triangle(c, c + u + v, c + v, mat_id, uv=uv_b)
 
-    def add_mesh(self, vertices: np.ndarray, faces: np.ndarray, mat_id) -> None:
+    def add_mesh(self, vertices: np.ndarray, faces: np.ndarray, mat_id,
+                 uvs=None, uv_faces=None, normals=None, normal_faces=None,
+                 smooth: bool = False) -> None:
         """Indexed triangle mesh: vertices (V,3) float, faces (F,3) int.
         Stored as one array chunk — per-triangle Python tuples measured
-        ~10 s of pure append/convert overhead at 2.6M triangles."""
+        ~10 s of pure append/convert overhead at 2.6M triangles.
+
+        Optional surface attributes:
+          uvs (U, 2) + uv_faces (F, 3) — texture coordinates (uv_faces
+            defaults to ``faces`` when the UV array is per-vertex);
+          normals (M, 3) + normal_faces (F, 3) — shading normals;
+          smooth=True — derive area-weighted vertex normals from the
+            geometry (the standard smooth-shading look for meshes that
+            ship without normals, e.g. icospheres).
+        """
         vertices = np.asarray(vertices, np.float64)
         faces = np.asarray(faces, np.int64)
         tri = vertices[faces]  # (F, 3, 3)
+
+        uv3 = None
+        if uvs is not None:
+            uvs = np.asarray(uvs, np.float64)
+            uvf = faces if uv_faces is None else np.asarray(uv_faces, np.int64)
+            uv3 = uvs[uvf].astype(np.float32)          # (F, 3, 2)
+
+        shn3 = None
+        if normals is None and smooth:
+            from pathtracing_tpu.models.meshes import smooth_vertex_normals
+
+            normals = smooth_vertex_normals(vertices, faces)
+            normal_faces = faces
+        if normals is not None:
+            normals = np.asarray(normals, np.float64)
+            nf = faces if normal_faces is None else np.asarray(
+                normal_faces, np.int64
+            )
+            shn3 = normals[nf].astype(np.float32)      # (F, 3, 3)
+
         self._tri_chunks.append((
             tri[:, 0], tri[:, 1], tri[:, 2],
             np.full(tri.shape[0], int(mat_id), np.int32),
+            uv3, shn3,
         ))
 
     # -- finalize ----------------------------------------------------------
@@ -179,15 +272,22 @@ class SceneBuilder:
         chunks = list(self._tri_chunks)
         if self._tri:
             t = self._tri
+            uv3 = None
+            if any(x[4] is not None for x in t):
+                uv3 = np.zeros((len(t), 3, 2), np.float32)
+                for i, x in enumerate(t):
+                    if x[4] is not None:
+                        uv3[i] = x[4]
             chunks.append((
                 np.array([x[0] for x in t], np.float64),
                 np.array([x[1] for x in t], np.float64),
                 np.array([x[2] for x in t], np.float64),
                 np.array([x[3] for x in t], np.int32),
+                uv3, None,
             ))
         if not chunks:
             z = np.zeros((1, 3), np.float64)
-            chunks = [(z, z, z, np.zeros(1, np.int32))]
+            chunks = [(z, z, z, np.zeros(1, np.int32), None, None)]
         v0 = np.concatenate([c[0] for c in chunks]).astype(np.float32)
         v1 = np.concatenate([c[1] for c in chunks]).astype(np.float32)
         v2 = np.concatenate([c[2] for c in chunks]).astype(np.float32)
@@ -195,8 +295,26 @@ class SceneBuilder:
         e1 = v1 - v0
         e2 = v2 - v0
 
+        # Surface attributes (built only when some chunk carries them —
+        # attribute-free scenes keep None fields, identical pytrees, and
+        # the zero-gather shading path).
+        def gather_attr(col: int, width: int):
+            if not any(c[col] is not None for c in chunks):
+                return None
+            parts = []
+            for c in chunks:
+                k = c[0].shape[0]
+                parts.append(
+                    c[col].astype(np.float32) if c[col] is not None
+                    else np.zeros((k, 3, width), np.float32)
+                )
+            return np.concatenate(parts)
+
+        attr_uv = gather_attr(4, 2)
+        attr_shn = gather_attr(5, 3)
+
         (node_min, node_max, node_meta), perm = bvh_ops.build_bvh(v0, e1, e2)
-        cl, _ = cluster_ops.build_clusters(v0, e1, e2, tri_mat)
+        cl, _, slot_to_tri = cluster_ops.build_clusters(v0, e1, e2, tri_mat)
         pages = None
         if page_clusters or (
                 cl.woop.shape[0] > cluster_trace.DNF_MAX_CLUSTERS) or (
@@ -205,10 +323,38 @@ class SceneBuilder:
             # scratch budget: the paged DNF sweep beats the flat tree
             # walk well before the ~64 MB whole-in-VMEM Woop ceiling
             # (PERF.md r2e), so there is no un-paged tree band left.
-            cl, pages, _ = cluster_ops.build_pages(
+            cl, pages, page_remap = cluster_ops.build_pages(
                 cl, page_clusters or cluster_ops.PAGE_CLUSTERS
             )
+            slot_to_tri = cluster_ops.remap_slot_to_tri(
+                slot_to_tri, page_remap, cl.aabb_min.shape[0]
+            )
         v0, e1, e2, tri_mat = v0[perm], e1[perm], e2[perm], tri_mat[perm]
+
+        has_attrs = attr_uv is not None or attr_shn is not None
+        if has_attrs:
+            # Attribute rows follow the stored (BVH-permuted) triangle
+            # order; slot_to_tri re-targets the cluster slots' INPUT
+            # indices to stored positions so every traversal backend
+            # resolves the same attribute rows.
+            if attr_uv is not None:
+                attr_uv = attr_uv[perm]
+            if attr_shn is not None:
+                attr_shn = attr_shn[perm]
+            inv_perm = np.empty(perm.shape[0], np.int64)
+            inv_perm[perm] = np.arange(perm.shape[0])
+            slot_to_tri = np.where(
+                slot_to_tri >= 0,
+                inv_perm[np.maximum(slot_to_tri, 0)], -1,
+            ).astype(np.int32)
+
+        textures = mat_tex = None
+        mat_tex_np = np.array(self._mat_tex, np.int32)
+        if self._tex and (mat_tex_np >= 0).any():
+            from pathtracing_tpu.ops import texture as texture_ops
+
+            textures = texture_ops.build_atlas(self._tex)
+            mat_tex = jnp.asarray(mat_tex_np)
 
         mat_type = np.array([m[0] for m in self._mat], np.int32)
         mat_albedo = np.array([m[1] for m in self._mat], np.float32)
@@ -241,6 +387,12 @@ class SceneBuilder:
                 sph_mat=sph_mat,
             ),
             env=self._env,
+            attr_uv=(jnp.asarray(attr_uv) if attr_uv is not None else None),
+            attr_shn=(jnp.asarray(attr_shn)
+                      if attr_shn is not None else None),
+            slot_to_tri=(jnp.asarray(slot_to_tri) if has_attrs else None),
+            textures=textures,
+            mat_tex=mat_tex,
         )
 
 
@@ -295,6 +447,7 @@ def intersect_scene(scene: Scene, origin, direction) -> Hit:
         front=front,
         valid=valid,
         tri=hit_tri & valid,
+        prim=jnp.where(hit_tri & valid, tri_idx, -1).astype(jnp.int32),
     )
 
 
@@ -315,6 +468,71 @@ def uses_dnf(scene: Scene) -> bool:
         scene.pages is not None
         or scene.clusters.woop.shape[0] <= cluster_trace.DNF_MAX_CLUSTERS
     )
+
+
+def surface_attributes(scene: Scene, hit: Hit):
+    """Interpolated shading normal + texture coordinates at a hit batch.
+
+    Returns (normal (R, 3), uv (R, 2)). Triangle hits recover
+    barycentrics from the hit point against the stored (v0, e1, e2)
+    rows — the kernels stay attribute-free and return only the slot id;
+    one slot→row gather resolves everything (PERF.md round-1 fact #1:
+    XLA gathers are fine). Shading-normal rows of 0 (or scenes without
+    ``attr_shn``) fall back to the geometric normal; the interpolated
+    normal is flipped into the geometric hemisphere so BSDF sampling
+    cannot tunnel through the surface. Sphere hits keep their analytic
+    normal and get lat-long UVs from it.
+
+    Only called when the scene carries attributes or textures —
+    attribute-free scenes never pay these gathers.
+    """
+    r = hit.t.shape[0]
+    tri = hit.tri & (hit.prim >= 0)
+    safe = jnp.clip(hit.prim, 0, scene.tri_v0.shape[0] - 1)
+    v0 = scene.tri_v0[safe]
+    e1 = scene.tri_e1[safe]
+    e2 = scene.tri_e2[safe]
+
+    # Barycentrics (u along e1, v along e2) by projecting the hit point
+    # onto the edge basis — elementwise dots only (never a matmul: TPU
+    # f32 dots default to bf16, PERF.md "Correctness gotcha").
+    p = hit.position - v0
+    d11 = linalg.dot(e1, e1)
+    d12 = linalg.dot(e1, e2)
+    d22 = linalg.dot(e2, e2)
+    dp1 = linalg.dot(p, e1)
+    dp2 = linalg.dot(p, e2)
+    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+    bu = jnp.clip((d22 * dp1 - d12 * dp2) / det, 0.0, 1.0)
+    bv = jnp.clip((d11 * dp2 - d12 * dp1) / det, 0.0, 1.0)
+    bw = jnp.clip(1.0 - bu - bv, 0.0, 1.0)
+
+    normal = hit.normal
+    if scene.attr_shn is not None:
+        shn = scene.attr_shn[safe]                    # (R, 3, 3)
+        ns = (bw[:, None] * shn[:, 0] + bu[:, None] * shn[:, 1]
+              + bv[:, None] * shn[:, 2])
+        len2 = jnp.sum(ns * ns, axis=-1)
+        ok = tri & (len2 > 1e-12)
+        ns = ns / jnp.sqrt(jnp.maximum(len2, 1e-20))[:, None]
+        # Same hemisphere as the (already ray-facing) geometric normal.
+        flip = jnp.where(linalg.dot(ns, hit.normal) < 0.0, -1.0, 1.0)
+        normal = jnp.where(ok[:, None], ns * flip[:, None], hit.normal)
+
+    if scene.attr_uv is not None:
+        uvs = scene.attr_uv[safe]                     # (R, 3, 2)
+        uv_tri = (bw[:, None] * uvs[:, 0] + bu[:, None] * uvs[:, 1]
+                  + bv[:, None] * uvs[:, 2])
+    else:
+        uv_tri = jnp.zeros((r, 2), jnp.float32)
+
+    # Spheres: lat-long parameterization of the shading normal (exact
+    # for outside hits; inside hits see the map mirrored — documented).
+    n = hit.normal
+    su = 0.5 + jnp.arctan2(n[:, 2], n[:, 0]) * (0.5 / jnp.pi)
+    sv = 0.5 + jnp.arcsin(jnp.clip(n[:, 1], -1.0, 1.0)) * (1.0 / jnp.pi)
+    uv = jnp.where(tri[:, None], uv_tri, jnp.stack([su, sv], axis=-1))
+    return normal, uv
 
 
 def occluded_batch(scene: Scene, origin, direction, t_max,
@@ -506,7 +724,19 @@ def intersect_batch(scene: Scene, origin, direction,
     ).astype(jnp.int32)
     mat_id = jnp.where(valid, mat_id, 0)
 
+    if scene.slot_to_tri is not None:
+        # Attribute-bearing scenes: resolve the padded cluster slot to
+        # its stored triangle row (one small gather, only built/paid
+        # when the scene has surface attributes).
+        safe_slot = jnp.clip(slot, 0, scene.slot_to_tri.shape[0] - 1)
+        prim = jnp.where(
+            hit_tri & valid, scene.slot_to_tri[safe_slot], -1
+        ).astype(jnp.int32)
+    else:
+        prim = jnp.full(t.shape, -1, jnp.int32)
+
     return Hit(
         t=t, position=position, normal=normal,
         mat_id=mat_id, front=front, valid=valid, tri=hit_tri & valid,
+        prim=prim,
     )

@@ -73,10 +73,20 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
     mat_ids = {}
     for name, m in spec.get("materials", {}).items():
         mtype = m["type"]
+        # Optional "texture": image path (resolved against the JSON's
+        # directory) whose linear color modulates the albedo at UV-mapped
+        # hits (lambertian / metal / ggx).
+        tex = m.get("texture")
+        if tex is not None and not os.path.isabs(tex):
+            tex = os.path.join(base_dir, tex)
         if mtype == "lambertian":
-            mat_ids[name] = b.lambertian(m["albedo"])
+            mat_ids[name] = b.lambertian(
+                m.get("albedo", (1.0, 1.0, 1.0)), texture=tex
+            )
         elif mtype == "metal":
-            mat_ids[name] = b.metal(m["albedo"], m.get("fuzz", 0.0))
+            mat_ids[name] = b.metal(
+                m["albedo"], m.get("fuzz", 0.0), texture=tex
+            )
         elif mtype == "dielectric":
             mat_ids[name] = b.dielectric(
                 m.get("ior", 1.5), m.get("tint", (1.0, 1.0, 1.0))
@@ -84,7 +94,9 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
         elif mtype == "emissive":
             mat_ids[name] = b.emissive(m["radiance"])
         elif mtype == "ggx":
-            mat_ids[name] = b.ggx(m["albedo"], m.get("roughness", 0.1))
+            mat_ids[name] = b.ggx(
+                m["albedo"], m.get("roughness", 0.1), texture=tex
+            )
         elif mtype == "checker":
             mat_ids[name] = b.checker(
                 m["color1"], m["color2"], m.get("frequency", 3.0)
@@ -104,20 +116,34 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             b.add_sphere(obj["center"], obj["radius"], mat(obj))
         elif otype == "quad":
             b.add_quad(obj["corner"], obj["edge_u"], obj["edge_v"],
-                       mat(obj))
+                       mat(obj), uv=bool(obj.get("uv", False)))
         elif otype == "triangle":
-            b.add_triangle(obj["v0"], obj["v1"], obj["v2"], mat(obj))
+            b.add_triangle(obj["v0"], obj["v1"], obj["v2"], mat(obj),
+                           uv=obj.get("uv"))
         elif otype == "mesh":
             mesh_path = obj["obj"]
             if not os.path.isabs(mesh_path):
                 mesh_path = os.path.join(base_dir, mesh_path)
-            verts, faces = meshes.load_obj(mesh_path)
+            verts, faces, uvs, uvf, norms, nrf = meshes.load_obj_full(
+                mesh_path
+            )
             if "fit_box" in obj:
                 fb = obj["fit_box"]
                 verts = meshes.fit_to_box(verts, fb["center"], fb["size"])
             if "transform" in obj:
                 verts = meshes.transform(verts, **obj["transform"])
-            b.add_mesh(verts, faces, mat(obj))
+                if norms is not None:
+                    # Normals rotate but never scale/translate.
+                    norms = meshes.transform(
+                        norms,
+                        rotate_y_degrees=obj["transform"].get(
+                            "rotate_y_degrees", 0.0
+                        ),
+                    )
+            b.add_mesh(verts, faces, mat(obj),
+                       uvs=uvs, uv_faces=uvf,
+                       normals=norms, normal_faces=nrf,
+                       smooth=bool(obj.get("smooth", False)))
         elif otype == "icosphere":
             from pathtracing_tpu.models.scenes import icosphere
 
@@ -126,7 +152,8 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             )
             verts = verts + np.asarray(obj.get("center", (0, 0, 0)),
                                        np.float64)
-            b.add_mesh(verts, faces, mat(obj))
+            b.add_mesh(verts, faces, mat(obj),
+                       smooth=bool(obj.get("smooth", False)))
         else:
             raise ValueError(f"unknown object type {otype!r}")
 

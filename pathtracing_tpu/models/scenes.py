@@ -238,6 +238,72 @@ def envmap_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def grid_texture(res: int = 256, cells: int = 8,
+                 line: float = 0.06) -> np.ndarray:
+    """Procedural UV-grid test texture (res, res, 3): warm cells under
+    dark grid lines, hue varying with u so orientation errors are
+    visible. Linear color; no asset files needed (zero-egress image)."""
+    t = (np.arange(res, dtype=np.float32) + 0.5) / res
+    u, v = np.meshgrid(t, t[::-1])   # row 0 = top = v near 1
+    fu = u * cells - np.floor(u * cells)
+    fv = v * cells - np.floor(v * cells)
+    on_line = (np.minimum(fu, 1 - fu) < line / 2) | (
+        np.minimum(fv, 1 - fv) < line / 2
+    )
+    img = np.empty((res, res, 3), np.float32)
+    img[..., 0] = 0.25 + 0.65 * u
+    img[..., 1] = 0.55 - 0.25 * u * v
+    img[..., 2] = 0.25 + 0.65 * v
+    img[on_line] = (0.04, 0.04, 0.05)
+    return img
+
+
+def textured_demo() -> Tuple[Scene, CameraConfig]:
+    """Surface-attribute showcase: a UV-grid textured floor and back
+    wall (quad UVs), a SMOOTH-shaded textured icosphere (area-weighted
+    vertex normals + spherical UVs via per-corner attributes), and a
+    flat-shaded control sphere — all under one area light. Exercises
+    attr_uv/attr_shn interpolation, the texture atlas, and lat-long
+    sphere UVs in one frame."""
+    b = SceneBuilder()
+    tex = b.add_texture(grid_texture())
+    floor = b.lambertian((1.0, 1.0, 1.0), texture=tex)
+    wall = b.lambertian((0.8, 0.85, 1.0), texture=tex)
+    plain = b.lambertian((0.55, 0.5, 0.45))
+    b.add_quad((-2.0, 0.0, -2.0), (4.0, 0.0, 0.0), (0.0, 0.0, 4.0),
+               floor, uv=True)
+    b.add_quad((-2.0, 0.0, -2.0), (4.0, 0.0, 0.0), (0.0, 3.0, 0.0),
+               wall, uv=True)
+
+    # Smooth textured icosphere (left) vs flat-shaded control (right):
+    # the faceting difference IS the vertex-normal interpolation.
+    verts, faces = icosphere(2, radius=0.55)   # coarse → visible facets
+    normals = None
+    from pathtracing_tpu.models import meshes as meshes_mod
+
+    normals = meshes_mod.smooth_vertex_normals(verts, faces)
+    # Spherical per-vertex UVs for the textured ball (seam at -z, the
+    # side away from the camera — shared vertices can't wrap u, so the
+    # seam column smears; a demo-acceptable limitation of per-vertex
+    # spherical UVs).
+    d = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    uvs = np.stack([
+        0.5 + np.arctan2(d[:, 0], d[:, 2]) / (2 * np.pi),
+        0.5 + np.arcsin(np.clip(d[:, 1], -1, 1)) / np.pi,
+    ], axis=1)
+    ball = b.lambertian((1.0, 1.0, 1.0), texture=tex)
+    b.add_mesh(verts + np.array([-0.75, 0.56, 0.2]), faces, ball,
+               uvs=uvs, normals=normals)
+    b.add_mesh(verts + np.array([0.75, 0.56, 0.2]), faces, plain)
+
+    light = b.emissive((14.0, 13.5, 12.5))
+    b.add_quad((-0.6, 2.95, -0.7), (1.2, 0.0, 0.0), (0.0, 0.0, 1.2),
+               light)
+    cam = CameraConfig(position=(0.0, 1.25, 3.1),
+                       look_at=(0.0, 0.7, 0.0), vfov_degrees=42.0)
+    return b.build(), cam
+
+
 SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_sphere": cornell_sphere,
     "cornell_bsdf": cornell_bsdf,
@@ -246,6 +312,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "veach_mis": veach_mis,
     "checker_demo": checker_demo,
     "envmap_demo": envmap_demo,
+    "textured_demo": textured_demo,
 }
 
 

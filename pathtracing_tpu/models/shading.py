@@ -139,6 +139,30 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
     alb = materials.effective_albedo(mtype, alb, par, emit, hit.position)
     emit = materials.effective_emission(mtype, emit)
+
+    if scene.attr_shn is not None or scene.textures is not None:
+        # Surface attributes (smooth shading normals / UV textures) —
+        # feature-gated: attribute-free scenes skip every gather here
+        # and stay bitwise identical to the pre-attribute renderer.
+        with jax.named_scope("surface_attrs"):
+            s_normal, uv = scene_mod.surface_attributes(scene, hit)
+            if scene.textures is not None:
+                from pathtracing_tpu.ops import texture as texture_ops
+
+                tex_id = scene.mat_tex[
+                    jnp.clip(hit.mat_id, 0, scene.mat_tex.shape[0] - 1)
+                ]
+                tex_rgb = texture_ops.sample_bilinear(
+                    scene.textures, tex_id, uv
+                )
+                textured = (tex_id >= 0) & hit.valid
+                alb = jnp.where(textured[:, None], alb * tex_rgb, alb)
+            if scene.attr_shn is not None:
+                # The interpolated normal drives every downstream cosine,
+                # sampling frame, and MIS pdf; hit.position stays on the
+                # true geometry.
+                hit = hit._replace(normal=s_normal)
+
     live = active & hit.valid
 
     nee_on = nee and scene.lights is not None

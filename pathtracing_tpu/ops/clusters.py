@@ -340,6 +340,17 @@ def build_pages(cs: ClusterSet, page_size: int = PAGE_CLUSTERS):
     return flat, pageset, remap
 
 
+def remap_slot_to_tri(slot_to_tri: np.ndarray, remap: np.ndarray,
+                      c_pad: int) -> np.ndarray:
+    """Reindex a (C*128,) slot→triangle map after ``build_pages``
+    renumbered clusters page-contiguously (``remap``: old cluster id →
+    new). Padding clusters map every slot to -1 (they never hit)."""
+    rows = slot_to_tri.reshape(-1, CLUSTER_SIZE)
+    out = np.full((c_pad, CLUSTER_SIZE), -1, np.int32)
+    out[remap] = rows
+    return out.ravel()
+
+
 def build_candidate_blocks(
     node_box: np.ndarray, oct_links: np.ndarray
 ) -> np.ndarray:
@@ -435,13 +446,16 @@ def build_octant_trees(
 
 def build_clusters(
     v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, tri_mat: np.ndarray
-) -> Tuple[ClusterSet, np.ndarray]:
-    """Pack triangles into SAH clusters; returns (ClusterSet-as-numpy, perm).
+) -> Tuple[ClusterSet, np.ndarray, np.ndarray]:
+    """Pack triangles into SAH clusters; returns (ClusterSet-as-numpy,
+    perm, slot_to_tri).
 
     ``perm`` maps new (cluster-contiguous, unpadded) order to input order;
     the padded global slot id of a hit is ``cluster*128 + lane`` and maps
-    back through the (C*128,) ``slot_to_tri`` array embedded in mat/normal
-    ordering (padding slots have mat 0 and never hit).
+    back to the INPUT triangle index through the (C*128,) i32
+    ``slot_to_tri`` array (-1 for padding slots, which have mat 0 and
+    never hit). Surface-attribute lookups (UVs, shading normals) resolve
+    hits through it.
     """
     from pathtracing_tpu.ops import bvh as bvh_ops
 
@@ -511,6 +525,7 @@ def build_clusters(
         np.swapaxes(n_unit, 1, 2).astype(np.float32),
     )
     mat[:] = np.where(dead | ~valid, 0, matp[tri])
+    slot_to_tri = np.where(valid, perm[tri], -1).astype(np.int32).ravel()
 
     node_box, node_meta, child, axis, first_lower = build_cluster_tree(
         aabb_min, aabb_max
@@ -525,4 +540,5 @@ def build_clusters(
             cand_box=cand_box,
         ),
         perm,
+        slot_to_tri,
     )
