@@ -130,15 +130,23 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
             else:
                 ld_nee = ld_scatter = None
 
+            has_media = scene.mat_absorb is not None
+
             def make_bounce(ks, ldn, lds):
                 def bounce(depth, state):
-                    radiance, throughput, o, d, active, pdf, pdiff = state
+                    # With media the state carries the per-path interior
+                    # absorption coefficient as a trailing element
+                    # (absorption-free scenes keep the 7-tuple and the
+                    # exact pre-media jit graph).
+                    radiance, throughput, o, d, active, pdf, pdiff = \
+                        state[:7]
+                    med = state[7] if has_media else None
                     return shading.bounce_batch(
                         scene, o, d, ks, depth, radiance, throughput,
                         active, config.rr_start_depth, config.background,
                         traversal, nee=config.nee, prev_pdf=pdf,
                         prev_nee=pdiff, bin_rays=config.ray_sort,
-                        ld_nee=ldn, ld_scatter=lds,
+                        ld_nee=ldn, ld_scatter=lds, medium=med,
                     )
                 return bounce
 
@@ -151,6 +159,8 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
                 jnp.zeros(n_rays, jnp.float32),
                 jnp.zeros(n_rays, jnp.bool_),
             )
+            if has_media:
+                init = init + (jnp.zeros((n_rays, 3), jnp.float32),)
             # Live-first compaction pays only when several deep waves
             # follow it AND the waves actually run through a DNF kernel
             # (the tree kernels' octant sort already groups dead rays;

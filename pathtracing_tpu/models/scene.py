@@ -70,6 +70,12 @@ class Scene(NamedTuple):
     # ((K,) i32, -1 = untextured); both None for texture-free scenes.
     textures: "object" = None
     mat_tex: jnp.ndarray = None
+    # Interior absorption coefficients ((K, 3) f32 Beer–Lambert sigma_a
+    # per material, used by dielectrics: throughput *=
+    # exp(-sigma_a * segment) while a path travels inside). None when no
+    # material absorbs — absorption-free scenes keep the unmodified
+    # bounce math, state shapes, and RNG streams bit-for-bit.
+    mat_absorb: jnp.ndarray = None
 
     @property
     def material_table(self):
@@ -106,6 +112,7 @@ class SceneBuilder:
         self._tri_chunks = []
         self._mat = []          # (type, albedo, param, emit)
         self._mat_tex = []      # per-material texture id (-1 = none)
+        self._mat_absorb = []   # per-material interior sigma_a (r, g, b)
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
 
@@ -142,12 +149,17 @@ class SceneBuilder:
 
     # -- materials ---------------------------------------------------------
     def add_material(self, mtype, albedo=(0.0, 0.0, 0.0), param=0.0,
-                     emit=(0.0, 0.0, 0.0), texture=None) -> int:
+                     emit=(0.0, 0.0, 0.0), texture=None,
+                     absorption=(0.0, 0.0, 0.0)) -> int:
         """``texture`` (optional): a texture id from ``add_texture``, an
         image array, or a path. The sampled color MODULATES the albedo
-        at UV-mapped hits (white albedo shows the texture alone)."""
+        at UV-mapped hits (white albedo shows the texture alone).
+        ``absorption``: interior Beer–Lambert sigma_a per channel —
+        meaningful on dielectrics (colored glass); paths inside lose
+        exp(-sigma_a · distance) of throughput per segment."""
         self._mat.append((int(mtype), tuple(albedo), float(param), tuple(emit)))
         self._mat_tex.append(self._tex_id(texture))
+        self._mat_absorb.append(tuple(float(x) for x in absorption))
         return len(self._mat) - 1
 
     def lambertian(self, albedo, texture=None) -> int:
@@ -168,8 +180,13 @@ class SceneBuilder:
             materials.TYPE_GGX, f0, roughness, texture=texture
         )
 
-    def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0)) -> int:
-        return self.add_material(materials.TYPE_DIELECTRIC, tint, ior)
+    def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0),
+                   absorption=(0.0, 0.0, 0.0)) -> int:
+        """``absorption``: interior sigma_a (Beer–Lambert) — e.g.
+        (0.1, 2.0, 2.0) is red glass (green/blue absorbed)."""
+        return self.add_material(
+            materials.TYPE_DIELECTRIC, tint, ior, absorption=absorption
+        )
 
     def emissive(self, radiance) -> int:
         return self.add_material(
@@ -356,6 +373,11 @@ class SceneBuilder:
             textures = texture_ops.build_atlas(self._tex)
             mat_tex = jnp.asarray(mat_tex_np)
 
+        mat_absorb = None
+        absorb_np = np.array(self._mat_absorb, np.float32)
+        if absorb_np.size and (absorb_np > 0.0).any():
+            mat_absorb = jnp.asarray(absorb_np)
+
         mat_type = np.array([m[0] for m in self._mat], np.int32)
         mat_albedo = np.array([m[1] for m in self._mat], np.float32)
         mat_param = np.array([m[2] for m in self._mat], np.float32)
@@ -393,6 +415,7 @@ class SceneBuilder:
             slot_to_tri=(jnp.asarray(slot_to_tri) if has_attrs else None),
             textures=textures,
             mat_tex=mat_tex,
+            mat_absorb=mat_absorb,
         )
 
 

@@ -89,7 +89,8 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             )
         elif mtype == "dielectric":
             mat_ids[name] = b.dielectric(
-                m.get("ior", 1.5), m.get("tint", (1.0, 1.0, 1.0))
+                m.get("ior", 1.5), m.get("tint", (1.0, 1.0, 1.0)),
+                absorption=m.get("absorption", (0.0, 0.0, 0.0)),
             )
         elif mtype == "emissive":
             mat_ids[name] = b.emissive(m["radiance"])

@@ -238,6 +238,28 @@ def envmap_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def glass_demo() -> Tuple[Scene, CameraConfig]:
+    """Absorbing-media showcase: three glass spheres with Beer–Lambert
+    interior absorption (red / amber / blue — thick paths go dark, thin
+    rims stay bright, the classic colored-glass look) over a checker
+    floor under the gradient sky, with a clear control sphere."""
+    b = SceneBuilder()
+    ground = b.checker((0.8, 0.8, 0.8), (0.25, 0.25, 0.28), 1.5)
+    b.add_quad((-30.0, 0.0, -30.0), (60.0, 0.0, 0.0), (0.0, 0.0, 60.0),
+               ground)
+    # sigma_a per channel: what the glass REMOVES (red glass absorbs
+    # green+blue). Sphere diameter 1.4 → center paths lose e^-(1.4σ).
+    red = b.dielectric(1.5, absorption=(0.1, 2.2, 2.2))
+    amber = b.dielectric(1.5, absorption=(0.05, 0.7, 2.5))
+    blue = b.dielectric(1.5, absorption=(2.2, 1.2, 0.08))
+    clear = b.dielectric(1.5)
+    for x, m in [(-2.4, red), (-0.8, amber), (0.8, blue), (2.4, clear)]:
+        b.add_sphere((x, 0.7, 0.0), 0.7, m)
+    cam = CameraConfig(position=(0.0, 1.5, 5.2), look_at=(0.0, 0.65, 0.0),
+                       vfov_degrees=36.0)
+    return b.build(), cam
+
+
 def grid_texture(res: int = 256, cells: int = 8,
                  line: float = 0.06) -> np.ndarray:
     """Procedural UV-grid test texture (res, res, 3): warm cells under
@@ -313,6 +335,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "checker_demo": checker_demo,
     "envmap_demo": envmap_demo,
     "textured_demo": textured_demo,
+    "glass_demo": glass_demo,
 }
 
 

@@ -54,7 +54,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                  rr_start_depth, background: str, traversal: str,
                  nee: bool = False, prev_pdf=None, prev_nee=None,
                  bin_rays: bool = False, return_shadow_count: bool = False,
-                 ld_nee=None, ld_scatter=None):
+                 ld_nee=None, ld_scatter=None, medium=None):
     """One bounce for a whole (R,) ray batch — the production path.
 
     Identical math and RNG streams to the original per-ray form (the
@@ -86,6 +86,22 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     where ``depth == 0``; deeper bounces keep independent threefry
     streams. Unbiased (rotation preserves uniform marginals); only
     per-pixel variance drops.
+
+    ``medium`` ((R, 3), required iff ``scene.mat_absorb is not None``):
+    the per-path interior absorption coefficient sigma_a carried across
+    bounces (zeros = vacuum). This bounce's segment loses
+    exp(-sigma_a · t) of throughput (Beer–Lambert, applied BEFORE this
+    vertex's emission/NEE so absorption covers the path up to the
+    vertex), and the coefficient updates when the scatter TRANSMITS
+    through a dielectric boundary (front face → the material's
+    ``mat_absorb`` row; back face → vacuum; no nested-media stack —
+    the standard single-medium simplification). Adds NO random draws,
+    so absorption-free scenes (``mat_absorb is None``) keep identical
+    RNG streams and results bit-for-bit. When media are active the
+    return tuple gains ``medium`` after ``prev_nee``. Known
+    simplification: NEE shadow rays ignore transmittance through
+    absorbing media (a diffuse vertex seen through colored glass keeps
+    full direct light) — matching the any-hit occlusion model.
     """
     from pathtracing_tpu.models import scene as scene_mod
     from pathtracing_tpu.ops import lights as lights_ops
@@ -111,6 +127,17 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     with jax.named_scope("intersect"):
         hit = scene_mod.intersect_batch(
             scene, o, d, traversal, active=active, bin_rays=bin_rays
+        )
+
+    has_media = scene.mat_absorb is not None
+    if has_media:
+        # Beer–Lambert absorption over the segment just traveled.
+        # Escaped rays attenuate nothing (a path can only be inside an
+        # absorber in a closed region; seg 0 keeps env lookups exact).
+        seg = jnp.where(hit.valid, hit.t, 0.0)
+        transmit = jnp.exp(-medium * seg[:, None])
+        throughput = throughput * jnp.where(
+            active[:, None], transmit, 1.0
         )
 
     has_env = scene.env is not None
@@ -321,6 +348,24 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     prev_pdf = jnp.maximum(scatter_pdf, 1e-6)
     prev_nee = live & nee_lobe
     out = (radiance, throughput, o, d, active, prev_pdf, prev_nee)
+    if has_media:
+        # Medium handoff at dielectric boundaries: a scattered direction
+        # pointing INTO the surface (d_out·n < 0 against the ray-facing
+        # normal) is a transmission — entering picks up the material's
+        # absorption row, exiting returns to vacuum.
+        absorb = scene.mat_absorb[
+            jnp.clip(hit.mat_id, 0, scene.mat_absorb.shape[0] - 1)
+        ]
+        is_diel = mtype == materials.TYPE_DIELECTRIC
+        transmitted = live & is_diel & (linalg.dot(d_out, hit.normal) < 0.0)
+        medium = jnp.where(
+            (transmitted & hit.front)[:, None], absorb,
+            jnp.where(
+                (transmitted & jnp.logical_not(hit.front))[:, None],
+                0.0, medium,
+            ),
+        )
+        out = out + (medium,)
     return out + (n_shadow,) if return_shadow_count else out
 
 

@@ -54,9 +54,13 @@ class PathPool(NamedTuple):
     active: jnp.ndarray      # (N,) bool
     prev_pdf: jnp.ndarray    # (N,) f32 BSDF pdf at the previous vertex
     prev_nee: jnp.ndarray  # (N,) bool previous vertex was diffuse
+    # (N, 3) f32 interior absorption sigma_a carried across bounces;
+    # None (an empty pytree leaf) for absorption-free scenes so their
+    # pool pytree — and therefore every compiled graph — is unchanged.
+    medium: jnp.ndarray = None
 
 
-def _empty_pool(n: int) -> PathPool:
+def _empty_pool(n: int, has_media: bool = False) -> PathPool:
     return PathPool(
         origin=jnp.zeros((n, 3), jnp.float32),
         direction=jnp.zeros((n, 3), jnp.float32),
@@ -68,6 +72,7 @@ def _empty_pool(n: int) -> PathPool:
         active=jnp.zeros(n, jnp.bool_),
         prev_pdf=jnp.zeros(n, jnp.float32),
         prev_nee=jnp.zeros(n, jnp.bool_),
+        medium=jnp.zeros((n, 3), jnp.float32) if has_media else None,
     )
 
 
@@ -120,6 +125,8 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             active=pool.active | take,
             prev_pdf=jnp.where(take, 0.0, pool.prev_pdf),
             prev_nee=jnp.where(take, False, pool.prev_nee),
+            medium=(None if pool.medium is None
+                    else jnp.where(take3, 0.0, pool.medium)),
         ), jnp.minimum(next_path + jnp.sum(dead.astype(jnp.int32)), total)
 
     traversal = config.resolve_traversal()
@@ -150,23 +157,25 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             ld_scatter = pairs(rng.STREAM_SCATTER)
         else:
             ld_nee = ld_scatter = None
-        radiance, throughput, o, d, active, pdf, pdiff, n_shadow = (
-            shading.bounce_batch(
-                scene, pool.origin, pool.direction, keys, pool.depth,
-                pool.radiance, pool.throughput, pool.active,
-                config.rr_start_depth, config.background, traversal,
-                nee=config.nee, prev_pdf=pool.prev_pdf,
-                prev_nee=pool.prev_nee, bin_rays=config.ray_sort,
-                return_shadow_count=True, ld_nee=ld_nee,
-                ld_scatter=ld_scatter,
-            )
+        out = shading.bounce_batch(
+            scene, pool.origin, pool.direction, keys, pool.depth,
+            pool.radiance, pool.throughput, pool.active,
+            config.rr_start_depth, config.background, traversal,
+            nee=config.nee, prev_pdf=pool.prev_pdf,
+            prev_nee=pool.prev_nee, bin_rays=config.ray_sort,
+            return_shadow_count=True, ld_nee=ld_nee,
+            ld_scatter=ld_scatter, medium=pool.medium,
         )
+        radiance, throughput, o, d, active, pdf, pdiff = out[:7]
+        medium = out[7] if scene.mat_absorb is not None else None
+        n_shadow = out[-1]
         depth = pool.depth + 1
         active = active & (depth < config.max_depth)
         return PathPool(
             origin=o, direction=d, radiance=radiance,
             throughput=throughput, pixel=pool.pixel, sample=pool.sample,
             depth=depth, active=active, prev_pdf=pdf, prev_nee=pdiff,
+            medium=medium,
         ), n_shadow
 
     def body(carry):
@@ -206,7 +215,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         pool, _, next_path, _ = carry
         return (next_path < total) | jnp.any(pool.active)
 
-    pool0 = _empty_pool(n)
+    pool0 = _empty_pool(n, has_media=scene.mat_absorb is not None)
     accum_flat, segments = jax.lax.while_loop(
         cond, body, (pool0, accum_flat, jnp.int32(0), jnp.float32(0))
     )[1::2]
