@@ -271,6 +271,38 @@ def main() -> int:
         "gate": "pass" if pr.returncode == 0 else "FAIL",
     })
 
+    # ---- Config 6: feature subsystems (textures/media/fog) -------------
+    # Fixed-seed drift gates over the round-3 feature scenes — surface
+    # attributes + texture atlas (textured_demo), Beer–Lambert interior
+    # absorption (glass_demo), and scattering fog (fog_demo). Same
+    # cache discipline as config 4: determinism makes ANY drift a code
+    # change; SUITE_REBASE=1 re-records intentionally.
+    for tag, scene_name, depth in (("6a-textured", "textured_demo", 4),
+                                   ("6b-glass", "glass_demo", 8),
+                                   ("6c-fog", "fog_demo", 8)):
+        scene6, cam6 = scenes.get_scene(scene_name)
+        w6, h6 = 160, 120
+        cfg6 = RenderConfig(width=w6, height=h6, samples_per_pixel=4,
+                            max_depth=depth, samples_per_step=4, seed=0,
+                            background=("gradient"
+                                        if scene_name == "glass_demo"
+                                        else "black"))
+        cam = build_camera(cam6, w6 / h6)
+        img6, dt6, segs6 = run_progressive(scene6, cam, cfg6)
+        cache6 = os.path.join(
+            REPO, "benchmarks",
+            f"ref{tag[:2]}_{w6}x{h6}_{jax.default_backend()}.npz"
+        )
+        rmse6 = gate6 = None
+        if os.path.exists(cache6) and os.environ.get("SUITE_REBASE") != "1":
+            rmse6 = rmse(img6, _np.load(cache6)["img"])
+            gate6 = (5e-3, "vs cached fixed-seed reference")
+        else:
+            _np.savez_compressed(cache6, img=img6)
+            print(f"recorded fixed-seed reference {cache6}", flush=True)
+        report(tag, f"{scene_name} {w6}x{h6} 4spp depth{depth}",
+               segs6 / dt6 / 1e6, dt6, rmse6, gate=gate6)
+
     # ---- Emit the table ------------------------------------------------
     # The committed RESULTS.md is the GATED TPU table; CPU/quick smoke
     # runs land in RESULTS_cpu.md so they never overwrite the real

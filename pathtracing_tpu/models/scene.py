@@ -76,6 +76,10 @@ class Scene(NamedTuple):
     # material absorbs — absorption-free scenes keep the unmodified
     # bounce math, state shapes, and RNG streams bit-for-bit.
     mat_absorb: jnp.ndarray = None
+    # Homogeneous scattering fog: (3,) f32 [sigma_s, sigma_a, g]
+    # (Henyey–Greenstein anisotropy g). None disables — fog-free scenes
+    # never draw the STREAM_FOG uniforms, keeping streams bit-identical.
+    fog: jnp.ndarray = None
 
     @property
     def material_table(self):
@@ -113,8 +117,21 @@ class SceneBuilder:
         self._mat = []          # (type, albedo, param, emit)
         self._mat_tex = []      # per-material texture id (-1 = none)
         self._mat_absorb = []   # per-material interior sigma_a (r, g, b)
+        self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
+
+    def set_fog(self, sigma_s: float, sigma_a: float = 0.0,
+                g: float = 0.0) -> None:
+        """Fill the scene with a homogeneous scattering medium
+        (``models.shading`` distance-samples it, scatters by the
+        Henyey–Greenstein phase with anisotropy ``g``, and MIS-combines
+        phase sampling with NEE). ``sigma_s + sigma_a`` must be > 0."""
+        if sigma_s + sigma_a <= 0.0:
+            raise ValueError("fog needs sigma_s + sigma_a > 0")
+        if not -1.0 < g < 1.0:
+            raise ValueError("HG anisotropy g must be in (-1, 1)")
+        self._fog = (float(sigma_s), float(sigma_a), float(g))
 
     def environment(self, texels_or_envmap) -> None:
         """Attach an image-based environment light: either a pre-built
@@ -416,6 +433,8 @@ class SceneBuilder:
             textures=textures,
             mat_tex=mat_tex,
             mat_absorb=mat_absorb,
+            fog=(jnp.asarray(self._fog, jnp.float32)
+                 if self._fog is not None else None),
         )
 
 

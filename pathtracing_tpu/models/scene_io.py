@@ -165,4 +165,10 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             envmap_ops.load_environment(spec["environment"], base_dir)
         )
 
+    if "fog" in spec:
+        f = spec["fog"]
+        b.set_fog(float(f.get("sigma_s", 0.0)),
+                  float(f.get("sigma_a", 0.0)),
+                  float(f.get("g", 0.0)))
+
     return b.build(), camera

@@ -129,12 +129,48 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             scene, o, d, traversal, active=active, bin_rays=bin_rays
         )
 
+    has_fog = scene.fog is not None
+    med_event = None
+    if has_fog:
+        # Homogeneous scattering fog: sample a free-flight distance
+        # against sigma_t; an in-medium event preempts the surface hit.
+        # The exp(-sigma_t t)/pdf cancellation leaves surface lanes
+        # unweighted and medium lanes carrying the single-scattering
+        # albedo sigma_s/sigma_t — the standard distance-sampling
+        # estimator. Direction continues by Henyey–Greenstein phase
+        # sampling (pdf == phase, so no weight), which slots into the
+        # existing MIS machinery as just another finite-pdf lobe.
+        from pathtracing_tpu.ops import sampling as sampling_ops
+
+        fog_ss, fog_sa, fog_g = scene.fog[0], scene.fog[1], scene.fog[2]
+        fog_sigma_t = fog_ss + fog_sa
+        fog_albedo = fog_ss / fog_sigma_t
+        uf = jax.vmap(
+            lambda k, dp: jax.random.uniform(
+                rng.stream_key(k, dp, rng.STREAM_FOG), (3,),
+                dtype=jnp.float32,
+            )
+        )(keys, depth)
+        t_eff = jnp.where(hit.valid, hit.t, 3.0e38)
+        t_fog = -jnp.log1p(
+            -jnp.minimum(uf[:, 0], 1.0 - 1e-7)
+        ) / fog_sigma_t
+        med_event = active & (t_fog < t_eff)
+        o_med = o + t_fog[:, None] * d
+        d_phase, cos_hg = sampling_ops.hg_sample(
+            d, fog_g, uf[:, 1], uf[:, 2]
+        )
+        p_phase = sampling_ops.hg_phase(fog_g, cos_hg)
+
     has_media = scene.mat_absorb is not None
     if has_media:
-        # Beer–Lambert absorption over the segment just traveled.
-        # Escaped rays attenuate nothing (a path can only be inside an
-        # absorber in a closed region; seg 0 keeps env lookups exact).
+        # Beer–Lambert absorption over the segment ACTUALLY traveled
+        # (up to the fog event when one preempts the hit). Escaped rays
+        # attenuate nothing (a path can only be inside an absorber in a
+        # closed region; seg 0 keeps env lookups exact).
         seg = jnp.where(hit.valid, hit.t, 0.0)
+        if has_fog:
+            seg = jnp.where(med_event, t_fog, seg)
         transmit = jnp.exp(-medium * seg[:, None])
         throughput = throughput * jnp.where(
             active[:, None], transmit, 1.0
@@ -161,6 +197,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     else:
         env = background_radiance(d, background)
     escaped = active & jnp.logical_not(hit.valid)
+    if has_fog:
+        # A fog event preempts the escape (with infinite homogeneous
+        # fog an escape means "no event before 3e38" — effectively
+        # never; the env shows only through RR/depth truncation).
+        escaped = escaped & jnp.logical_not(med_event)
     radiance = radiance + jnp.where(escaped[:, None], throughput * env, 0.0)
 
     mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
@@ -191,6 +232,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 hit = hit._replace(normal=s_normal)
 
     live = active & hit.valid
+    if has_fog:
+        live = live & jnp.logical_not(med_event)
 
     nee_on = nee and scene.lights is not None
     emit_w = jnp.ones(r, jnp.float32)
@@ -233,7 +276,13 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             d0 = (depth == 0)[:, None]
             ul = jnp.where(d0, ld_nee, ul)
         lp, ln, lemit = lights_ops.sample(scene.lights, ul)
-        wi_vec = lp - hit.position
+        # Fog scenes share ONE light sample + shadow ray between
+        # surface vertices and in-medium phase vertices (the NEE origin
+        # selects per lane) — no second occlusion query per bounce.
+        o_nee = hit.position
+        if has_fog:
+            o_nee = jnp.where(med_event[:, None], o_med, hit.position)
+        wi_vec = lp - o_nee
         dist2 = jnp.sum(wi_vec * wi_vec, axis=-1)
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
         wi = wi_vec / dist[:, None]
@@ -244,12 +293,18 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             live & nee_lobe & (cos_s > 1e-6) & (cos_l > 1e-6)
             & (dist2 > 1e-8) & (total_area > 0.0)
         )
+        if has_fog:
+            cand_med = (
+                med_event & (cos_l > 1e-6) & (dist2 > 1e-8)
+                & (total_area > 0.0) & (fog_albedo > 0.0)
+            )
+            cand = cand | cand_med
         t_shadow = dist * (1.0 - 1e-3)
         # Any-hit occlusion query — not a full closest-hit intersect:
         # shadow rays need a yes/no answer only, and the dedicated
         # kernel short-circuits occluded lanes (scene.occluded_batch).
         occluded = scene_mod.occluded_batch(
-            scene, hit.position, wi, t_shadow, traversal, active=cand,
+            scene, o_nee, wi, t_shadow, traversal, active=cand,
             bin_rays=bin_rays,
         )
         vis = cand & jnp.logical_not(occluded)
@@ -261,9 +316,28 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         pdf_b = jnp.where(is_ggx, pdf_ggx, cos_s * INV_PI)
 
         pdf_l = dist2 / (cos_l * total_area + 1e-20)
+        if has_fog:
+            # Medium vertices swap (BSDF · cosθ_surface) for
+            # (albedo · phase) — the phase is per solid angle with no
+            # receiver cosine — and the phase value doubles as pdf_b in
+            # the power heuristic. ALL NEE arms additionally pay the
+            # fog transmittance exp(-sigma_t · dist); the BSDF/phase
+            # arm's transmittance is implicit in distance sampling, and
+            # MIS weights stay a partition of unity either way.
+            p_phase_l = sampling_ops.hg_phase(fog_g, linalg.dot(d, wi))
+            pdf_b = jnp.where(med_event, p_phase_l, pdf_b)
         w = pdf_l**2 / (pdf_l**2 + pdf_b**2 + 1e-30)
         scale = cos_s / jnp.maximum(pdf_l, 1e-20) * w
         contrib = throughput * f_lobe * lemit * scale[:, None]
+        if has_fog:
+            scale_med = w / jnp.maximum(pdf_l, 1e-20)
+            contrib_med = (
+                throughput * lemit
+                * (fog_albedo * p_phase_l * scale_med)[:, None]
+            )
+            contrib = jnp.where(
+                med_event[:, None], contrib_med, contrib
+            ) * jnp.exp(-fog_sigma_t * dist)[:, None]
         radiance = radiance + jnp.where(vis[:, None], contrib, 0.0)
 
     if nee and has_env:
@@ -306,6 +380,10 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         w_e = pdf_e**2 / (pdf_e**2 + pdf_b_e**2 + 1e-30)
         scale_e = cos_e / jnp.maximum(pdf_e, 1e-20) * w_e
         contrib_e = throughput * f_lobe_e * le * scale_e[:, None]
+        if has_fog:
+            # Environment light sits at infinity — under homogeneous
+            # fog its NEE transmittance is exp(-sigma_t·1e7) == 0.
+            contrib_e = contrib_e * jnp.exp(-fog_sigma_t * 1.0e7)
         radiance = radiance + jnp.where(vis_e[:, None], contrib_e, 0.0)
 
     u = jax.vmap(
@@ -325,6 +403,15 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
 
     throughput = throughput * jnp.where(live[:, None], atten, 1.0)
     active = live & scattered
+    if has_fog:
+        # Medium vertices: throughput carries the single-scattering
+        # albedo (sigma_s/sigma_t); the path continues along the
+        # phase-sampled direction. Pure-absorption fog (sigma_s = 0)
+        # kills the path outright.
+        throughput = throughput * jnp.where(
+            med_event[:, None], fog_albedo, 1.0
+        )
+        active = active | (med_event & (fog_albedo > 0.0))
 
     tp_max = jnp.max(throughput, axis=-1)
     rr_u = jax.vmap(
@@ -342,11 +429,20 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     active = active & survive
 
     o = hit.position
+    if has_fog:
+        o = jnp.where(med_event[:, None], o_med, o)
+        d_out = jnp.where(med_event[:, None], d_phase, d_out)
+        scatter_pdf = jnp.where(med_event, p_phase, scatter_pdf)
     d = jnp.where(active[:, None], d_out, d)
     # The lobe's actual sampling pdf (cosine for diffuse, GGX NDF for
-    # glossy, 0 for delta lobes) feeds the next vertex's MIS weight.
+    # glossy, phase for fog vertices, 0 for delta lobes) feeds the next
+    # vertex's MIS weight.
     prev_pdf = jnp.maximum(scatter_pdf, 1e-6)
     prev_nee = live & nee_lobe
+    if has_fog:
+        # Phase sampling is a finite-pdf lobe — emissive hits on the
+        # next segment MIS against it exactly like a diffuse bounce.
+        prev_nee = prev_nee | med_event
     out = (radiance, throughput, o, d, active, prev_pdf, prev_nee)
     if has_media:
         # Medium handoff at dielectric boundaries: a scattered direction

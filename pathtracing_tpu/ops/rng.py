@@ -20,6 +20,9 @@ STREAM_SCATTER = 0x85EB
 STREAM_RR = 0xC2B2
 STREAM_NEE = 0x5BD1
 STREAM_ENV = 0x68E3
+STREAM_FOG = 0x3C6F   # medium distance + phase-direction draws (fog
+                      # scenes only — fog-free scenes never fold this
+                      # in, so their streams are untouched)
 # Extra fold_in salt for ld_scalar so its rotation stream is disjoint
 # from every ld_pair stream BY CONSTRUCTION (a former ``stream_tag + 1``
 # derivation would silently correlate if a future tag ever equaled an

@@ -62,3 +62,38 @@ def schlick_fresnel(cos_i, ior_ratio):
     r0 = r0 * r0
     m = jnp.clip(1.0 - cos_i, 0.0, 1.0)
     return r0 + (1.0 - r0) * m * m * m * m * m
+
+
+def hg_phase(g, cos_t):
+    """Henyey–Greenstein phase function value p(cosθ) — normalized over
+    the sphere (∫ p dω = 1), so it doubles as the solid-angle pdf of
+    ``hg_sample`` (perfect importance sampling)."""
+    g2 = g * g
+    denom = jnp.maximum(1.0 + g2 - 2.0 * g * cos_t, 1e-6)
+    return (1.0 - g2) / (4.0 * jnp.pi * denom * jnp.sqrt(denom))
+
+
+def hg_sample(d, g, u1, u2):
+    """Sample a Henyey–Greenstein direction about incident direction ``d``.
+
+    Returns (direction, cos_t). g ≈ 0 falls back to the isotropic
+    inversion (the HG formula divides by g). The pdf of the returned
+    direction is ``hg_phase(g, cos_t)``.
+    """
+    safe_g = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
+    sq = (1.0 - safe_g * safe_g) / jnp.maximum(
+        1.0 - safe_g + 2.0 * safe_g * u1, 1e-6
+    )
+    cos_hg = (1.0 + safe_g * safe_g - sq * sq) / (2.0 * safe_g)
+    cos_t = jnp.clip(
+        jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * u1, cos_hg), -1.0, 1.0
+    )
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u2
+    t, b = linalg.orthonormal_basis(d)
+    out = (
+        (sin_t * jnp.cos(phi))[..., None] * t
+        + (sin_t * jnp.sin(phi))[..., None] * b
+        + cos_t[..., None] * d
+    )
+    return linalg.normalize(out), cos_t

@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(thin-lens depth of field)")
     p.add_argument("--focus-distance", type=float, default=None,
                    help="override the scene camera's focus distance")
+    p.add_argument("--fog-sigma-s", type=float, default=0.0,
+                    help="fill the scene with scattering fog: "
+                         "scattering coefficient per world unit")
+    p.add_argument("--fog-sigma-a", type=float, default=0.0,
+                    help="fog absorption coefficient")
+    p.add_argument("--fog-g", type=float, default=0.0,
+                    help="fog Henyey-Greenstein anisotropy in (-1, 1)")
     p.add_argument("--no-nee", action="store_true",
                    help="disable next-event estimation (direct light "
                         "sampling); brute-force path tracing only")
@@ -171,6 +178,14 @@ def main(argv=None) -> int:
         except KeyError as e:
             ptlog.log_critical("%s", e.args[0])
             return 2
+    if args.fog_sigma_s > 0.0 or args.fog_sigma_a > 0.0:
+        # CLI fog override: fill ANY scene with a homogeneous scattering
+        # medium (models/shading distance sampling + HG phase).
+        import jax.numpy as jnp
+
+        scene = scene._replace(fog=jnp.asarray(
+            [args.fog_sigma_s, args.fog_sigma_a, args.fog_g], jnp.float32
+        ))
     if args.aperture is not None or args.focus_distance is not None:
         import dataclasses
 
