@@ -75,6 +75,32 @@ def test_two_steps_match(setup):
     assert img.shape == (16, 16, 3)
 
 
+@pytest.mark.parametrize(
+    "scene_name", ["textured_demo", "glass_demo", "fog_demo"]
+)
+def test_feature_scenes_match_single_chip(scene_name):
+    """The round-3 feature subsystems (surface attributes + textures,
+    absorbing media state, scattering fog) must survive tile sharding:
+    an 8-way row-sharded render reproduces the single-chip image
+    bitwise (disjoint pixels, per-pixel counters — same argument as the
+    base test, now covering the per-path medium state and the attribute
+    gathers under shard_map)."""
+    scene, cam_cfg = scenes.get_scene(scene_name)
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=2,
+                       max_depth=4, seed=5, samples_per_step=2,
+                       background="gradient")
+    cam = build_camera(cam_cfg, 1.0)
+    ref = progressive.render_step(progressive.init_state(cfg), scene,
+                                  cam, cfg)
+    mesh = mesh_mod.make_mesh(8, 1)
+    step = prender.make_sharded_step(mesh, cfg)
+    state = prender.init_sharded_state(mesh, cfg)
+    state = step(state, scene, cam)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(state.accum)), np.asarray(ref.accum)
+    )
+
+
 def test_invalid_mesh_shapes_rejected():
     mesh = mesh_mod.make_mesh(8, 1)
     with pytest.raises(ValueError, match="not divisible"):
