@@ -80,6 +80,12 @@ class Scene(NamedTuple):
     # (Henyey–Greenstein anisotropy g). None disables — fog-free scenes
     # never draw the STREAM_FOG uniforms, keeping streams bit-identical.
     fog: jnp.ndarray = None
+    # Optional (K,) f32 second material parameter (today: the rough
+    # dielectric's GGX alpha; mat_param carries its IOR). None unless
+    # some material is TYPE_ROUGH_DIELECTRIC — plain scenes skip the
+    # rough-glass lobe in ``ops.materials.scatter`` entirely (identical
+    # jit graphs and bitwise results, like ``mat_absorb``).
+    mat_param2: jnp.ndarray = None
 
     @property
     def material_table(self):
@@ -117,6 +123,7 @@ class SceneBuilder:
         self._mat = []          # (type, albedo, param, emit)
         self._mat_tex = []      # per-material texture id (-1 = none)
         self._mat_absorb = []   # per-material interior sigma_a (r, g, b)
+        self._mat_param2 = []   # per-material second scalar (rough alpha)
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
@@ -167,16 +174,19 @@ class SceneBuilder:
     # -- materials ---------------------------------------------------------
     def add_material(self, mtype, albedo=(0.0, 0.0, 0.0), param=0.0,
                      emit=(0.0, 0.0, 0.0), texture=None,
-                     absorption=(0.0, 0.0, 0.0)) -> int:
+                     absorption=(0.0, 0.0, 0.0), param2=0.0) -> int:
         """``texture`` (optional): a texture id from ``add_texture``, an
         image array, or a path. The sampled color MODULATES the albedo
         at UV-mapped hits (white albedo shows the texture alone).
         ``absorption``: interior Beer–Lambert sigma_a per channel —
         meaningful on dielectrics (colored glass); paths inside lose
-        exp(-sigma_a · distance) of throughput per segment."""
+        exp(-sigma_a · distance) of throughput per segment.
+        ``param2``: second scalar parameter — the rough dielectric's
+        GGX alpha (ignored by every other type today)."""
         self._mat.append((int(mtype), tuple(albedo), float(param), tuple(emit)))
         self._mat_tex.append(self._tex_id(texture))
         self._mat_absorb.append(tuple(float(x) for x in absorption))
+        self._mat_param2.append(float(param2))
         return len(self._mat) - 1
 
     def lambertian(self, albedo, texture=None) -> int:
@@ -198,9 +208,16 @@ class SceneBuilder:
         )
 
     def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0),
-                   absorption=(0.0, 0.0, 0.0)) -> int:
+                   absorption=(0.0, 0.0, 0.0), roughness=0.0) -> int:
         """``absorption``: interior sigma_a (Beer–Lambert) — e.g.
-        (0.1, 2.0, 2.0) is red glass (green/blue absorbed)."""
+        (0.1, 2.0, 2.0) is red glass (green/blue absorbed).
+        ``roughness`` > 0 selects the microfacet (Walter 2007) glass:
+        GGX alpha = roughness, frosted reflections AND refractions."""
+        if roughness > 0.0:
+            return self.add_material(
+                materials.TYPE_ROUGH_DIELECTRIC, tint, ior,
+                absorption=absorption, param2=roughness,
+            )
         return self.add_material(
             materials.TYPE_DIELECTRIC, tint, ior, absorption=absorption
         )
@@ -395,6 +412,13 @@ class SceneBuilder:
         if absorb_np.size and (absorb_np > 0.0).any():
             mat_absorb = jnp.asarray(absorb_np)
 
+        mat_param2 = None
+        types_np = np.array([m[0] for m in self._mat], np.int32)
+        if (types_np == materials.TYPE_ROUGH_DIELECTRIC).any():
+            mat_param2 = jnp.asarray(
+                np.array(self._mat_param2, np.float32)
+            )
+
         mat_type = np.array([m[0] for m in self._mat], np.int32)
         mat_albedo = np.array([m[1] for m in self._mat], np.float32)
         mat_param = np.array([m[2] for m in self._mat], np.float32)
@@ -435,6 +459,7 @@ class SceneBuilder:
             mat_absorb=mat_absorb,
             fog=(jnp.asarray(self._fog, jnp.float32)
                  if self._fog is not None else None),
+            mat_param2=mat_param2,
         )
 
 

@@ -13,6 +13,7 @@ Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
     "white": {"type": "lambertian", "albedo": [r,g,b]},
     "mirror": {"type": "metal", "albedo": [..], "fuzz": 0.05},
     "glass":  {"type": "dielectric", "ior": 1.5, "tint": [1,1,1]},
+    "frost":  {"type": "dielectric", "ior": 1.5, "roughness": 0.15},
     "lamp":   {"type": "emissive", "radiance": [15,15,15]}
   },
   "objects": [
@@ -88,9 +89,12 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                 m["albedo"], m.get("fuzz", 0.0), texture=tex
             )
         elif mtype == "dielectric":
+            # "roughness" > 0 selects the microfacet (Walter 2007)
+            # glass: frosted reflections and refractions.
             mat_ids[name] = b.dielectric(
                 m.get("ior", 1.5), m.get("tint", (1.0, 1.0, 1.0)),
                 absorption=m.get("absorption", (0.0, 0.0, 0.0)),
+                roughness=m.get("roughness", 0.0),
             )
         elif mtype == "emissive":
             mat_ids[name] = b.emissive(m["radiance"])

@@ -260,6 +260,31 @@ def glass_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def frosted_demo() -> Tuple[Scene, CameraConfig]:
+    """Rough-dielectric showcase: a roughness sweep (0 → 0.4) of glass
+    spheres over a checker floor under the gradient sky — sharp
+    refraction on the left blurring to frosted glass on the right. The
+    last sphere combines roughness with Beer–Lambert absorption
+    (frosted amber). Exercises the Walter 2007 microfacet glass lobe
+    (ops.materials.scatter ``param2`` path)."""
+    b = SceneBuilder()
+    ground = b.checker((0.8, 0.8, 0.8), (0.25, 0.25, 0.28), 1.5)
+    b.add_quad((-30.0, 0.0, -30.0), (60.0, 0.0, 0.0), (0.0, 0.0, 60.0),
+               ground)
+    xs = (-2.4, -0.8, 0.8, 2.4)
+    mats = (
+        b.dielectric(1.5),
+        b.dielectric(1.5, roughness=0.08),
+        b.dielectric(1.5, roughness=0.25),
+        b.dielectric(1.5, roughness=0.4, absorption=(0.05, 0.7, 2.5)),
+    )
+    for x, m in zip(xs, mats):
+        b.add_sphere((x, 0.7, 0.0), 0.7, m)
+    cam = CameraConfig(position=(0.0, 1.5, 5.2), look_at=(0.0, 0.65, 0.0),
+                       vfov_degrees=36.0)
+    return b.build(), cam
+
+
 def fog_demo() -> Tuple[Scene, CameraConfig]:
     """Volumetric-scattering showcase: the Cornell box filled with a
     forward-scattering homogeneous fog (sigma_s 0.22, g 0.4) — the
@@ -352,6 +377,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "envmap_demo": envmap_demo,
     "textured_demo": textured_demo,
     "glass_demo": glass_demo,
+    "frosted_demo": frosted_demo,
     "fog_demo": fog_demo,
 }
 

@@ -397,8 +397,16 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         u = jnp.concatenate(
             [jnp.where(d0, ld_scatter, u[:, 0:2]), u[:, 2:]], axis=1
         )
+    par2 = None
+    if scene.mat_param2 is not None:
+        # Second material parameter (rough dielectric's GGX alpha) —
+        # feature-gated like mat_absorb: scenes without one never build
+        # the rough-glass lobe.
+        par2 = scene.mat_param2[
+            jnp.clip(hit.mat_id, 0, scene.mat_param2.shape[0] - 1)
+        ]
     d_out, atten, scattered, scatter_pdf = materials.scatter(
-        mtype, alb, par, emit, hit.normal, d, hit.front, u
+        mtype, alb, par, emit, hit.normal, d, hit.front, u, param2=par2
     )
 
     throughput = throughput * jnp.where(live[:, None], atten, 1.0)
@@ -452,7 +460,9 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         absorb = scene.mat_absorb[
             jnp.clip(hit.mat_id, 0, scene.mat_absorb.shape[0] - 1)
         ]
-        is_diel = mtype == materials.TYPE_DIELECTRIC
+        is_diel = (mtype == materials.TYPE_DIELECTRIC) | (
+            mtype == materials.TYPE_ROUGH_DIELECTRIC
+        )
         transmitted = live & is_diel & (linalg.dot(d_out, hit.normal) < 0.0)
         medium = jnp.where(
             (transmitted & hit.front)[:, None], absorb,

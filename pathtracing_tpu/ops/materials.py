@@ -32,6 +32,11 @@ TYPE_GGX = 5       # microfacet conductor: albedo = F0 (Schlick),
                    # param = GGX roughness alpha. Unlike the RTiOW fuzz
                    # metal it has a proper pdf, so glossy vertices are
                    # NEE/MIS-eligible (the veach_mis workload).
+TYPE_ROUGH_DIELECTRIC = 6   # microfacet glass (Walter 2007): albedo =
+                   # tint, param = IOR, roughness alpha in the OPTIONAL
+                   # mat_param2 column (scenes without one skip the
+                   # lobe entirely — see ``scatter``). BSDF-sampling
+                   # only, like the smooth dielectric.
 
 INV_PI = 0.3183098861837907
 GGX_MIN_ALPHA = 1e-3   # below this the lobe is numerically a mirror
@@ -90,12 +95,12 @@ def ggx_eval(f0, alpha, normal, view, light):
     )
 
 
-def ggx_sample(alpha, normal, d_in, u1, u2):
-    """Sample a GGX half-vector (NDF sampling) and reflect.
+def ggx_sample_h(alpha, normal, u1, u2):
+    """Sample a GGX half-vector around ``normal`` (NDF sampling).
 
-    Returns (d_out (...,3), cos_h (...,), vh (...,)) — callers compute
-    the throughput weight F * G2 * (v·h) / ((n·v)(n·h)) (Walter 2007
-    eq. 41) and the pdf via ``ggx_eval``.
+    Returns (h (...,3) unit, cos_h (...,) = n·h). Shared by the
+    conductor (reflect about h) and the rough dielectric (reflect OR
+    refract through h).
     """
     alpha = jnp.maximum(alpha, GGX_MIN_ALPHA)
     # tan^2(theta_h) = alpha^2 u / (1 - u)
@@ -109,6 +114,17 @@ def ggx_sample(alpha, normal, d_in, u1, u2):
         + (sin_h * jnp.sin(phi))[..., None] * ty
         + cos_h[..., None] * normal
     )
+    return h, cos_h
+
+
+def ggx_sample(alpha, normal, d_in, u1, u2):
+    """Sample a GGX half-vector (NDF sampling) and reflect.
+
+    Returns (d_out (...,3), cos_h (...,), vh (...,)) — callers compute
+    the throughput weight F * G2 * (v·h) / ((n·v)(n·h)) (Walter 2007
+    eq. 41) and the pdf via ``ggx_eval``.
+    """
+    h, cos_h = ggx_sample_h(alpha, normal, u1, u2)
     d_out = linalg.normalize(
         d_in - 2.0 * linalg.dot(d_in, h)[..., None] * h
     )
@@ -138,7 +154,8 @@ def effective_emission(mat_type, emit):
     return jnp.where((mat_type == TYPE_CHECKER)[..., None], 0.0, emit)
 
 
-def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u):
+def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
+            param2=None):
     """Sample the BSDF for a batch of hits. Fully branchless.
 
     Args:
@@ -150,6 +167,11 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u):
       front_face: (...,) bool — ray hit the geometric front side.
       u: (..., 5) uniforms in [0,1): 2 diffuse/GGX, 3 metal-fuzz /
         dielectric.
+      param2: optional (...,) second parameter column (None for scenes
+        without one). Today it carries the rough dielectric's GGX alpha;
+        when None the rough-glass lobe is never built, so plain scenes
+        keep the identical jit graph (and bitwise results) — the same
+        feature-gating contract as ``Scene.mat_absorb``.
 
     Returns:
       (d_out, attenuation, scattered, pdf):
@@ -206,6 +228,45 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u):
         jnp.where(do_reflect[..., None], d_mirror, d_refract)
     )
 
+    # --- Rough dielectric (Walter 2007 microfacet glass), only when the
+    # scene carries a param2 column: sample a GGX half-vector with the
+    # rough lobe's OWN alpha (param is the IOR here), Fresnel-choose
+    # reflect/refract THROUGH h, weight by G2 |v·h| / (|n·v| |n·h|)
+    # (eq. 41 — the F/p(F) choice probability cancels). BSDF-sampling
+    # only (pdf 0 → MIS treats it like the smooth dielectric).
+    if param2 is not None:
+        alpha_r = jnp.maximum(param2, GGX_MIN_ALPHA)
+        h_rd, cos_h_rd = ggx_sample_h(alpha_r, normal, u[..., 0], u[..., 1])
+        vh_rd = linalg.dot(-d_in, h_rd)
+        sin2_t = jnp.square(eta) * jnp.maximum(1.0 - vh_rd * vh_rd, 0.0)
+        cannot_r = sin2_t > 1.0
+        fres_rd = sampling.schlick_fresnel(
+            jnp.clip(vh_rd, 0.0, 1.0), eta
+        )
+        refl_rd = cannot_r | (u[..., 2] < fres_rd)
+        d_rd = jnp.where(
+            refl_rd[..., None],
+            linalg.reflect(d_in, h_rd),
+            linalg.refract(d_in, h_rd, eta),
+        )
+        d_rd = linalg.normalize(d_rd)
+        cos_out = linalg.dot(normal, d_rd)
+        cos_v_rd = linalg.dot(normal, -d_in)
+        # Sampled microfacet must be visible and the outgoing direction
+        # on the side the event implies (reflection: same hemisphere,
+        # transmission: opposite) — backfacing-h samples terminate.
+        rd_ok = (vh_rd > 1e-6) & (cos_v_rd > 1e-6) & jnp.where(
+            refl_rd, cos_out > 1e-6, cos_out < -1e-6
+        )
+        a2_rd = alpha_r * alpha_r
+        g2_rd = _smith_g1(a2_rd, cos_v_rd) * _smith_g1(
+            a2_rd, jnp.abs(cos_out)
+        )
+        w_rd = albedo * (
+            g2_rd * vh_rd
+            / jnp.maximum(cos_v_rd * jnp.maximum(cos_h_rd, 1e-6), 1e-9)
+        )[..., None]
+
     # --- Select by type (branchless).
     is_diffuse = is_diffuse_type(mat_type)
     is_metal = mat_type == TYPE_METAL
@@ -228,6 +289,11 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u):
         jnp.where(is_ggx, ggx_ok,
                   is_diffuse | is_dielectric),  # emissive terminates
     )
+    if param2 is not None:
+        is_rd = mat_type == TYPE_ROUGH_DIELECTRIC
+        d_out = jnp.where(is_rd[..., None], d_rd, d_out)
+        attenuation = jnp.where(is_rd[..., None], w_rd, attenuation)
+        scattered = jnp.where(is_rd, rd_ok, scattered)
     pdf = jnp.where(
         is_diffuse, pdf_diffuse, jnp.where(is_ggx, pdf_ggx, 0.0)
     )
