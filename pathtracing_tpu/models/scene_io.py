@@ -31,6 +31,11 @@ Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
   ]
 }
 
+An optional top-level ``"background": "gradient"`` names the sky used
+for escaped rays when the CLI runs with ``--background auto`` (the
+default) — emitter-free outdoor scenes want "gradient", lit interiors
+the default "black".
+
 An optional top-level ``environment`` attaches an image-based light
 (``ops/envmap.py``), one of:
 
@@ -53,6 +58,17 @@ import numpy as np
 from pathtracing_tpu.models import meshes
 from pathtracing_tpu.models.scene import Scene, SceneBuilder
 from pathtracing_tpu.utils.config import CameraConfig
+
+
+def preferred_background(path: str) -> str:
+    """Top-level ``"background"`` key ("black" | "gradient" | "white")
+    consumed by the CLI's ``--background auto`` default; scenes without
+    one render against black."""
+    with open(path) as f:
+        bg = json.load(f).get("background", "black")
+    if bg not in ("black", "gradient", "white"):
+        raise ValueError(f"unknown background {bg!r} in {path}")
+    return bg
 
 
 def load_scene(path: str) -> Tuple[Scene, CameraConfig]:

@@ -382,6 +382,21 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
 }
 
 
+# Emitter-free outdoor scenes are lit purely by the sky: the CLI's
+# "auto" background picks the gradient for these (black renders
+# nothing). Everything else (lit interiors, envmap scenes) stays black.
+PREFERRED_BACKGROUND: Dict[str, str] = {
+    "checker_demo": "gradient",
+    "sphere_demo": "gradient",
+    "glass_demo": "gradient",
+    "frosted_demo": "gradient",
+}
+
+
+def preferred_background(name: str) -> str:
+    return PREFERRED_BACKGROUND.get(name, "black")
+
+
 def get_scene(name: str) -> Tuple[Scene, CameraConfig]:
     if name not in SCENES:
         raise KeyError(f"unknown scene {name!r}; have {sorted(SCENES)}")

@@ -44,8 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--engine", default="megakernel",
                    choices=["megakernel", "wavefront"])
-    p.add_argument("--background", default="black",
-                   choices=["black", "gradient", "white"])
+    p.add_argument("--background", default="auto",
+                   choices=["auto", "black", "gradient", "white"],
+                   help="sky radiance for escaped rays; 'auto' (default) "
+                        "uses the scene's preferred background — the "
+                        "gradient sky for emitter-free outdoor scenes "
+                        "(checker/sphere/glass/frosted demos, or a JSON "
+                        "scene's top-level \"background\" key), black "
+                        "otherwise")
     p.add_argument("--aov", default=None,
                    choices=["normal", "depth", "albedo", "mat_id"],
                    help="render a single diagnostic pass instead of the "
@@ -156,28 +162,31 @@ def main(argv=None) -> int:
         ptlog.log_information("wrote reference-parity image to %s", args.out)
         return 0
 
-    config = RenderConfig(
-        width=args.width, height=args.height,
-        samples_per_pixel=args.spp, max_depth=args.max_depth,
-        seed=args.seed, samples_per_step=args.spp_per_step,
-        engine=args.engine, background=args.background,
-        nee=not args.no_nee, traversal=args.traversal,
-        clamp=args.clamp,
-    )
     if args.scene.endswith(".json"):
         from pathtracing_tpu.models import scene_io
 
         try:
             scene, cam_cfg = scene_io.load_scene(args.scene)
+            scene_bg = scene_io.preferred_background(args.scene)
         except (OSError, ValueError, KeyError) as e:
             ptlog.log_critical("failed to load scene %s: %s", args.scene, e)
             return 2
     else:
         try:
             scene, cam_cfg = scenes.get_scene(args.scene)
+            scene_bg = scenes.preferred_background(args.scene)
         except KeyError as e:
             ptlog.log_critical("%s", e.args[0])
             return 2
+    background = scene_bg if args.background == "auto" else args.background
+    config = RenderConfig(
+        width=args.width, height=args.height,
+        samples_per_pixel=args.spp, max_depth=args.max_depth,
+        seed=args.seed, samples_per_step=args.spp_per_step,
+        engine=args.engine, background=background,
+        nee=not args.no_nee, traversal=args.traversal,
+        clamp=args.clamp,
+    )
     if args.fog_sigma_s > 0.0 or args.fog_sigma_a > 0.0:
         # CLI fog override: fill ANY scene with a homogeneous scattering
         # medium (models/shading distance sampling + HG phase).

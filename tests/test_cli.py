@@ -137,3 +137,43 @@ def test_denoise_flag(tmp_path):
     assert r.returncode == 0, r.stderr
     assert os.path.exists(out)
     assert "denoised" in (r.stderr + r.stdout)
+
+
+def test_auto_background(tmp_path):
+    """--background auto (the default) picks the emitter-free demo
+    scenes' gradient sky — a sky-lit render must not come out black
+    (the pre-auto footgun: frosted/glass demos rendered all-black
+    under the old hard 'black' default). JSON scenes take a top-level
+    "background" key."""
+    import json
+
+    from PIL import Image
+
+    out = str(tmp_path / "a.png")
+    r = run_cli("--scene", "frosted_demo", "--width", "24", "--height",
+                "16", "--spp", "2", "--spp-per-step", "2",
+                "--max-depth", "4", "--out", out)
+    assert r.returncode == 0, r.stderr
+    assert np.asarray(Image.open(out)).mean() > 20.0
+
+    # Explicit value still overrides auto.
+    r = run_cli("--scene", "frosted_demo", "--background", "black",
+                "--width", "24", "--height", "16", "--spp", "2",
+                "--spp-per-step", "2", "--max-depth", "4", "--out", out)
+    assert r.returncode == 0, r.stderr
+    assert np.asarray(Image.open(out)).mean() < 2.0
+
+    spec = {
+        "background": "gradient",
+        "camera": {"position": [0, 0, 3], "look_at": [0, 0, 0]},
+        "materials": {"m": {"type": "lambertian", "albedo": [1, 1, 1]}},
+        "objects": [{"type": "sphere", "center": [0, 0, 0],
+                     "radius": 0.5, "material": "m"}],
+    }
+    p = tmp_path / "sky.json"
+    p.write_text(json.dumps(spec))
+    r = run_cli("--scene", str(p), "--width", "24", "--height", "16",
+                "--spp", "2", "--spp-per-step", "2", "--max-depth", "4",
+                "--out", out)
+    assert r.returncode == 0, r.stderr
+    assert np.asarray(Image.open(out)).mean() > 20.0
