@@ -159,12 +159,21 @@ def checker_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
-def veach_mis() -> Tuple[Scene, CameraConfig]:
+def veach_mis(roughness_floor: float = 0.0) -> Tuple[Scene, CameraConfig]:
     """Veach-style MIS demo: glossy strips of increasing roughness under
     three area lights of very different size but similar power. Light
     sampling alone is noisy on the sharp strips, BSDF sampling alone on
     the big dim light — the power-heuristic combination (ops.lights +
-    models.shading) handles all nine pairings."""
+    models.shading) handles all nine pairings.
+
+    ``roughness_floor`` clamps the strip roughness from below. The
+    default 0 is the true stress scene; tests that need a CONVERGENT
+    brute-force reference pass ~0.25: at roughness 0.02 the NDF-sampled
+    BSDF weight f·cosθ/pdf has an effectively unbounded tail against the
+    380-radiance light, and a 16k-spp brute mean still wanders ±5%
+    (measured seeds 0.188-0.205 vs the NEE estimators' converged 0.210-
+    0.213) — the very failure MIS exists to fix, so it cannot serve as
+    an unbiasedness oracle."""
     b = SceneBuilder()
     floor = b.lambertian((0.22, 0.22, 0.24))
     back = b.lambertian((0.05, 0.05, 0.06))
@@ -188,7 +197,8 @@ def veach_mis() -> Tuple[Scene, CameraConfig]:
     strips = [(0.02, -1.1, 0.0, 18.0), (0.08, -0.4, 1.2, 14.0),
               (0.18, 0.4, 2.4, 10.0), (0.30, 1.3, 3.6, 6.0)]
     for rough, y, z, tilt_deg in strips:
-        m = b.ggx((0.85, 0.82, 0.78), roughness=rough)
+        m = b.ggx((0.85, 0.82, 0.78),
+                  roughness=max(rough, roughness_floor))
         t = np.radians(tilt_deg)
         depth = 0.9
         # Normal (0, cos t, sin t): up, leaning toward the camera, so the

@@ -241,17 +241,22 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # MIS: a BSDF-sampled path that lands on an area-light triangle
         # is the "other estimator" of the same direct-light integral the
         # previous vertex already sampled — weight by the power heuristic.
-        total_area = scene.lights.total_area
+        # The light-sampling pdf is POWER-weighted selection × area-
+        # uniform point: per-area luminance(emit)/total_power — known
+        # from the hit's own emission, no primitive id needed
+        # (ops.lights module docstring).
+        total_power = scene.lights.total_power
         cos_l = jnp.abs(linalg.dot(d, hit.normal))
-        pdf_l = hit.t * hit.t / (cos_l * total_area + 1e-20)
+        pdf_l = (hit.t * hit.t * linalg.luminance(emit)
+                 / (cos_l * total_power + 1e-20))
         w = prev_pdf**2 / (prev_pdf**2 + pdf_l**2 + 1e-30)
         # Every emissive primitive (triangle or sphere) is in the NEE
         # light table, so every emissive hit is the "other estimator":
-        # pdf_l above is the area-uniform pdf converted to solid angle,
+        # pdf_l above is the per-area pdf converted to solid angle,
         # valid for both kinds (sphere rows use the full 4πr² surface).
         is_light = hit.valid & (jnp.max(emit, axis=-1) > 0.0)
         emit_w = jnp.where(
-            prev_nee & is_light & (total_area > 0.0), w, 1.0
+            prev_nee & is_light & (total_power > 0.0), w, 1.0
         )
     radiance = radiance + jnp.where(
         live[:, None], throughput * emit * emit_w[:, None], 0.0
@@ -288,15 +293,15 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         wi = wi_vec / dist[:, None]
         cos_s = linalg.dot(hit.normal, wi)
         cos_l = jnp.abs(linalg.dot(ln, wi))
-        total_area = scene.lights.total_area
+        total_power = scene.lights.total_power
         cand = (
             live & nee_lobe & (cos_s > 1e-6) & (cos_l > 1e-6)
-            & (dist2 > 1e-8) & (total_area > 0.0)
+            & (dist2 > 1e-8) & (total_power > 0.0)
         )
         if has_fog:
             cand_med = (
                 med_event & (cos_l > 1e-6) & (dist2 > 1e-8)
-                & (total_area > 0.0) & (fog_albedo > 0.0)
+                & (total_power > 0.0) & (fog_albedo > 0.0)
             )
             cand = cand | cand_med
         t_shadow = dist * (1.0 - 1e-3)
@@ -315,7 +320,10 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         f_lobe = jnp.where(is_ggx[:, None], f_ggx, alb * INV_PI)
         pdf_b = jnp.where(is_ggx, pdf_ggx, cos_s * INV_PI)
 
-        pdf_l = dist2 / (cos_l * total_area + 1e-20)
+        # Per-area pdf of the power-weighted sampler at the sampled
+        # point: luminance(lemit)/total_power (ops.lights).
+        pdf_l = (dist2 * linalg.luminance(lemit)
+                 / (cos_l * total_power + 1e-20))
         if has_fog:
             # Medium vertices swap (BSDF · cosθ_surface) for
             # (albedo · phase) — the phase is per solid angle with no

@@ -6,10 +6,25 @@ light sampling with multiple importance sampling for the progressive path
 tracer, the single biggest variance reducer for interior scenes.
 
 The table holds every emissive *primitive* — triangles AND spheres —
-with per-area sampling probability (area ∝ selection weight; sphere rows
-use the full 4πr² surface and are sampled area-uniformly, so far-side
-samples are killed by the occlusion test — standard, unbiased, ~2× the
-sphere-light noise of visible-cap sampling; documented trade).
+selected with probability ∝ emitted POWER (luminance · area): a small
+bright lamp next to a large dim panel is picked by how much light it
+contributes, not how big it is (area-uniform selection starves the
+small-bright light — exactly the veach_mis failure mode, 80× area
+ratio). The point WITHIN the chosen primitive stays area-uniform, so
+the per-area pdf at a sampled point of light i is
+
+    p_i / area_i = (lum_i · area_i / Σ lum·area) / area_i
+                 = lum_i / total_power
+
+— computable from the emitted radiance alone, on BOTH sides of the MIS
+pairing (the NEE arm knows its sampled ``lemit``; the BSDF-hit arm
+knows the ``emit`` it hit), so no per-primitive id ever flows through
+the estimator. Sphere rows use the full 4πr² surface and are sampled
+area-uniformly, so far-side samples are killed by the occlusion test —
+standard, unbiased, ~2× the sphere-light noise of visible-cap sampling
+(documented trade). Scenes whose lights all share one radiance (the
+cornell family: one quad = two equal-emit triangles) reduce to the old
+area-uniform CDF exactly, so their picks are unchanged.
 
 All selection is one-hot masked-sum over the (small) light table — never
 a device gather (see PERF.md for why gathers are banned on the hot
@@ -35,8 +50,10 @@ class LightTable(NamedTuple):
     normal: jnp.ndarray   # (L, 3) f32 unit geometric normal (tri only)
     emit: jnp.ndarray     # (L, 3) f32 radiance
     kind: jnp.ndarray     # (L,)  i32 KIND_TRI | KIND_SPHERE
-    cum: jnp.ndarray      # (L,)  f32 inclusive cumulative area fraction
+    cum: jnp.ndarray      # (L,)  f32 inclusive cumulative POWER fraction
     total_area: jnp.ndarray  # () f32 — 0.0 means "no lights" (NEE no-op)
+    total_power: jnp.ndarray  # () f32 Σ luminance·area; the per-area pdf
+    #                           at a sample of light i is lum_i / this
 
 
 def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
@@ -89,7 +106,15 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
             )
             kind = np.concatenate([kind, np.ones(k, np.int32)])
 
-    if lv0.shape[0] == 0:
+    # Selection weight = emitted power (luminance · area), f64 so the
+    # all-equal-radiance case reduces to the area CDF bit-exactly.
+    lum = (0.2126 * lemit[:, 0] + 0.7152 * lemit[:, 1]
+           + 0.0722 * lemit[:, 2]).astype(np.float64)
+    power = lum * area.astype(np.float64)
+    total_power = float(power.sum())
+
+    if lv0.shape[0] == 0 or total_power <= 0.0:
+        # No lights, or only zero-radiance "emitters": NEE is a no-op.
         zero3 = np.zeros((1, 3), np.float32)
         return LightTable(
             v0=jnp.asarray(zero3), e1=jnp.asarray(zero3),
@@ -98,10 +123,11 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
             kind=jnp.zeros(1, jnp.int32),
             cum=jnp.ones(1, jnp.float32),
             total_area=jnp.float32(0.0),
+            total_power=jnp.float32(0.0),
         )
 
     total = float(area.sum())
-    cum = np.cumsum(area) / total
+    cum = np.cumsum(power) / total_power
     return LightTable(
         v0=jnp.asarray(lv0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
         normal=jnp.asarray(normal),
@@ -109,14 +135,16 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
         kind=jnp.asarray(kind),
         cum=jnp.asarray(cum.astype(np.float32)),
         total_area=jnp.float32(total),
+        total_power=jnp.float32(total_power),
     )
 
 
 def sample(lights: LightTable, u):
-    """Area-uniform sample over all lights for a batch.
+    """Power-weighted light pick, area-uniform point within it.
 
     u: (R, 3) uniforms. Returns (point (R,3), normal (R,3), emit (R,3)).
-    The per-area pdf is ``1 / total_area`` (uniform over the union).
+    The per-area pdf at the returned point is
+    ``luminance(emit) / total_power`` (see module docstring).
     """
     n_lights = lights.cum.shape[0]
     idx = jnp.clip(

@@ -155,3 +155,108 @@ def test_checker_two_tones():
     red_cells = (img[..., 0] > 0.5) & (img[..., 2] < 0.1)
     blue_cells = (img[..., 2] > 0.5) & (img[..., 0] < 0.1)
     assert red_cells.sum() > 100 and blue_cells.sum() > 100
+
+
+def _two_light_scene(lamp_rad=400.0, lamp_size=0.1):
+    """A large dim panel (2x2, radiance 1) and a small bright lamp
+    (lamp_size^2, radiance lamp_rad) over a diffuse floor."""
+    from pathtracing_tpu.models.scene import SceneBuilder
+    from pathtracing_tpu.utils.config import CameraConfig
+
+    b = SceneBuilder()
+    floor = b.lambertian((0.7, 0.7, 0.7))
+    b.add_quad((-3.0, 0.0, -3.0), (6.0, 0.0, 0.0), (0.0, 0.0, 6.0), floor)
+    dim = b.emissive((1.0, 1.0, 1.0))
+    b.add_quad((-1.0, 3.0, -1.0), (2.0, 0.0, 0.0), (0.0, 0.0, 2.0), dim)
+    bright = b.emissive((lamp_rad,) * 3)
+    s = lamp_size
+    b.add_quad((1.5, 2.0, -s / 2), (s, 0.0, 0.0), (0.0, 0.0, s), bright)
+    cam = CameraConfig(position=(0.0, 1.8, 4.0), look_at=(0.0, 0.5, 0.0),
+                       vfov_degrees=50.0)
+    return b.build(), cam
+
+
+def test_power_weighted_selection():
+    """Selection probability follows emitted power, not area: a 400x
+    area ratio with equal power must sample each light ~half the time
+    (area-uniform would pick the small lamp 1-in-401 draws)."""
+    import jax.numpy as jnp
+
+    # panel power = 4 * 1; lamp power = 0.01 * 400 = 4 — equal.
+    scene, _ = _two_light_scene(lamp_rad=400.0, lamp_size=0.1)
+    lt = scene.lights
+    np.testing.assert_allclose(float(lt.total_power), 8.0, rtol=1e-5)
+    n = 8192
+    u = np.random.RandomState(1).rand(n, 3).astype(np.float32)
+    p, _, emit = lights_ops.sample(lt, jnp.asarray(u))
+    bright = np.asarray(emit)[:, 0] > 100.0
+    frac = bright.mean()
+    sigma = np.sqrt(0.25 / n)
+    assert abs(frac - 0.5) < 4 * sigma, f"bright pick frac {frac:.4f}"
+
+
+def test_nee_unbiased_unequal_lights():
+    """The power-weighted pdf must keep the estimator unbiased — NEE and
+    brute force agree on a scene where the pick distribution is far from
+    area-uniform (9x area ratio, 60x radiance ratio)."""
+    scene, cam_cfg = _two_light_scene(lamp_rad=60.0, lamp_size=0.66)
+    camera = build_camera(cam_cfg, 1.0)
+    img_nee = render(scene, camera, True, 64, seed=0, depth=3)
+    img_ref = render(scene, camera, False, 2048, seed=1, depth=3)
+    rel = abs(img_nee.mean() - img_ref.mean()) / img_ref.mean()
+    assert rel < 0.04, f"mean mismatch {rel:.3f}"
+
+
+def test_power_sampling_beats_area_on_unequal_lights():
+    """Variance, at the estimator level: the one-sample NEE direct-light
+    contribution at a fixed shading point, power-law pick vs the old
+    area-uniform law (both unbiased — pdfs matched to their pick laws).
+    With equal-power 400x-area-ratio lights, area-uniform picks the lamp
+    1-in-401 draws with pdf 1/total_area, so each rare lamp pick lands a
+    huge emit/pdf spike; the power law splits picks ~50/50 and its
+    per-area pdf scales with the picked emit, flattening the weights."""
+    import jax.numpy as jnp
+
+    scene, _ = _two_light_scene(lamp_rad=400.0, lamp_size=0.1)
+    lt = scene.lights
+    x = np.array([0.5, 0.0, 0.0], np.float32)  # floor point, normal +y
+
+    rng = np.random.RandomState(7)
+    n = 20000
+    u = rng.rand(n, 3).astype(np.float32)
+
+    def estimate(points, emits, pdf_area):
+        wi = np.asarray(points) - x
+        dist2 = (wi * wi).sum(-1)
+        wi = wi / np.sqrt(dist2)[:, None]
+        cos_s = np.maximum(wi[:, 1], 0.0)           # floor normal +y
+        cos_l = np.abs(-wi[:, 1])                    # lights face -y
+        g = cos_s * cos_l / dist2
+        return np.asarray(emits)[:, 0] * g / pdf_area
+
+    # Power-weighted law (the production sampler + its pdf).
+    p, _, emit = lights_ops.sample(lt, jnp.asarray(u))
+    lum = np.asarray(emit) @ np.array([0.2126, 0.7152, 0.0722])
+    est_power = estimate(p, emit, lum / float(lt.total_power))
+
+    # Area-uniform law (the retired design), sampled by hand from the
+    # same table geometry: pick ∝ area, pdf 1/total_area.
+    areas = 0.5 * np.linalg.norm(
+        np.cross(np.asarray(lt.e1), np.asarray(lt.e2)), axis=-1
+    )
+    cum_area = np.cumsum(areas) / areas.sum()
+    idx = np.searchsorted(cum_area, u[:, 0])
+    r1, r2 = u[:, 1], u[:, 2]
+    flip = r1 + r2 > 1.0
+    b1 = np.where(flip, 1.0 - r1, r1)
+    b2 = np.where(flip, 1.0 - r2, r2)
+    pa = (np.asarray(lt.v0)[idx] + b1[:, None] * np.asarray(lt.e1)[idx]
+          + b2[:, None] * np.asarray(lt.e2)[idx])
+    est_area = estimate(pa, np.asarray(lt.emit)[idx],
+                        np.full(n, 1.0 / float(lt.total_area)))
+
+    # Same integral (sanity), far lower spread for the power law.
+    assert abs(est_power.mean() - est_area.mean()) < 0.25 * est_area.mean()
+    assert est_power.std() < 0.25 * est_area.std(), (
+        est_power.std(), est_area.std()
+    )
