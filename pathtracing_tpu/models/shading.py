@@ -280,13 +280,19 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         if ld_nee is not None:
             d0 = (depth == 0)[:, None]
             ul = jnp.where(d0, ld_nee, ul)
-        lp, ln, lemit = lights_ops.sample(scene.lights, ul)
         # Fog scenes share ONE light sample + shadow ray between
         # surface vertices and in-medium phase vertices (the NEE origin
         # selects per lane) — no second occlusion query per bounce.
         o_nee = hit.position
         if has_fog:
             o_nee = jnp.where(med_event[:, None], o_med, hit.position)
+        # Visible-cap cone sampling for sphere lights (area-uniform for
+        # triangles) — pdf_sa is the TRUE per-solid-angle density, the
+        # estimator denominator. Triangle-only scenes draw identical
+        # points and pdfs to the legacy area sampler, bit-for-bit.
+        lp, ln, lemit, pdf_sa = lights_ops.sample_solid_angle(
+            scene.lights, ul, o_nee
+        )
         wi_vec = lp - o_nee
         dist2 = jnp.sum(wi_vec * wi_vec, axis=-1)
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
@@ -320,8 +326,12 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         f_lobe = jnp.where(is_ggx[:, None], f_ggx, alb * INV_PI)
         pdf_b = jnp.where(is_ggx, pdf_ggx, cos_s * INV_PI)
 
-        # Per-area pdf of the power-weighted sampler at the sampled
-        # point: luminance(lemit)/total_power (ops.lights).
+        # MIS weight-side pdf: the locally-computable area-law density
+        # (per-area luminance(lemit)/total_power converted to solid
+        # angle) on BOTH arms — the BSDF-hit arm can't evaluate a cone
+        # pdf, and any weight pair summing to one is unbiased (see
+        # ops.lights.sample_solid_angle). The ESTIMATE divides by the
+        # true pdf_sa; for triangles the two coincide bitwise.
         pdf_l = (dist2 * linalg.luminance(lemit)
                  / (cos_l * total_power + 1e-20))
         if has_fog:
@@ -335,10 +345,10 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             p_phase_l = sampling_ops.hg_phase(fog_g, linalg.dot(d, wi))
             pdf_b = jnp.where(med_event, p_phase_l, pdf_b)
         w = pdf_l**2 / (pdf_l**2 + pdf_b**2 + 1e-30)
-        scale = cos_s / jnp.maximum(pdf_l, 1e-20) * w
+        scale = cos_s / jnp.maximum(pdf_sa, 1e-20) * w
         contrib = throughput * f_lobe * lemit * scale[:, None]
         if has_fog:
-            scale_med = w / jnp.maximum(pdf_l, 1e-20)
+            scale_med = w / jnp.maximum(pdf_sa, 1e-20)
             contrib_med = (
                 throughput * lemit
                 * (fog_albedo * p_phase_l * scale_med)[:, None]

@@ -19,12 +19,24 @@ the per-area pdf at a sampled point of light i is
 — computable from the emitted radiance alone, on BOTH sides of the MIS
 pairing (the NEE arm knows its sampled ``lemit``; the BSDF-hit arm
 knows the ``emit`` it hit), so no per-primitive id ever flows through
-the estimator. Sphere rows use the full 4πr² surface and are sampled
-area-uniformly, so far-side samples are killed by the occlusion test —
-standard, unbiased, ~2× the sphere-light noise of visible-cap sampling
-(documented trade). Scenes whose lights all share one radiance (the
-cornell family: one quad = two equal-emit triangles) reduce to the old
+the estimator. Scenes whose lights all share one radiance (the cornell
+family: one quad = two equal-emit triangles) reduce to the old
 area-uniform CDF exactly, so their picks are unchanged.
+
+Sphere rows are sampled by the VISIBLE-CAP cone (``sample_solid_angle``:
+uniform direction inside the cone the sphere subtends from the shading
+point, PBRT-style) — never the far hemisphere, whose samples area-
+uniform sampling wastes on a guaranteed-occluded half (measured ~3×
+the one-sample std, tests/test_nee.py). The cone pdf is per SOLID
+ANGLE, so it feeds the estimator denominator directly, while the MIS
+weights on BOTH arms keep the locally-computable area-law pdf
+(dist²·lum/(cosθ·total_power)): any weight pair summing to one is
+unbiased (Veach's theorem needs partition of unity, not pdf-optimal
+weights), and the BSDF-hit arm has no sphere center/radius to evaluate
+a cone pdf with. A shading point INSIDE an emissive sphere falls back
+to area-uniform sampling (the cone is undefined), same pdf law as
+triangles. The legacy full-surface sampler stays as ``sample`` for
+area-measure uses.
 
 All selection is one-hot masked-sum over the (small) light table — never
 a device gather (see PERF.md for why gathers are banned on the hot
@@ -190,3 +202,115 @@ def sample(lights: LightTable, u):
     point = jnp.where(is_sph[:, None], p_sph, p_tri)
     normal = jnp.where(is_sph[:, None], dir_s, normal)
     return point, normal, emit
+
+
+def sample_solid_angle(lights: LightTable, u, origin):
+    """NEE light sample with its actual per-solid-angle pdf.
+
+    u: (R, 3) uniforms; origin: (R, 3) shading points. Returns
+    (point (R,3), normal (R,3), emit (R,3), pdf_sa (R,)).
+
+    Light pick and triangle points are identical draws to ``sample``
+    (same uniforms, same CDF — triangle-only scenes are bit-identical).
+    Sphere rows switch to visible-cap cone sampling: a uniform
+    direction in the cone of half-angle asin(r/d) toward the center,
+    mapped to its first sphere intersection. ``pdf_sa`` is the TRUE
+    sampling density per solid angle at ``origin``:
+
+      triangles / inside-sphere fallback:
+          dist² · lum / (cosθ_l · total_power)     (area law converted)
+      visible cap:
+          pick_prob / (2π (1−cos θmax))
+        = 2 · lum · r² / (total_power · (1−cos θmax))
+
+    with 1−cosθmax computed as sin²θmax/(1+cosθmax) so tiny far-away
+    lamps don't cancel to zero in f32.
+    """
+    from pathtracing_tpu.ops import linalg
+
+    n_lights = lights.cum.shape[0]
+    idx = jnp.clip(
+        jnp.sum((u[:, 0:1] > lights.cum[None, :]).astype(jnp.int32),
+                axis=1),
+        0, n_lights - 1,
+    )
+    onehot = (
+        jnp.arange(n_lights, dtype=jnp.int32)[None, :] == idx[:, None]
+    )
+
+    def select(table):
+        # Masked-sum, never a matmul (bf16 default dots — see sample()).
+        return jnp.sum(
+            jnp.where(onehot[:, :, None], table[None, :, :], 0.0), axis=1
+        )
+
+    v0 = select(lights.v0)
+    e1 = select(lights.e1)
+    e2 = select(lights.e2)
+    normal = select(lights.normal)
+    emit = select(lights.emit)
+    is_sph = jnp.sum(
+        jnp.where(onehot, lights.kind[None, :], 0), axis=1
+    ) == KIND_SPHERE
+
+    # Triangle: sqrt-warped uniform barycentrics (same draws as sample).
+    su = jnp.sqrt(jnp.maximum(u[:, 1:2], 1e-12))
+    a = 1.0 - su
+    b = su * u[:, 2:3]
+    p_tri = v0 + a * e1 + b * e2
+
+    # Sphere, area-uniform (inside-the-sphere fallback only).
+    z = 1.0 - 2.0 * u[:, 1]
+    rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * u[:, 2]
+    dir_s = jnp.stack([rxy * jnp.cos(phi), rxy * jnp.sin(phi), z], axis=1)
+    p_area = v0 + e1[:, 0:1] * dir_s
+
+    # Sphere, visible-cap cone. Frame axis points from the center to the
+    # shading point; α is the polar angle of the sampled surface normal.
+    rad = e1[:, 0]
+    ro = origin - v0
+    dc2 = jnp.sum(ro * ro, axis=-1)
+    dc = jnp.sqrt(jnp.maximum(dc2, 1e-20))
+    outside = dc2 > rad * rad * 1.0002
+    sin2max = jnp.clip(rad * rad / jnp.maximum(dc2, 1e-20), 0.0, 1.0)
+    cosmax = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+    one_minus = sin2max / (1.0 + cosmax)          # = 1 - cosθmax, stable
+    cost = 1.0 - u[:, 1] * one_minus              # uniform in [cosmax, 1]
+    sin2t = jnp.maximum(1.0 - cost * cost, 0.0)
+    ds = dc * cost - jnp.sqrt(jnp.maximum(rad * rad - dc2 * sin2t, 0.0))
+    cosa = jnp.clip(
+        (dc2 + rad * rad - ds * ds)
+        / jnp.maximum(2.0 * dc * rad, 1e-20),
+        -1.0, 1.0,
+    )
+    sina = jnp.sqrt(jnp.maximum(1.0 - cosa * cosa, 0.0))
+    w_axis = ro / dc[:, None]
+    t1, t2 = linalg.orthonormal_basis(w_axis)
+    n_cone = (
+        (sina * jnp.cos(phi))[:, None] * t1
+        + (sina * jnp.sin(phi))[:, None] * t2
+        + cosa[:, None] * w_axis
+    )
+    p_cone = v0 + rad[:, None] * n_cone
+
+    cone = is_sph & outside
+    point = jnp.where(
+        cone[:, None], p_cone,
+        jnp.where(is_sph[:, None], p_area, p_tri),
+    )
+    normal = jnp.where(
+        is_sph[:, None], jnp.where(cone[:, None], n_cone, dir_s), normal
+    )
+
+    # Actual per-solid-angle pdf at the returned point.
+    lum = linalg.luminance(emit)
+    wi_vec = point - origin
+    dist2 = jnp.sum(wi_vec * wi_vec, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    cos_l = jnp.abs(linalg.dot(normal, wi_vec / dist[:, None]))
+    pdf_gen = dist2 * lum / (cos_l * lights.total_power + 1e-20)
+    pdf_cone = (2.0 * lum * rad * rad
+                / (lights.total_power * one_minus + 1e-20))
+    pdf_sa = jnp.where(cone, pdf_cone, pdf_gen)
+    return point, normal, emit, pdf_sa
