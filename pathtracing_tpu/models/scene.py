@@ -86,6 +86,13 @@ class Scene(NamedTuple):
     # rough-glass lobe in ``ops.materials.scatter`` entirely (identical
     # jit graphs and bitwise results, like ``mat_absorb``).
     mat_param2: jnp.ndarray = None
+    # Optional (K,) i32 per-material NORMAL-MAP texture id into the same
+    # atlas (-1 = none). Tangent-space maps ((2·texel − 1) = (t, b, n)
+    # offsets) perturb the shading normal in ``surface_attributes``;
+    # None unless some material carries one — unmapped scenes skip the
+    # tangent math and atlas gathers entirely (bitwise-identical
+    # renders, like every other feature gate above).
+    mat_ntex: jnp.ndarray = None
 
     @property
     def material_table(self):
@@ -122,6 +129,7 @@ class SceneBuilder:
         self._tri_chunks = []
         self._mat = []          # (type, albedo, param, emit)
         self._mat_tex = []      # per-material texture id (-1 = none)
+        self._mat_ntex = []     # per-material normal-map id (-1 = none)
         self._mat_absorb = []   # per-material interior sigma_a (r, g, b)
         self._mat_param2 = []   # per-material second scalar (rough alpha)
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
@@ -151,30 +159,33 @@ class SceneBuilder:
             self._env = envmap_ops.build_envmap(texels_or_envmap)
 
     # -- textures ----------------------------------------------------------
-    def add_texture(self, image) -> int:
+    def add_texture(self, image, srgb: bool = True) -> int:
         """Register a texture: an (H, W, 3) linear float array, or a path
         (PNG/JPEG converted from sRGB; .hdr/.npy pass through). Returns
-        the texture id to pass as a material's ``texture=``."""
+        the texture id to pass as a material's ``texture=``. Pass
+        ``srgb=False`` for data maps (normal maps) whose 8-bit values
+        must stay linear in [0, 1]."""
         if isinstance(image, (str, os.PathLike)):
             from pathtracing_tpu.ops import texture as texture_ops
 
-            image = texture_ops.load_texture(os.fspath(image))
+            image = texture_ops.load_texture(os.fspath(image), srgb=srgb)
         self._tex.append(np.asarray(image, np.float32))
         return len(self._tex) - 1
 
-    def _tex_id(self, texture) -> int:
+    def _tex_id(self, texture, srgb: bool = True) -> int:
         if texture is None:
             return -1
         if isinstance(texture, int):
             if not 0 <= texture < len(self._tex):
                 raise ValueError(f"unknown texture id {texture}")
             return texture
-        return self.add_texture(texture)
+        return self.add_texture(texture, srgb=srgb)
 
     # -- materials ---------------------------------------------------------
     def add_material(self, mtype, albedo=(0.0, 0.0, 0.0), param=0.0,
                      emit=(0.0, 0.0, 0.0), texture=None,
-                     absorption=(0.0, 0.0, 0.0), param2=0.0) -> int:
+                     absorption=(0.0, 0.0, 0.0), param2=0.0,
+                     normal_map=None) -> int:
         """``texture`` (optional): a texture id from ``add_texture``, an
         image array, or a path. The sampled color MODULATES the albedo
         at UV-mapped hits (white albedo shows the texture alone).
@@ -182,29 +193,38 @@ class SceneBuilder:
         meaningful on dielectrics (colored glass); paths inside lose
         exp(-sigma_a · distance) of throughput per segment.
         ``param2``: second scalar parameter — the rough dielectric's
-        GGX alpha (ignored by every other type today)."""
+        GGX alpha (ignored by every other type today).
+        ``normal_map`` (optional): tangent-space normal map (id, array,
+        or path — 8-bit files load WITHOUT the sRGB transfer); texels
+        decode as 2·rgb − 1 = (t, b, n) and perturb the shading normal
+        (``surface_attributes``). Triangles need UVs for a tangent
+        frame; spheres use their lat-long frame."""
         self._mat.append((int(mtype), tuple(albedo), float(param), tuple(emit)))
         self._mat_tex.append(self._tex_id(texture))
+        self._mat_ntex.append(self._tex_id(normal_map, srgb=False))
         self._mat_absorb.append(tuple(float(x) for x in absorption))
         self._mat_param2.append(float(param2))
         return len(self._mat) - 1
 
-    def lambertian(self, albedo, texture=None) -> int:
+    def lambertian(self, albedo, texture=None, normal_map=None) -> int:
         return self.add_material(
-            materials.TYPE_LAMBERTIAN, albedo, texture=texture
+            materials.TYPE_LAMBERTIAN, albedo, texture=texture,
+            normal_map=normal_map,
         )
 
-    def metal(self, albedo, fuzz=0.0, texture=None) -> int:
+    def metal(self, albedo, fuzz=0.0, texture=None, normal_map=None) -> int:
         return self.add_material(
-            materials.TYPE_METAL, albedo, fuzz, texture=texture
+            materials.TYPE_METAL, albedo, fuzz, texture=texture,
+            normal_map=normal_map,
         )
 
-    def ggx(self, f0, roughness=0.1, texture=None) -> int:
+    def ggx(self, f0, roughness=0.1, texture=None, normal_map=None) -> int:
         """Microfacet conductor: f0 = Fresnel normal reflectance,
         roughness = GGX alpha. Unlike ``metal`` it has a real pdf, so
         glossy vertices participate in NEE/MIS."""
         return self.add_material(
-            materials.TYPE_GGX, f0, roughness, texture=texture
+            materials.TYPE_GGX, f0, roughness, texture=texture,
+            normal_map=normal_map,
         )
 
     def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0),
@@ -399,13 +419,19 @@ class SceneBuilder:
                 inv_perm[np.maximum(slot_to_tri, 0)], -1,
             ).astype(np.int32)
 
-        textures = mat_tex = None
+        textures = mat_tex = mat_ntex = None
         mat_tex_np = np.array(self._mat_tex, np.int32)
-        if self._tex and (mat_tex_np >= 0).any():
+        mat_ntex_np = np.array(self._mat_ntex, np.int32)
+        any_tex = (mat_tex_np >= 0).any()
+        any_ntex = (mat_ntex_np >= 0).any()
+        if self._tex and (any_tex or any_ntex):
             from pathtracing_tpu.ops import texture as texture_ops
 
             textures = texture_ops.build_atlas(self._tex)
-            mat_tex = jnp.asarray(mat_tex_np)
+            if any_tex:
+                mat_tex = jnp.asarray(mat_tex_np)
+            if any_ntex:
+                mat_ntex = jnp.asarray(mat_ntex_np)
 
         mat_absorb = None
         absorb_np = np.array(self._mat_absorb, np.float32)
@@ -456,6 +482,7 @@ class SceneBuilder:
             slot_to_tri=(jnp.asarray(slot_to_tri) if has_attrs else None),
             textures=textures,
             mat_tex=mat_tex,
+            mat_ntex=mat_ntex,
             mat_absorb=mat_absorb,
             fog=(jnp.asarray(self._fog, jnp.float32)
                  if self._fog is not None else None),
@@ -599,6 +626,71 @@ def surface_attributes(scene: Scene, hit: Hit):
     su = 0.5 + jnp.arctan2(n[:, 2], n[:, 0]) * (0.5 / jnp.pi)
     sv = 0.5 + jnp.arcsin(jnp.clip(n[:, 1], -1.0, 1.0)) * (1.0 / jnp.pi)
     uv = jnp.where(tri[:, None], uv_tri, jnp.stack([su, sv], axis=-1))
+
+    if scene.mat_ntex is not None and scene.textures is not None:
+        # Tangent-space normal mapping. The UV-aligned tangent frame
+        # solves [e1 e2] = [T B]·[[du1 du2],[dv1 dv2]] per triangle ROW
+        # (recomputed from the already-gathered e1/e2/uv rows — no extra
+        # memory, a handful of VPU flops at mapped hits only); spheres
+        # use their lat-long frame (T = ∂n/∂φ). The frame is built
+        # around the CURRENT shading normal (smooth normals compose),
+        # Gram-Schmidt-orthogonalized, with bitangent handedness taken
+        # from the UV winding so mirrored UVs don't flip bumps.
+        from pathtracing_tpu.ops import texture as texture_ops
+
+        ntex_id = scene.mat_ntex[
+            jnp.clip(hit.mat_id, 0, scene.mat_ntex.shape[0] - 1)
+        ]
+        if scene.attr_uv is not None:
+            duv1 = uvs[:, 1] - uvs[:, 0]
+            duv2 = uvs[:, 2] - uvs[:, 0]
+        else:
+            duv1 = jnp.zeros((r, 2), jnp.float32)
+            duv2 = jnp.zeros((r, 2), jnp.float32)
+        det_uv = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+        inv = 1.0 / jnp.where(jnp.abs(det_uv) > 1e-12, det_uv, 1.0)
+        t_tri = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv[:, None]
+        b_tri = (duv1[:, 0:1] * e2 - duv2[:, 0:1] * e1) * inv[:, None]
+
+        # Sphere frame: T along +φ (the u axis of the lat-long map).
+        rxz = jnp.sqrt(jnp.maximum(n[:, 0] ** 2 + n[:, 2] ** 2, 1e-20))
+        t_sph = jnp.stack(
+            [-n[:, 2] / rxz, jnp.zeros(r, jnp.float32), n[:, 0] / rxz],
+            axis=-1,
+        )
+        at_pole = rxz < 1e-6
+        t_raw = jnp.where(tri[:, None], t_tri, t_sph)
+        b_raw = jnp.where(tri[:, None], b_tri, linalg.cross(normal, t_sph))
+
+        # Orthonormalize against the shading normal; bitangent by cross
+        # product, sign matched to the raw (UV-derived) bitangent.
+        t_p = t_raw - normal * linalg.dot(normal, t_raw)[:, None]
+        t_len2 = jnp.sum(t_p * t_p, axis=-1)
+        t_hat = t_p / jnp.sqrt(jnp.maximum(t_len2, 1e-20))[:, None]
+        b_cross = linalg.cross(normal, t_hat)
+        handed = jnp.where(linalg.dot(b_cross, b_raw) < 0.0, -1.0, 1.0)
+        b_hat = b_cross * handed[:, None]
+
+        texel = texture_ops.sample_bilinear(
+            scene.textures, ntex_id, uv
+        )
+        tn = 2.0 * texel - 1.0
+        n_map = (tn[:, 0:1] * t_hat + tn[:, 1:2] * b_hat
+                 + tn[:, 2:3] * normal)
+        len2 = jnp.sum(n_map * n_map, axis=-1)
+        n_map = n_map / jnp.sqrt(jnp.maximum(len2, 1e-20))[:, None]
+        # Keep the mapped normal in the geometric (ray-facing)
+        # hemisphere, like interpolated shading normals above.
+        flip = jnp.where(linalg.dot(n_map, hit.normal) < 0.0, -1.0, 1.0)
+        tangent_ok = jnp.where(
+            tri, jnp.abs(det_uv) > 1e-12, jnp.logical_not(at_pole)
+        )
+        mapped = (
+            hit.valid & (ntex_id >= 0) & tangent_ok
+            & (len2 > 1e-12) & (t_len2 > 1e-12)
+        )
+        normal = jnp.where(mapped[:, None], n_map * flip[:, None], normal)
+
     return normal, uv
 
 

@@ -11,6 +11,8 @@ Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
                "up": [..], "aperture": 0.0, "focus_distance": 1.0},
   "materials": {
     "white": {"type": "lambertian", "albedo": [r,g,b]},
+    "bumpy": {"type": "lambertian", "albedo": [..],
+              "normal_map": "ripples.png"},
     "mirror": {"type": "metal", "albedo": [..], "fuzz": 0.05},
     "glass":  {"type": "dielectric", "ior": 1.5, "tint": [1,1,1]},
     "frost":  {"type": "dielectric", "ior": 1.5, "roughness": 0.15},
@@ -96,13 +98,20 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
         tex = m.get("texture")
         if tex is not None and not os.path.isabs(tex):
             tex = os.path.join(base_dir, tex)
+        # Optional "normal_map": tangent-space map path (8-bit files
+        # load linearly — direction data, not color).
+        nmap = m.get("normal_map")
+        if nmap is not None and not os.path.isabs(nmap):
+            nmap = os.path.join(base_dir, nmap)
         if mtype == "lambertian":
             mat_ids[name] = b.lambertian(
-                m.get("albedo", (1.0, 1.0, 1.0)), texture=tex
+                m.get("albedo", (1.0, 1.0, 1.0)), texture=tex,
+                normal_map=nmap,
             )
         elif mtype == "metal":
             mat_ids[name] = b.metal(
-                m["albedo"], m.get("fuzz", 0.0), texture=tex
+                m["albedo"], m.get("fuzz", 0.0), texture=tex,
+                normal_map=nmap,
             )
         elif mtype == "dielectric":
             # "roughness" > 0 selects the microfacet (Walter 2007)
@@ -116,7 +125,8 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             mat_ids[name] = b.emissive(m["radiance"])
         elif mtype == "ggx":
             mat_ids[name] = b.ggx(
-                m["albedo"], m.get("roughness", 0.1), texture=tex
+                m["albedo"], m.get("roughness", 0.1), texture=tex,
+                normal_map=nmap,
             )
         elif mtype == "checker":
             mat_ids[name] = b.checker(

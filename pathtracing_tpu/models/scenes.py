@@ -377,6 +377,54 @@ def textured_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def ripple_normal_map(res: int = 256, rings: float = 6.0,
+                      strength: float = 0.75) -> np.ndarray:
+    """Procedural tangent-space normal map (res, res, 3): concentric
+    ripples around the UV center, encoded 0.5 + 0.5·(t, b, n). Linear
+    data; no asset files needed (zero-egress image)."""
+    t = (np.arange(res, dtype=np.float32) + 0.5) / res
+    u, v = np.meshgrid(t, t[::-1])   # row 0 = top = v near 1
+    du = u - 0.5
+    dv = v - 0.5
+    rr = np.sqrt(du * du + dv * dv) + 1e-6
+    # Height h = cos(2π·rings·r); slope magnitude along the radial dir.
+    slope = strength * np.sin(2 * np.pi * rings * rr)
+    nx = -slope * du / rr
+    ny = -slope * dv / rr
+    nz = np.ones_like(nx)
+    inv = 1.0 / np.sqrt(nx * nx + ny * ny + nz * nz)
+    img = np.stack([nx * inv, ny * inv, nz * inv], axis=-1)
+    return (0.5 + 0.5 * img).astype(np.float32)
+
+
+def bump_demo() -> Tuple[Scene, CameraConfig]:
+    """Normal-mapping showcase: a rippled floor (tangent-space map on
+    quad UVs), a normal-mapped GGX panel leaning against the wall, and
+    a normal-mapped sphere (lat-long frame) — one area light off to the
+    side so the fake relief shades directionally."""
+    b = SceneBuilder()
+    nmap = b.add_texture(ripple_normal_map(), srgb=False)
+    floor = b.lambertian((0.65, 0.62, 0.58), normal_map=nmap)
+    panel = b.ggx((0.9, 0.75, 0.4), roughness=0.18, normal_map=nmap)
+    ball = b.lambertian((0.4, 0.5, 0.7), normal_map=nmap)
+    plain = b.lambertian((0.55, 0.55, 0.58))
+
+    b.add_quad((-2.0, 0.0, -2.0), (4.0, 0.0, 0.0), (0.0, 0.0, 4.0),
+               floor, uv=True)
+    b.add_quad((-2.0, 0.0, -2.0), (4.0, 0.0, 0.0), (0.0, 3.0, 0.0),
+               plain, uv=True)
+    b.add_quad((-1.5, 0.05, -1.6), (1.6, 0.0, 0.35),
+               (0.25, 1.6, -0.3), panel, uv=True)
+    b.add_sphere((0.85, 0.55, 0.1), 0.55, ball)
+
+    light = b.emissive((16.0, 15.0, 13.0))
+    b.add_quad((0.6, 2.9, -0.8), (1.1, 0.0, 0.0), (0.0, 0.0, 1.1),
+               light)
+    cam = CameraConfig(position=(0.0, 1.35, 3.2),
+                       look_at=(0.0, 0.65, 0.0), vfov_degrees=42.0)
+    return b.build(), cam
+
+
 SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_sphere": cornell_sphere,
     "cornell_bsdf": cornell_bsdf,
@@ -386,6 +434,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "checker_demo": checker_demo,
     "envmap_demo": envmap_demo,
     "textured_demo": textured_demo,
+    "bump_demo": bump_demo,
     "glass_demo": glass_demo,
     "frosted_demo": frosted_demo,
     "fog_demo": fog_demo,

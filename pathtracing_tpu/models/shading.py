@@ -214,7 +214,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # and stay bitwise identical to the pre-attribute renderer.
         with jax.named_scope("surface_attrs"):
             s_normal, uv = scene_mod.surface_attributes(scene, hit)
-            if scene.textures is not None:
+            if scene.mat_tex is not None:
                 from pathtracing_tpu.ops import texture as texture_ops
 
                 tex_id = scene.mat_tex[
@@ -225,10 +225,10 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 )
                 textured = (tex_id >= 0) & hit.valid
                 alb = jnp.where(textured[:, None], alb * tex_rgb, alb)
-            if scene.attr_shn is not None:
-                # The interpolated normal drives every downstream cosine,
-                # sampling frame, and MIS pdf; hit.position stays on the
-                # true geometry.
+            if scene.attr_shn is not None or scene.mat_ntex is not None:
+                # The interpolated (and/or normal-mapped) normal drives
+                # every downstream cosine, sampling frame, and MIS pdf;
+                # hit.position stays on the true geometry.
                 hit = hit._replace(normal=s_normal)
 
     live = active & hit.valid

@@ -109,11 +109,13 @@ def srgb_to_linear(img: np.ndarray) -> np.ndarray:
     return np.where(img <= 0.04045, lo, hi).astype(np.float32)
 
 
-def load_texture(path: str) -> np.ndarray:
+def load_texture(path: str, srgb: bool = True) -> np.ndarray:
     """Load an image file as a linear (H, W, 3) f32 texture.
 
     ``.hdr`` (Radiance RGBE) and ``.npy`` are already linear; 8-bit
-    formats (PNG/JPEG via Pillow) are converted from sRGB.
+    formats (PNG/JPEG via Pillow) are converted from sRGB unless
+    ``srgb=False`` (normal maps store unit-vector components scaled to
+    [0, 1] — DATA, not color; the EOTF would bend every direction).
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".hdr":
@@ -126,4 +128,4 @@ def load_texture(path: str) -> np.ndarray:
 
     with Image.open(path) as im:
         arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
-    return srgb_to_linear(arr)
+    return srgb_to_linear(arr) if srgb else arr
