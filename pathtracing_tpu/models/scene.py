@@ -93,6 +93,12 @@ class Scene(NamedTuple):
     # tangent math and atlas gathers entirely (bitwise-identical
     # renders, like every other feature gate above).
     mat_ntex: jnp.ndarray = None
+    # Optional (K,) f32 dispersion column (IOR spread blue − red) for
+    # spectral glass: a dispersive dielectric hit samples ONE RGB
+    # channel ∝ throughput and refracts at that channel's IOR
+    # (``ops.materials.scatter``). None unless some dielectric disperses
+    # — plain scenes keep the identical jit graph and bitwise results.
+    mat_disp: jnp.ndarray = None
 
     @property
     def material_table(self):
@@ -132,6 +138,7 @@ class SceneBuilder:
         self._mat_ntex = []     # per-material normal-map id (-1 = none)
         self._mat_absorb = []   # per-material interior sigma_a (r, g, b)
         self._mat_param2 = []   # per-material second scalar (rough alpha)
+        self._mat_disp = []     # per-material IOR dispersion (blue - red)
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
@@ -185,7 +192,7 @@ class SceneBuilder:
     def add_material(self, mtype, albedo=(0.0, 0.0, 0.0), param=0.0,
                      emit=(0.0, 0.0, 0.0), texture=None,
                      absorption=(0.0, 0.0, 0.0), param2=0.0,
-                     normal_map=None) -> int:
+                     normal_map=None, dispersion=0.0) -> int:
         """``texture`` (optional): a texture id from ``add_texture``, an
         image array, or a path. The sampled color MODULATES the albedo
         at UV-mapped hits (white albedo shows the texture alone).
@@ -198,12 +205,15 @@ class SceneBuilder:
         or path — 8-bit files load WITHOUT the sRGB transfer); texels
         decode as 2·rgb − 1 = (t, b, n) and perturb the shading normal
         (``surface_attributes``). Triangles need UVs for a tangent
-        frame; spheres use their lat-long frame."""
+        frame; spheres use their lat-long frame.
+        ``dispersion``: IOR spread (blue − red) for spectral glass —
+        smooth dielectrics only."""
         self._mat.append((int(mtype), tuple(albedo), float(param), tuple(emit)))
         self._mat_tex.append(self._tex_id(texture))
         self._mat_ntex.append(self._tex_id(normal_map, srgb=False))
         self._mat_absorb.append(tuple(float(x) for x in absorption))
         self._mat_param2.append(float(param2))
+        self._mat_disp.append(float(dispersion))
         return len(self._mat) - 1
 
     def lambertian(self, albedo, texture=None, normal_map=None) -> int:
@@ -228,18 +238,24 @@ class SceneBuilder:
         )
 
     def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0),
-                   absorption=(0.0, 0.0, 0.0), roughness=0.0) -> int:
+                   absorption=(0.0, 0.0, 0.0), roughness=0.0,
+                   dispersion=0.0) -> int:
         """``absorption``: interior sigma_a (Beer–Lambert) — e.g.
         (0.1, 2.0, 2.0) is red glass (green/blue absorbed).
         ``roughness`` > 0 selects the microfacet (Walter 2007) glass:
-        GGX alpha = roughness, frosted reflections AND refractions."""
+        GGX alpha = roughness, frosted reflections AND refractions.
+        ``dispersion``: IOR spread blue − red (e.g. 0.04 ≈ dense flint);
+        paths split to one RGB channel at the first dispersive hit —
+        prism/rainbow caustics. Smooth dielectrics only (the rough-glass
+        lobe ignores it today)."""
         if roughness > 0.0:
             return self.add_material(
                 materials.TYPE_ROUGH_DIELECTRIC, tint, ior,
                 absorption=absorption, param2=roughness,
             )
         return self.add_material(
-            materials.TYPE_DIELECTRIC, tint, ior, absorption=absorption
+            materials.TYPE_DIELECTRIC, tint, ior, absorption=absorption,
+            dispersion=dispersion,
         )
 
     def emissive(self, radiance) -> int:
@@ -445,6 +461,11 @@ class SceneBuilder:
                 np.array(self._mat_param2, np.float32)
             )
 
+        mat_disp = None
+        disp_np = np.array(self._mat_disp, np.float32)
+        if (disp_np > 0.0).any():
+            mat_disp = jnp.asarray(disp_np)
+
         mat_type = np.array([m[0] for m in self._mat], np.int32)
         mat_albedo = np.array([m[1] for m in self._mat], np.float32)
         mat_param = np.array([m[2] for m in self._mat], np.float32)
@@ -487,6 +508,7 @@ class SceneBuilder:
             fog=(jnp.asarray(self._fog, jnp.float32)
                  if self._fog is not None else None),
             mat_param2=mat_param2,
+            mat_disp=mat_disp,
         )
 
 

@@ -120,6 +120,7 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                 m.get("ior", 1.5), m.get("tint", (1.0, 1.0, 1.0)),
                 absorption=m.get("absorption", (0.0, 0.0, 0.0)),
                 roughness=m.get("roughness", 0.0),
+                dispersion=m.get("dispersion", 0.0),
             )
         elif mtype == "emissive":
             mat_ids[name] = b.emissive(m["radiance"])

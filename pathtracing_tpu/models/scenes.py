@@ -425,6 +425,27 @@ def bump_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def prism_demo() -> Tuple[Scene, CameraConfig]:
+    """Spectral-dispersion showcase: a dense-flint glass sphere
+    (dispersion 0.12, exaggerated for a small render) under a narrow
+    bright slit light over a white floor — the refracted caustic fans
+    into a rainbow; a plain-glass control sphere sits beside it."""
+    b = SceneBuilder()
+    white = b.lambertian((0.85, 0.85, 0.85))
+    flint = b.dielectric(ior=1.62, dispersion=0.12)
+    plain = b.dielectric(ior=1.62)
+    b.add_quad((-3.0, 0.0, -3.0), (6.0, 0.0, 0.0), (0.0, 0.0, 6.0), white)
+    b.add_sphere((-0.8, 0.8, 0.0), 0.7, flint)
+    b.add_sphere((0.8, 0.8, 0.0), 0.7, plain)
+    # Narrow slit light high above, offset so the caustics throw sideways.
+    light = b.emissive((60.0, 60.0, 60.0))
+    b.add_quad((-1.6, 3.2, -0.15), (3.2, 0.0, 0.0), (0.0, 0.0, 0.3),
+               light)
+    cam = CameraConfig(position=(0.0, 2.1, 3.6), look_at=(0.0, 0.5, 0.0),
+                       vfov_degrees=45.0)
+    return b.build(), cam
+
+
 SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_sphere": cornell_sphere,
     "cornell_bsdf": cornell_bsdf,
@@ -435,6 +456,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "envmap_demo": envmap_demo,
     "textured_demo": textured_demo,
     "bump_demo": bump_demo,
+    "prism_demo": prism_demo,
     "glass_demo": glass_demo,
     "frosted_demo": frosted_demo,
     "fog_demo": fog_demo,

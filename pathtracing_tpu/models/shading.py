@@ -423,8 +423,17 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         par2 = scene.mat_param2[
             jnp.clip(hit.mat_id, 0, scene.mat_param2.shape[0] - 1)
         ]
+    disp = None
+    if scene.mat_disp is not None:
+        # Spectral dispersion column — feature-gated like mat_param2;
+        # the channel pick needs the CURRENT throughput (channels the
+        # path no longer carries are never picked).
+        disp = scene.mat_disp[
+            jnp.clip(hit.mat_id, 0, scene.mat_disp.shape[0] - 1)
+        ]
     d_out, atten, scattered, scatter_pdf = materials.scatter(
-        mtype, alb, par, emit, hit.normal, d, hit.front, u, param2=par2
+        mtype, alb, par, emit, hit.normal, d, hit.front, u, param2=par2,
+        disp=disp, throughput=throughput,
     )
 
     throughput = throughput * jnp.where(live[:, None], atten, 1.0)

@@ -155,7 +155,7 @@ def effective_emission(mat_type, emit):
 
 
 def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
-            param2=None):
+            param2=None, disp=None, throughput=None):
     """Sample the BSDF for a batch of hits. Fully branchless.
 
     Args:
@@ -166,12 +166,24 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
       d_in: (..., 3) unit incident direction (toward the surface).
       front_face: (...,) bool — ray hit the geometric front side.
       u: (..., 5) uniforms in [0,1): 2 diffuse/GGX, 3 metal-fuzz /
-        dielectric.
+        dielectric (dispersive dielectrics use the metal-only u[...,3]
+        for their channel pick — no extra stream).
       param2: optional (...,) second parameter column (None for scenes
         without one). Today it carries the rough dielectric's GGX alpha;
         when None the rough-glass lobe is never built, so plain scenes
         keep the identical jit graph (and bitwise results) — the same
         feature-gating contract as ``Scene.mat_absorb``.
+      disp: optional (...,) dispersion column (IOR spread blue − red;
+        None for dispersion-free scenes — same gating contract). A
+        dispersive dielectric hit SAMPLES one RGB channel c with
+        probability ∝ throughput_c, then runs the whole interaction
+        (Fresnel, TIR, refract) at that channel's IOR
+        ior_c = ior + disp·(c−1)/2, and returns attenuation
+        tint · onehot(c)/p_c — the textbook single-wavelength spectral
+        split (unbiased for any p_c > 0 where tp_c > 0; channels the
+        path no longer carries are never picked).
+      throughput: (..., 3) current path throughput — required with
+        ``disp`` (drives the channel-pick probabilities).
 
     Returns:
       (d_out, attenuation, scattered, pdf):
@@ -228,6 +240,42 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
         jnp.where(do_reflect[..., None], d_mirror, d_refract)
     )
 
+    # --- Dispersive dielectric: pick ONE channel ∝ current throughput,
+    # rerun the dielectric interaction at that channel's IOR. Built only
+    # when the scene carries a dispersion column; non-dispersive lanes
+    # (disp == 0) select the plain-dielectric results above bit-for-bit.
+    if disp is not None:
+        tp = jnp.maximum(throughput, 0.0)
+        tp_sum = jnp.sum(tp, axis=-1)
+        w = tp / jnp.maximum(tp_sum, 1e-30)[..., None]
+        c1 = w[..., 0]
+        c2 = c1 + w[..., 1]
+        ud = u[..., 3]
+        chan = jnp.where(ud < c1, 0, jnp.where(ud < c2, 1, 2))
+        onehot_c = (
+            jnp.arange(3, dtype=jnp.int32) == chan[..., None]
+        ).astype(jnp.float32)
+        p_c = jnp.sum(onehot_c * w, axis=-1)
+        ior_c = jnp.maximum(
+            param + disp * 0.5 * (chan.astype(jnp.float32) - 1.0), 1.0
+        )
+        eta_c = jnp.where(front_face, 1.0 / ior_c, ior_c)
+        cannot_c = eta_c * sin_i > 1.0
+        refl_prob_c = sampling.schlick_fresnel(cos_i, eta_c)
+        do_reflect_c = cannot_c | (u[..., 2] < refl_prob_c)
+        d_disp = linalg.normalize(
+            jnp.where(
+                do_reflect_c[..., None],
+                d_mirror,
+                linalg.refract(d_in, normal, eta_c),
+            )
+        )
+        w_disp = albedo * onehot_c / jnp.maximum(p_c, 1e-20)[..., None]
+        disp_on = (mat_type == TYPE_DIELECTRIC) & (disp > 0.0) & (
+            tp_sum > 0.0
+        )
+        d_dielectric = jnp.where(disp_on[..., None], d_disp, d_dielectric)
+
     # --- Rough dielectric (Walter 2007 microfacet glass), only when the
     # scene carries a param2 column: sample a GGX half-vector with the
     # rough lobe's OWN alpha (param is the IOR here), Fresnel-choose
@@ -283,6 +331,8 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
         ),
     )
     attenuation = jnp.where(is_ggx[..., None], w_ggx, albedo)
+    if disp is not None:
+        attenuation = jnp.where(disp_on[..., None], w_disp, attenuation)
     scattered = jnp.where(
         is_metal,
         metal_ok,
