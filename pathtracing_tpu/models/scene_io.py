@@ -86,6 +86,7 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
         vfov_degrees=float(cam_spec.get("vfov_degrees", 90.0)),
         aperture=float(cam_spec.get("aperture", 0.0)),
         focus_distance=float(cam_spec.get("focus_distance", 1.0)),
+        projection=str(cam_spec.get("projection", "pinhole")),
     )
 
     b = SceneBuilder()

@@ -1,26 +1,39 @@
-"""Camera models: pinhole + thin-lens, and the reference-parity ray-gen.
+"""Camera models: pinhole/thin-lens, ortho, fisheye, equirect panorama.
 
 The reference hard-codes its camera inside the compute kernel
 (`Test.hlsl:6-10`): uv = (pixel/res)*2-1, eye (0,0,1), dir normalize(uv,-1).
 Here cameras are data (a small pytree built from ``CameraConfig``) and
 ray-gen is a pure function over pixel-index arrays, so it shards trivially
-across chips.
+across chips. The projection name is static pytree *aux data*: switching
+projection is a deliberate recompile (same contract as every other static
+config knob), while camera poses stay traced so orbit sequences reuse one
+executable.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pathtracing_tpu.ops import linalg, sampling
 from pathtracing_tpu.utils.config import CameraConfig
 
+PROJECTIONS = ("pinhole", "ortho", "fisheye", "equirect")
 
-class Camera(NamedTuple):
-    """Precomputed world-space camera frame (all float32 arrays, shape (3,))."""
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Precomputed world-space camera frame.
+
+    Vector fields are float32 (3,) arrays; ``half_fov``/``aspect`` are
+    scalar leaves consumed by the non-pinhole projections. ``projection``
+    is static (pytree aux), so ``generate_ray`` dispatches on it in Python.
+    """
 
     origin: jnp.ndarray
     lower_left: jnp.ndarray   # world-space corner of the film at focus dist
@@ -28,7 +41,21 @@ class Camera(NamedTuple):
     vertical: jnp.ndarray     # full film height vector
     u: jnp.ndarray            # right
     v: jnp.ndarray            # up
+    w: jnp.ndarray            # backward (forward is -w)
     lens_radius: jnp.ndarray  # scalar; 0 => pinhole
+    half_fov: jnp.ndarray     # scalar radians (fisheye angular radius)
+    aspect: jnp.ndarray       # scalar width/height
+    projection: str = "pinhole"
+
+    def tree_flatten(self):
+        leaves = (self.origin, self.lower_left, self.horizontal,
+                  self.vertical, self.u, self.v, self.w,
+                  self.lens_radius, self.half_fov, self.aspect)
+        return leaves, self.projection
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, projection=aux)
 
 
 def build_camera(cfg: CameraConfig, aspect: float) -> Camera:
@@ -52,6 +79,13 @@ def build_camera(cfg: CameraConfig, aspect: float) -> Camera:
     horizontal = 2.0 * half_w * focus * u
     vertical = 2.0 * half_h * focus * v
 
+    projection = getattr(cfg, "projection", "pinhole")
+    if projection not in PROJECTIONS:
+        raise ValueError(
+            f"unknown camera projection {projection!r}; "
+            f"expected one of {PROJECTIONS}"
+        )
+
     return Camera(
         origin=jnp.asarray(position),
         lower_left=jnp.asarray(lower_left),
@@ -59,24 +93,78 @@ def build_camera(cfg: CameraConfig, aspect: float) -> Camera:
         vertical=jnp.asarray(vertical),
         u=jnp.asarray(u),
         v=jnp.asarray(v),
+        w=jnp.asarray(w.astype(np.float32)),
         lens_radius=jnp.float32(cfg.aperture / 2.0),
+        half_fov=jnp.float32(theta / 2.0),
+        aspect=jnp.float32(aspect),
+        projection=projection,
     )
 
 
 def generate_ray(camera: Camera, s, t, lens_u1, lens_u2):
-    """Ray through film coords (s, t) in [0,1]² with thin-lens defocus.
+    """Ray through film coords (s, t) in [0,1]² for the camera's projection.
 
     s runs left→right, t bottom→top. Broadcasts over leading dims.
+
+    * ``pinhole`` — perspective with thin-lens defocus (``lens_radius``).
+    * ``ortho`` — parallel rays along -w; the film footprint equals the
+      pinhole frustum's cross-section at ``focus_distance`` (so vfov +
+      focus pick the view size; the lens is ignored).
+    * ``fisheye`` — equidistant projection: angle from the view axis is
+      proportional to NDC radius, reaching ``vfov/2`` at the top/bottom
+      edge (x scaled by aspect; corners see proportionally farther).
+    * ``equirect`` — full 360°×180° panorama. Columns are azimuth about
+      the up axis ``v`` (image center = look direction), rows are polar
+      angle from ``v`` (top row = up). A panorama rendered with
+      up=(0,1,0) and look_at toward +X matches ``ops.envmap``'s
+      lat-long texel convention row-for-row (round-trip tested).
     """
-    disk = sampling.uniform_in_disk(lens_u1, lens_u2) * camera.lens_radius
-    offset = disk[..., 0:1] * camera.u + disk[..., 1:2] * camera.v
-    origin = camera.origin + offset
-    target = (
-        camera.lower_left
-        + s[..., None] * camera.horizontal
-        + t[..., None] * camera.vertical
-    )
-    return origin, linalg.normalize(target - origin)
+    proj = camera.projection
+    if proj == "pinhole":
+        disk = sampling.uniform_in_disk(lens_u1, lens_u2) * camera.lens_radius
+        offset = disk[..., 0:1] * camera.u + disk[..., 1:2] * camera.v
+        origin = camera.origin + offset
+        target = (
+            camera.lower_left
+            + s[..., None] * camera.horizontal
+            + t[..., None] * camera.vertical
+        )
+        return origin, linalg.normalize(target - origin)
+    if proj == "ortho":
+        offset = (
+            (s - 0.5)[..., None] * camera.horizontal
+            + (t - 0.5)[..., None] * camera.vertical
+        )
+        origin = camera.origin + offset
+        direction = jnp.broadcast_to(-camera.w, origin.shape)
+        return origin, direction
+    if proj == "fisheye":
+        x = (2.0 * s - 1.0) * camera.aspect
+        y = 2.0 * t - 1.0
+        r = jnp.sqrt(x * x + y * y)
+        theta = jnp.minimum(r * camera.half_fov, np.float32(np.pi))
+        # atan2(0, 0) = 0: the exact center ray degrades to the view axis.
+        phi = jnp.arctan2(y, jnp.where(r > 0.0, x, 1.0))
+        sin_t = jnp.sin(theta)
+        direction = (
+            (sin_t * jnp.cos(phi))[..., None] * camera.u
+            + (sin_t * jnp.sin(phi))[..., None] * camera.v
+            - jnp.cos(theta)[..., None] * camera.w
+        )
+        origin = jnp.broadcast_to(camera.origin, direction.shape)
+        return origin, linalg.normalize(direction)
+    if proj == "equirect":
+        theta = (1.0 - t) * np.float32(np.pi)        # polar from up (v)
+        lam = (s - 0.5) * np.float32(2.0 * np.pi)    # azimuth from -w
+        sin_t = jnp.sin(theta)
+        direction = (
+            (sin_t * jnp.sin(lam))[..., None] * camera.u
+            + jnp.cos(theta)[..., None] * camera.v
+            - (sin_t * jnp.cos(lam))[..., None] * camera.w
+        )
+        origin = jnp.broadcast_to(camera.origin, direction.shape)
+        return origin, linalg.normalize(direction)
+    raise ValueError(f"unknown camera projection {proj!r}")
 
 
 def reference_ray(pixel_x, pixel_y, resolution_x, resolution_y):

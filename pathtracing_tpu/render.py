@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(thin-lens depth of field)")
     p.add_argument("--focus-distance", type=float, default=None,
                    help="override the scene camera's focus distance")
+    p.add_argument("--projection", default=None,
+                   choices=["pinhole", "ortho", "fisheye", "equirect"],
+                   help="override the scene camera's projection model "
+                        "(equirect renders a 360x180 lat-long panorama "
+                        "that ops/envmap.py can re-light scenes with)")
     p.add_argument("--fog-sigma-s", type=float, default=0.0,
                     help="fill the scene with scattering fog: "
                          "scattering coefficient per world unit")
@@ -195,7 +200,8 @@ def main(argv=None) -> int:
         scene = scene._replace(fog=jnp.asarray(
             [args.fog_sigma_s, args.fog_sigma_a, args.fog_g], jnp.float32
         ))
-    if args.aperture is not None or args.focus_distance is not None:
+    if (args.aperture is not None or args.focus_distance is not None
+            or args.projection is not None):
         import dataclasses
 
         cam_cfg = dataclasses.replace(
@@ -205,6 +211,8 @@ def main(argv=None) -> int:
             focus_distance=(args.focus_distance
                             if args.focus_distance is not None
                             else cam_cfg.focus_distance),
+            projection=(args.projection if args.projection is not None
+                        else cam_cfg.projection),
         )
     camera = build_camera(cam_cfg, args.width / args.height)
 

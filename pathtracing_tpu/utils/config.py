@@ -30,6 +30,8 @@ class CameraConfig:
     vfov_degrees: float = 90.0
     aperture: float = 0.0       # 0 => ideal pinhole
     focus_distance: float = 1.0
+    projection: str = "pinhole"  # "pinhole" | "ortho" | "fisheye" |
+                                 # "equirect" (ops/camera.py PROJECTIONS)
 
 
 @dataclasses.dataclass(frozen=True)
