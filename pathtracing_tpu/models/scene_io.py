@@ -8,7 +8,9 @@ Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
 
 {
   "camera":   {"position": [x,y,z], "look_at": [..], "vfov_degrees": 40,
-               "up": [..], "aperture": 0.0, "focus_distance": 1.0},
+               "up": [..], "aperture": 0.0, "focus_distance": 1.0,
+               "projection": "pinhole",
+               "motion": {"position": [..], "look_at": [..]}},
   "materials": {
     "white": {"type": "lambertian", "albedo": [r,g,b]},
     "bumpy": {"type": "lambertian", "albedo": [..],
@@ -87,6 +89,12 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
         aperture=float(cam_spec.get("aperture", 0.0)),
         focus_distance=float(cam_spec.get("focus_distance", 1.0)),
         projection=str(cam_spec.get("projection", "pinhole")),
+        motion_position=(tuple(cam_spec["motion"]["position"])
+                         if "position" in cam_spec.get("motion", {})
+                         else None),
+        motion_look_at=(tuple(cam_spec["motion"]["look_at"])
+                        if "look_at" in cam_spec.get("motion", {})
+                        else None),
     )
 
     b = SceneBuilder()

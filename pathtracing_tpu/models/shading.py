@@ -508,6 +508,11 @@ def camera_sample(camera, config, seed, pixel_index, sample_index):
     Returns (key, origin, direction). The key is the per-path base key both
     engines derive every bounce stream from — identical counters mean
     identical paths regardless of engine or sharding.
+
+    ``camera`` is either a single pose or a ``(open, close)`` motion
+    pair; a pair draws a per-sample shutter time (its own stream —
+    static-camera scenes never touch it, keeping their streams/graphs
+    bit-identical) and traces through the interpolated pose.
     """
     from pathtracing_tpu.ops import camera as camera_ops
 
@@ -534,6 +539,17 @@ def camera_sample(camera, config, seed, pixel_index, sample_index):
             rng.stream_key(k, 0, rng.STREAM_LENS), (2,),
             dtype=jnp.float32,
         )
+    if isinstance(camera, tuple):
+        cam0, cam1 = camera
+        if getattr(config, "sampler", "ld") == "ld":
+            time = rng.ld_scalar(seed, pixel_index, sample_index,
+                                 rng.STREAM_TIME)
+        else:
+            time = jax.random.uniform(
+                rng.stream_key(k, 0, rng.STREAM_TIME), (),
+                dtype=jnp.float32,
+            )
+        camera = camera_ops.lerp(cam0, cam1, time)
     s = (x + ju[0]) / w
     t = (y + ju[1]) / h
     o, d = camera_ops.generate_ray(camera, s, t, lu[0], lu[1])

@@ -101,6 +101,37 @@ def build_camera(cfg: CameraConfig, aspect: float) -> Camera:
     )
 
 
+def lerp(cam0: Camera, cam1: Camera, time) -> Camera:
+    """Shutter-interval pose blend for motion blur: leaves interpolate
+    linearly, the unit frame axes are renormalized (the standard
+    small-shutter-angle approximation — exact for pure translation).
+    Both endpoints must share a projection (static aux)."""
+    if cam0.projection != cam1.projection:
+        raise ValueError(
+            f"motion endpoints disagree on projection: "
+            f"{cam0.projection!r} vs {cam1.projection!r}"
+        )
+    mixed = jax.tree_util.tree_map(
+        lambda a, b: a + (b - a) * time, cam0, cam1
+    )
+    return dataclasses.replace(
+        mixed,
+        u=linalg.normalize(mixed.u),
+        v=linalg.normalize(mixed.v),
+        w=linalg.normalize(mixed.w),
+    )
+
+
+def resolve(camera, time=0.5):
+    """Collapse a motion pair ``(open, close)`` to the pose at ``time``;
+    plain cameras pass through. Single-pose consumers (denoiser guide
+    AOVs, orbit pivots) use this so they accept either form."""
+    if isinstance(camera, tuple):
+        cam0, cam1 = camera
+        return lerp(cam0, cam1, jnp.float32(time))
+    return camera
+
+
 def generate_ray(camera: Camera, s, t, lens_u1, lens_u2):
     """Ray through film coords (s, t) in [0,1]² for the camera's projection.
 

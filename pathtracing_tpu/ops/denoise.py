@@ -70,8 +70,11 @@ def guidance_buffers(scene, camera, config):
     s = (x + 0.5) / w
     t = (y + 0.5) / h
     half = jnp.full_like(s, 0.5)
+    # Motion pairs guide at the shutter midpoint (noise-free AOVs need
+    # ONE pose; the midpoint minimizes worst-case edge displacement).
+    cam = camera_ops.resolve(camera)
     origin, direction = jax.vmap(
-        lambda si, ti, u: camera_ops.generate_ray(camera, si, ti, u, u)
+        lambda si, ti, u: camera_ops.generate_ray(cam, si, ti, u, u)
     )(s, t, half)
 
     hit = scene_mod.intersect_batch(

@@ -20,6 +20,7 @@ STREAM_SCATTER = 0x85EB
 STREAM_RR = 0xC2B2
 STREAM_NEE = 0x5BD1
 STREAM_ENV = 0x68E3
+STREAM_TIME = 0x2B7E  # shutter-time draw (camera motion blur)
 STREAM_FOG = 0x3C6F   # medium distance + phase-direction draws (fog
                       # scenes only — fog-free scenes never fold this
                       # in, so their streams are untouched)

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the scene camera's projection model "
                         "(equirect renders a 360x180 lat-long panorama "
                         "that ops/envmap.py can re-light scenes with)")
+    p.add_argument("--motion-to", default=None, metavar="X,Y,Z",
+                   help="camera motion blur: position at shutter close "
+                        "(per-sample shutter times lerp the pose)")
+    p.add_argument("--motion-look-to", default=None, metavar="X,Y,Z",
+                   help="camera motion blur: look_at at shutter close")
     p.add_argument("--fog-sigma-s", type=float, default=0.0,
                     help="fill the scene with scattering fog: "
                          "scattering coefficient per world unit")
@@ -214,7 +219,33 @@ def main(argv=None) -> int:
             projection=(args.projection if args.projection is not None
                         else cam_cfg.projection),
         )
-    camera = build_camera(cam_cfg, args.width / args.height)
+    if args.motion_to is not None or args.motion_look_to is not None:
+        import dataclasses
+
+        def _vec3(text):
+            parts = [float(x) for x in text.split(",")]
+            if len(parts) != 3:
+                raise SystemExit(f"expected X,Y,Z; got {text!r}")
+            return tuple(parts)
+
+        cam_cfg = dataclasses.replace(
+            cam_cfg,
+            motion_position=(_vec3(args.motion_to)
+                             if args.motion_to is not None
+                             else cam_cfg.motion_position),
+            motion_look_at=(_vec3(args.motion_look_to)
+                            if args.motion_look_to is not None
+                            else cam_cfg.motion_look_at),
+        )
+    motion = cam_cfg.motion_pair()
+    if motion is not None and args.orbit:
+        ptlog.log_warning("--orbit ignores camera motion blur")
+    if motion is not None:
+        aspect = args.width / args.height
+        camera = (build_camera(motion[0], aspect),
+                  build_camera(motion[1], aspect))
+    else:
+        camera = build_camera(cam_cfg, args.width / args.height)
 
     if args.aov:
         from pathtracing_tpu.models import aov as aov_mod

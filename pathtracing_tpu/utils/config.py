@@ -32,6 +32,28 @@ class CameraConfig:
     focus_distance: float = 1.0
     projection: str = "pinhole"  # "pinhole" | "ortho" | "fisheye" |
                                  # "equirect" (ops/camera.py PROJECTIONS)
+    # Motion blur: pose at shutter close (None => static camera). A
+    # motion camera renders as a (open, close) pair with per-sample
+    # shutter times (ops/camera.lerp; models/shading.camera_sample).
+    motion_position: "Tuple[float, float, float] | None" = None
+    motion_look_at: "Tuple[float, float, float] | None" = None
+
+    def motion_pair(self) -> "Tuple[CameraConfig, CameraConfig] | None":
+        """The (open, close) config pair, or None for a static camera."""
+        if self.motion_position is None and self.motion_look_at is None:
+            return None
+        close = dataclasses.replace(
+            self,
+            position=(self.motion_position if self.motion_position
+                      is not None else self.position),
+            look_at=(self.motion_look_at if self.motion_look_at
+                     is not None else self.look_at),
+            motion_position=None, motion_look_at=None,
+        )
+        opened = dataclasses.replace(
+            self, motion_position=None, motion_look_at=None
+        )
+        return opened, close
 
 
 @dataclasses.dataclass(frozen=True)
