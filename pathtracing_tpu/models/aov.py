@@ -40,7 +40,7 @@ def render_aov(scene, camera, config: RenderConfig, kind: str):
     )(pix)
 
     hit = scene_mod.intersect_batch(
-        scene, origin, direction, config.resolve_traversal()
+        scene, origin, direction, config.resolve_traversal(scene)
     )
     bg = shading.background_radiance(direction, config.background)
 

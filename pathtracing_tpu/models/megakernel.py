@@ -90,7 +90,7 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
         tail_pad = n_chunks * chunk_rows - block_rows
     dys, xs = jnp.mgrid[0:chunk_rows, 0:w]
     n_rays = chunk_rows * w
-    traversal = config.resolve_traversal()
+    traversal = config.resolve_traversal(scene)
 
     def one_sample(carry, sample_ofs):
         accum = carry

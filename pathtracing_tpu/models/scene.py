@@ -99,6 +99,14 @@ class Scene(NamedTuple):
     # (``ops.materials.scatter``). None unless some dielectric disperses
     # — plain scenes keep the identical jit graph and bitwise results.
     mat_disp: jnp.ndarray = None
+    # Shared-geometry instancing (ops.clusters.InstanceSet): expanded
+    # per-instance world AABBs + transforms over the PROTOTYPE clusters
+    # stored in ``clusters`` (base geometry rides along as identity-
+    # transform entries). When set, all cluster traversal routes through
+    # the instanced DNF kernels (cluster_trace.trace_pallas_dnf_inst)
+    # and the BVH fallback refuses (it only indexes base triangles).
+    # None for ordinary scenes — identical pytrees and jit keys.
+    instances: cluster_ops.InstanceSet = None
 
     @property
     def material_table(self):
@@ -142,6 +150,7 @@ class SceneBuilder:
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
+        self._protos = []       # (v0, e1, e2, mats, [(3,4) transforms])
 
     def set_fog(self, sigma_s: float, sigma_a: float = 0.0,
                 g: float = 0.0) -> None:
@@ -337,6 +346,53 @@ class SceneBuilder:
             uv3, shn3,
         ))
 
+    def add_instances(self, vertices: np.ndarray, faces: np.ndarray,
+                      mat_id, transforms) -> None:
+        """Instance one prototype mesh many times by object→world affine
+        transforms — TRUE shared geometry (``ops.clusters.InstanceSet``):
+        the mesh's Woop/material tensors are stored ONCE; each transform
+        adds only ~72 bytes per prototype cluster of expanded traversal
+        metadata, so a forest of N copies costs a fraction of N meshes.
+
+        ``transforms``: sequence of (3, 4) or (4, 4) affine matrices
+        (rotation, translation, uniform or non-uniform scale — any
+        invertible affine; normals transform exactly via the inverse
+        transpose). Restrictions (enforced at ``build()``): instanced
+        materials cannot be emissive (the NEE light table indexes world-
+        space triangles), instanced triangles carry no surface
+        attributes (UVs / smooth normals — hits fall back to the exact
+        geometric normal), and the expanded cluster count must fit the
+        flat DNF budget. The reference has no instancing at all (one
+        world-space triangle list, RayTracing/Graphics/Renderer.cs)."""
+        vertices = np.asarray(vertices, np.float64)
+        faces = np.asarray(faces, np.int64)
+        tri = vertices[faces]
+        v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+        mats = np.full(tri.shape[0], int(mat_id), np.int32)
+        ts = []
+        for m in transforms:
+            m = np.asarray(m, np.float64)
+            if m.shape == (4, 4):
+                m = m[:3]
+            if m.shape != (3, 4):
+                raise ValueError(
+                    f"instance transform must be (3,4) or (4,4); "
+                    f"got {m.shape}"
+                )
+            if abs(np.linalg.det(m[:, :3])) < 1e-12:
+                raise ValueError("instance transform is singular")
+            ts.append(m)
+        if not ts:
+            raise ValueError("add_instances needs at least one transform")
+        # Cast-then-subtract in f32 to match build()'s edge math exactly
+        # (an identity-transform instance must trace bit-identically to
+        # the same mesh added flat).
+        v0f = v0.astype(np.float32)
+        self._protos.append((
+            v0f, v1.astype(np.float32) - v0f,
+            v2.astype(np.float32) - v0f, mats, ts,
+        ))
+
     # -- finalize ----------------------------------------------------------
     def build(self, page_clusters: int = 0) -> Scene:
         """Build device arrays. ``page_clusters`` forces HBM paging with
@@ -403,6 +459,13 @@ class SceneBuilder:
         (node_min, node_max, node_meta), perm = bvh_ops.build_bvh(v0, e1, e2)
         cl, _, slot_to_tri = cluster_ops.build_clusters(v0, e1, e2, tri_mat)
         pages = None
+        if self._protos and (page_clusters or (
+                cl.woop.shape[0] > cluster_trace.DNF_MAX_CLUSTERS)):
+            raise ValueError(
+                "instanced scenes cannot page: base geometry must fit "
+                f"the flat DNF budget ({cluster_trace.DNF_MAX_CLUSTERS} "
+                "clusters)"
+            )
         if page_clusters or (
                 cl.woop.shape[0] > cluster_trace.DNF_MAX_CLUSTERS) or (
                 cl.node_meta.shape[1] > cluster_ops.CAND_MAX_NODES):
@@ -434,6 +497,64 @@ class SceneBuilder:
                 slot_to_tri >= 0,
                 inv_perm[np.maximum(slot_to_tri, 0)], -1,
             ).astype(np.int32)
+
+        # Shared-geometry instancing: append each prototype's clusters
+        # (built in OBJECT space, SAH-packed per prototype so cluster id
+        # ranges stay contiguous) after the base clusters, then expand
+        # placements — base geometry as one identity-transform entry,
+        # every instance as a (first, count, M) range — into the
+        # InstanceSet the instanced DNF kernels traverse. The combined
+        # ClusterSet keeps the BASE tree fields untouched: instanced
+        # scenes never run a tree kernel (uses_dnf → True, routing below).
+        instances = None
+        if self._protos:
+            mat_types = np.array([m[0] for m in self._mat], np.int32)
+            n_base = cl.aabb_min.shape[0]
+            placements = [(0, n_base, np.concatenate(
+                [np.eye(3), np.zeros((3, 1))], axis=1))]
+            parts = [cl]
+            offset = n_base
+            for pv0, pe1, pe2, pmats, ts in self._protos:
+                if (mat_types[pmats] == materials.TYPE_EMISSIVE).any():
+                    raise ValueError(
+                        "instanced prototypes cannot use emissive "
+                        "materials (the NEE light table indexes world-"
+                        "space triangles); add emitters as base geometry"
+                    )
+                pcl, _, _ = cluster_ops.build_clusters(
+                    np.asarray(pv0, np.float32),
+                    np.asarray(pe1, np.float32),
+                    np.asarray(pe2, np.float32), pmats,
+                )
+                npc = pcl.aabb_min.shape[0]
+                parts.append(pcl)
+                for m in ts:
+                    placements.append((offset, npc, m))
+                offset += npc
+            cl = cl._replace(
+                aabb_min=np.concatenate([p.aabb_min for p in parts]),
+                aabb_max=np.concatenate([p.aabb_max for p in parts]),
+                woop=np.concatenate([p.woop for p in parts]),
+                normal=np.concatenate([p.normal for p in parts]),
+                mat=np.concatenate([p.mat for p in parts]),
+            )
+            instances = cluster_ops.expand_instances(cl, placements)
+            ce = instances.cmap.shape[0]
+            if ce > cluster_trace.DNF_MAX_CLUSTERS:
+                raise ValueError(
+                    f"{ce} expanded instance clusters exceed the DNF "
+                    f"budget ({cluster_trace.DNF_MAX_CLUSTERS}); reduce "
+                    "instance counts or split the scene"
+                )
+            if has_attrs:
+                # Prototype slots carry no attribute rows (shared
+                # geometry shares them by design) — pad with -1 so
+                # instanced hits resolve prim = -1 → geometric normal.
+                slot_to_tri = np.concatenate([
+                    slot_to_tri,
+                    np.full((offset - n_base) * cluster_ops.CLUSTER_SIZE,
+                            -1, np.int32),
+                ])
 
         textures = mat_tex = mat_ntex = None
         mat_tex_np = np.array(self._mat_tex, np.int32)
@@ -509,6 +630,8 @@ class SceneBuilder:
                  if self._fog is not None else None),
             mat_param2=mat_param2,
             mat_disp=mat_disp,
+            instances=(jax.tree.map(jnp.asarray, instances)
+                       if instances is not None else None),
         )
 
 
@@ -582,6 +705,7 @@ def uses_dnf(scene: Scene) -> bool:
     wants the octant-sorted tree walk."""
     return scene.clusters is not None and (
         scene.pages is not None
+        or scene.instances is not None
         or scene.clusters.woop.shape[0] <= cluster_trace.DNF_MAX_CLUSTERS
     )
 
@@ -743,6 +867,11 @@ def occluded_batch(scene: Scene, origin, direction, t_max,
     cap = jnp.where(occ_sph, 0.0, cap)
 
     if traversal == "bvh" or scene.clusters is None:
+        if scene.instances is not None:
+            raise ValueError(
+                "instanced scenes need a cluster traversal mode (the "
+                "BVH only indexes base triangles)"
+            )
         hit = intersect_scene_batch(scene, origin, direction)
         occ = hit.valid & (hit.t < t_max)
         return (occ & active) if active is not None else occ
@@ -751,13 +880,26 @@ def occluded_batch(scene: Scene, origin, direction, t_max,
     if bin_rays and traversal != "cluster_jax":
         from pathtracing_tpu.ops import binning
 
-        lo = jnp.min(scene.clusters.aabb_min, axis=0)
-        hi = jnp.max(scene.clusters.aabb_max, axis=0)
+        bsrc = (scene.instances if scene.instances is not None
+                else scene.clusters)
+        lo = jnp.min(bsrc.aabb_min, axis=0)
+        hi = jnp.max(bsrc.aabb_max, axis=0)
         bins = binning.ray_bin(origin, direction, lo, hi, cap > 0.0)
         perm, inv = binning.binning_perm(bins, binning.N_BINS)
         origin, direction, cap = origin[perm], direction[perm], cap[perm]
 
-    if traversal == "cluster_jax":
+    if scene.instances is not None:
+        if traversal == "cluster_jax":
+            _, slot, _, _ = cluster_trace.trace_jax_inst(
+                scene.clusters, scene.instances, origin, direction, cap
+            )
+            occ_tri = slot >= 0
+        else:
+            occ_tri = cluster_trace.occluded_pallas_dnf_inst(
+                scene.clusters, scene.instances, origin, direction, cap,
+                interpret=(traversal == "cluster_interpret"),
+            )
+    elif traversal == "cluster_jax":
         _, slot, _, _ = cluster_trace.trace_jax(
             scene.clusters, origin, direction, cap
         )
@@ -802,6 +944,11 @@ def intersect_batch(scene: Scene, origin, direction,
     fields are garbage — callers must mask, which the engines already do.
     """
     if traversal == "bvh":
+        if scene.instances is not None:
+            raise ValueError(
+                "instanced scenes need a cluster traversal mode (the "
+                "BVH only indexes base triangles)"
+            )
         return intersect_scene_batch(scene, origin, direction)
     if scene.clusters is None:
         raise ValueError("scene has no cluster data; rebuild via SceneBuilder")
@@ -830,8 +977,10 @@ def intersect_batch(scene: Scene, origin, direction,
     if bin_rays and traversal != "cluster_jax":
         from pathtracing_tpu.ops import binning
 
-        lo = jnp.min(scene.clusters.aabb_min, axis=0)
-        hi = jnp.max(scene.clusters.aabb_max, axis=0)
+        bsrc = (scene.instances if scene.instances is not None
+                else scene.clusters)
+        lo = jnp.min(bsrc.aabb_min, axis=0)
+        hi = jnp.max(bsrc.aabb_max, axis=0)
         bins = binning.ray_bin(
             origin, direction, lo, hi, t_init > 0.0
         )
@@ -842,7 +991,22 @@ def intersect_batch(scene: Scene, origin, direction,
     else:
         origin_t, direction_t, t_init_t = origin, direction, t_init
 
-    if traversal == "cluster_jax":
+    if scene.instances is not None and traversal in (
+            "cluster_jax", "cluster_pallas", "cluster_interpret"):
+        if traversal == "cluster_jax":
+            tri_t, slot, n_tri, mat_tri = cluster_trace.trace_jax_inst(
+                scene.clusters, scene.instances, origin_t, direction_t,
+                t_init_t,
+            )
+        else:
+            tri_t, slot, n_tri, mat_tri = (
+                cluster_trace.trace_pallas_dnf_inst(
+                    scene.clusters, scene.instances, origin_t,
+                    direction_t, t_init_t,
+                    interpret=(traversal == "cluster_interpret"),
+                )
+            )
+    elif traversal == "cluster_jax":
         tri_t, slot, n_tri, mat_tri = cluster_trace.trace_jax(
             scene.clusters, origin_t, direction_t, t_init_t
         )

@@ -31,7 +31,13 @@ Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
      "transform": {"scale": 1, "rotate_y_degrees": 0,
                    "translate": [0,0,0]}},
     {"type": "icosphere", "subdivisions": 4, "radius": 0.5,
-     "center": [0,0,0], "material": "white"}
+     "center": [0,0,0], "material": "white"},
+    {"type": "instances", "material": "white",
+     "obj": "tree.obj",                       # or "icosphere": {...}
+     "transforms": [
+       {"scale": [1,1.2,1], "rotate_y_degrees": 30, "translate": [..]},
+       {"matrix": [[..4 cols..], [..], [..]]}
+     ]}
   ]
 }
 
@@ -62,6 +68,28 @@ import numpy as np
 from pathtracing_tpu.models import meshes
 from pathtracing_tpu.models.scene import Scene, SceneBuilder
 from pathtracing_tpu.utils.config import CameraConfig
+
+
+def _affine(t) -> np.ndarray:
+    """One instance transform spec → (3, 4) object→world matrix. Either
+    ``{"matrix": 3x4 | 4x4}`` verbatim, or components applied in the
+    conventional scale → rotate-about-y → translate order."""
+    if "matrix" in t:
+        m = np.asarray(t["matrix"], np.float64)
+        if m.shape == (4, 4):
+            m = m[:3]
+        if m.shape != (3, 4):
+            raise ValueError(
+                f"instance matrix must be 3x4 or 4x4; got {m.shape}"
+            )
+        return m
+    s = t.get("scale", 1.0)
+    s = np.diag([s, s, s] if np.isscalar(s) else list(s))
+    a = np.radians(float(t.get("rotate_y_degrees", 0.0)))
+    c, sn = np.cos(a), np.sin(a)
+    rot = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]])
+    tr = np.asarray(t.get("translate", (0.0, 0.0, 0.0)), np.float64)
+    return np.concatenate([rot @ s, tr[:, None]], axis=1)
 
 
 def preferred_background(path: str) -> str:
@@ -195,6 +223,33 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                                        np.float64)
             b.add_mesh(verts, faces, mat(obj),
                        smooth=bool(obj.get("smooth", False)))
+        elif otype == "instances":
+            # Shared-geometry instancing (SceneBuilder.add_instances):
+            # one prototype mesh ("obj" path or "icosphere" kwargs) and
+            # a list of transforms, each either component form
+            # {"scale": s | [sx,sy,sz], "rotate_y_degrees": a,
+            #  "translate": [x,y,z]} or a raw {"matrix": 3x4 | 4x4}.
+            if "obj" in obj:
+                mesh_path = obj["obj"]
+                if not os.path.isabs(mesh_path):
+                    mesh_path = os.path.join(base_dir, mesh_path)
+                verts, faces = meshes.load_obj(mesh_path)
+                if "fit_box" in obj:
+                    fb = obj["fit_box"]
+                    verts = meshes.fit_to_box(
+                        verts, fb["center"], fb["size"]
+                    )
+            else:
+                from pathtracing_tpu.models.scenes import icosphere
+
+                ico = obj.get("icosphere", {})
+                verts, faces = icosphere(
+                    ico.get("subdivisions", 3), ico.get("radius", 1.0)
+                )
+            b.add_instances(
+                verts, faces, mat(obj),
+                [_affine(t) for t in obj["transforms"]],
+            )
         else:
             raise ValueError(f"unknown object type {otype!r}")
 

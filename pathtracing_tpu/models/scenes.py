@@ -446,6 +446,53 @@ def prism_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def instanced_demo(grid: int = 12,
+                   subdivisions: int = 3) -> Tuple[Scene, CameraConfig]:
+    """Instancing showcase: a ``grid``×``grid`` field of one icosphere
+    prototype (stored ONCE — true shared geometry via
+    ``SceneBuilder.add_instances``), each copy rotated, squashed, and
+    placed on a ground plane under the gradient sky plus a sun-like
+    area light. 144 instances of a 1280-triangle prototype trace as
+    ~184k effective triangles while the Woop tensors stay at the
+    prototype's 10 clusters."""
+    b = SceneBuilder()
+    ground = b.lambertian((0.6, 0.58, 0.52))
+    b.add_quad((-14.0, 0.0, -14.0), (28.0, 0.0, 0.0), (0.0, 0.0, 28.0),
+               ground)
+    light = b.emissive((40.0, 38.0, 34.0))
+    b.add_quad((-2.0, 9.0, -6.0), (4.0, 0.0, 0.0), (0.0, 0.0, 4.0),
+               light)
+
+    mats = [
+        b.lambertian((0.70, 0.30, 0.25)),
+        b.metal((0.85, 0.85, 0.9), 0.08),
+        b.ggx((0.9, 0.7, 0.35), roughness=0.25),
+    ]
+    verts, faces = icosphere(subdivisions, 0.45)
+    rng = np.random.default_rng(7)
+    groups = [[] for _ in mats]
+    for i in range(grid):
+        for j in range(grid):
+            a = float(rng.uniform(0.0, 2.0 * np.pi))
+            c, s = np.cos(a), np.sin(a)
+            rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            sy = float(rng.uniform(0.6, 1.6))
+            sxz = float(rng.uniform(0.7, 1.2))
+            scale = np.diag([sxz, sy, sxz])
+            t = np.array([
+                -9.0 + 18.0 * i / (grid - 1) + float(rng.uniform(-0.3, 0.3)),
+                0.45 * sy,
+                -9.0 + 18.0 * j / (grid - 1) + float(rng.uniform(-0.3, 0.3)),
+            ])
+            m = np.concatenate([rot @ scale, t[:, None]], axis=1)
+            groups[(i * grid + j) % len(mats)].append(m)
+    for mat, ts in zip(mats, groups):
+        b.add_instances(verts, faces, mat, ts)
+    cam = CameraConfig(position=(0.0, 5.5, 14.0),
+                       look_at=(0.0, 0.6, 0.0), vfov_degrees=42.0)
+    return b.build(), cam
+
+
 SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_sphere": cornell_sphere,
     "cornell_bsdf": cornell_bsdf,
@@ -460,6 +507,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "glass_demo": glass_demo,
     "frosted_demo": frosted_demo,
     "fog_demo": fog_demo,
+    "instanced_demo": instanced_demo,
 }
 
 
@@ -471,6 +519,7 @@ PREFERRED_BACKGROUND: Dict[str, str] = {
     "sphere_demo": "gradient",
     "glass_demo": "gradient",
     "frosted_demo": "gradient",
+    "instanced_demo": "gradient",
 }
 
 

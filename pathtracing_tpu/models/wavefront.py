@@ -129,7 +129,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
                     else jnp.where(take3, 0.0, pool.medium)),
         ), jnp.minimum(next_path + jnp.sum(dead.astype(jnp.int32)), total)
 
-    traversal = config.resolve_traversal()
+    traversal = config.resolve_traversal(scene)
 
     def bounce_all(pool: PathPool):
         """One shared-shading bounce over the whole pool (batched)."""

@@ -1338,6 +1338,395 @@ def occluded_pallas_dnf(clusters, origin, direction, t_max,
     return occ[:r, 0] > 0.0
 
 
+# -- instanced traversal (shared prototype geometry) ----------------------
+#
+# True instancing the DNF way (see ops.clusters.InstanceSet): the dense
+# nearest-first cull runs over EXPANDED world-space cluster AABBs — one
+# column per (instance, prototype cluster) pair, so off-screen instances
+# are never popped and nearest-first ordering is exact across instances —
+# while the heavy Woop tensors stay PROTOTYPE-sized. At eval time the
+# popped expanded cluster's 12 transform scalars (SMEM) map the ray tile
+# into the prototype's object space: o' = L·o + tr, d' = L·d with
+# L = A⁻¹ preserves the world t parameterization EXACTLY (in real
+# arithmetic; the oracle below uses the identical f32 formula order so
+# interpret-mode results match bitwise), and one shared Woop block serves
+# every instance. Winning normals rotate back through L^T (the
+# inverse-transpose of the object→world A — exact for any invertible
+# affine, including non-uniform scale). The reference has no instancing
+# (its whole scene is one triangle list uploaded per frame,
+# RayTracing/Graphics/Renderer.cs); this is framework surface the TPU
+# design gets almost for free because the cull matrix never stored
+# geometry in the first place.
+
+
+def _ray_to_object(xf, o0, o1, o2, d0, d1, d2, ones, zeros):
+    """Transform a ray tile by 12 world→object scalars
+    [L00..L22 row-major, tr0..tr2]. Formula order is load-bearing: the
+    oracle uses the same order, and identity transforms reduce to
+    bit-exact pass-through (tr + 1·o + 0 + 0 = o)."""
+    ox = xf[9] + xf[0] * o0 + xf[1] * o1 + xf[2] * o2
+    oy = xf[10] + xf[3] * o0 + xf[4] * o1 + xf[5] * o2
+    oz = xf[11] + xf[6] * o0 + xf[7] * o1 + xf[8] * o2
+    dx = xf[0] * d0 + xf[1] * d1 + xf[2] * d2
+    dy = xf[3] * d0 + xf[4] * d1 + xf[5] * d2
+    dz = xf[6] * d0 + xf[7] * d1 + xf[8] * d2
+    o_aug = jnp.concatenate([ox, oy, oz, ones], axis=1)
+    d_aug = jnp.concatenate([dx, dy, dz, zeros], axis=1)
+    return o_aug, d_aug
+
+
+def trace_jax_inst(clusters, inst, origin, direction, t_init):
+    """Instanced reference sweep: every expanded cluster, masked. Same
+    contract as trace_jax; ``slot`` indexes PROTOTYPE cluster slots (all
+    instances of a prototype share slot ids — attribute rows are shared
+    by design), normals are world-space."""
+    ne = inst.cmap.shape[0]
+    r = origin.shape[0]
+    o_aug, d_aug = _augment(origin, direction)
+    inv_d = _safe_inv(direction)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, CLUSTER_SIZE), 1)
+    ones = jnp.ones((r, 1), jnp.float32)
+    zeros = jnp.zeros((r, 1), jnp.float32)
+    o0, o1, o2 = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
+    d0, d1, d2 = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
+    k = CLUSTER_SIZE
+
+    def body(e, carry):
+        best_t, best_slot, best_e = carry
+        bt = best_t[:, None]
+        b = tuple(inst.aabb_min[e]) + tuple(inst.aabb_max[e])
+        hit = _slab6(o_aug, inv_d, b, bt)
+        xf = inst.xform[e]
+        o_e, d_e = _ray_to_object(
+            [xf[j] for j in range(12)], o0, o1, o2, d0, d1, d2,
+            ones, zeros,
+        )
+        p = inst.cmap[e]
+        t_pair = _pair_eval(o_e, d_e, clusters.woop[p], bt)
+        t_pair = jnp.where(hit, t_pair, _BIG)
+        t_min = jnp.min(t_pair, axis=1)
+        slot = jnp.min(
+            jnp.where(t_pair <= t_min[:, None], lane, k), axis=1
+        )
+        upd = t_min < best_t
+        best_t = jnp.where(upd, t_min, best_t)
+        best_slot = jnp.where(upd, p * k + slot, best_slot)
+        best_e = jnp.where(upd, e, best_e)
+        return best_t, best_slot, best_e
+
+    best_t, best_slot, best_e = jax.lax.fori_loop(
+        0, ne, body,
+        (t_init, jnp.full(r, -1, jnp.int32), jnp.zeros(r, jnp.int32)),
+    )
+    n_obj, mat = lookup_hit(clusters, best_slot)
+    xfw = inst.xform[jnp.maximum(best_e, 0)]          # (R, 12)
+    # World normal = L^T · n_obj (rows of L^T are COLUMNS of L).
+    nw = jnp.stack([
+        xfw[:, 0] * n_obj[:, 0] + xfw[:, 3] * n_obj[:, 1]
+        + xfw[:, 6] * n_obj[:, 2],
+        xfw[:, 1] * n_obj[:, 0] + xfw[:, 4] * n_obj[:, 1]
+        + xfw[:, 7] * n_obj[:, 2],
+        xfw[:, 2] * n_obj[:, 0] + xfw[:, 5] * n_obj[:, 1]
+        + xfw[:, 8] * n_obj[:, 2],
+    ], axis=-1)
+    nw = nw * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(nw * nw, axis=-1, keepdims=True), 1e-30)
+    )
+    miss = best_slot < 0
+    nw = jnp.where(miss[:, None], 0.0, nw)
+    mat = jnp.where(miss, 0, mat)
+    return best_t, best_slot, nw, mat
+
+
+def _inst_eval_group(ids, cmap_ref, xf_ref, woop_ref, mat_ref,
+                     o0, o1, o2, d0, d1, d2, ones, zeros, tile,
+                     t_ref, slot_ref=None, normal_ref=None,
+                     hitmat_ref=None, cap=None, occ_ref=None):
+    """Dense instanced group evaluation. Each popped expanded cluster
+    gets its own object-space ray tile (the per-cluster transform breaks
+    the shared-ray widened eval of _pair_eval_wide, but the total VPU
+    FMA count is identical — `group` evals over (tile, 3k) blocks vs one
+    over (tile, 3k·group)); the min/winner epilogue still runs once over
+    the concatenated t_pair. Closest-hit mode updates
+    t/slot/normal/hitmat; any-hit mode (``occ_ref`` given) flips the
+    occlusion bit against ``cap``."""
+    k = CLUSTER_SIZE
+    best_t = cap if occ_ref is not None else t_ref[:]
+    tps, wbs, mats, protos, xfs = [], [], [], [], []
+    for e in ids:
+        p = cmap_ref[0, e]
+        w = woop_ref[p]
+        xf = [xf_ref[j, e] for j in range(12)]
+        o_e, d_e = _ray_to_object(xf, o0, o1, o2, d0, d1, d2,
+                                  ones, zeros)
+        tps.append(_pair_eval(o_e, d_e, w, best_t))
+        if occ_ref is None:
+            wbs.append(w[:, 2 * k:])
+            mats.append(mat_ref[p])
+            protos.append(p)
+            xfs.append(xf)
+    kp = k * len(ids)
+    t_pair = jnp.concatenate(tps, axis=1) if len(tps) > 1 else tps[0]
+    t_min = jnp.min(t_pair, axis=1, keepdims=True)
+    if occ_ref is not None:
+        occ_ref[:] = jnp.where(t_min < cap, 1.0, occ_ref[:])
+        return
+    upd = t_min < best_t
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, kp), 1)
+    pick = t_pair <= t_min
+    slot = jnp.min(jnp.where(pick, lane, kp), axis=1, keepdims=True)
+    first = pick & (lane == slot)
+    zeros_kp = jnp.zeros((tile, kp), jnp.float32)
+    wb = jnp.concatenate(wbs, axis=1) if len(wbs) > 1 else wbs[0]
+    nx = jnp.sum(jnp.where(first, wb[0:1], zeros_kp),
+                 axis=1, keepdims=True)
+    ny = jnp.sum(jnp.where(first, wb[1:2], zeros_kp),
+                 axis=1, keepdims=True)
+    nz = jnp.sum(jnp.where(first, wb[2:3], zeros_kp),
+                 axis=1, keepdims=True)
+
+    def sel(vals):
+        acc = vals[0]
+        for j in range(1, len(vals)):
+            acc = jnp.where(slot >= j * k, vals[j], acc)
+        return acc
+
+    lw = [sel([xf[j] for xf in xfs]) for j in range(9)]
+    nwx = lw[0] * nx + lw[3] * ny + lw[6] * nz
+    nwy = lw[1] * nx + lw[4] * ny + lw[7] * nz
+    nwz = lw[2] * nx + lw[5] * ny + lw[8] * nz
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz, 1e-30)
+    )
+    mat_cat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
+    mat_sel = jnp.max(
+        jnp.where(first, mat_cat, 0), axis=1, keepdims=True
+    )
+    gslot = sel(protos) * k + (slot & (k - 1))
+    t_ref[:] = jnp.where(upd, t_min, best_t)
+    slot_ref[:] = jnp.where(upd, gslot, slot_ref[:])
+    n_new = jnp.concatenate(
+        [nwx * inv_len, nwy * inv_len, nwz * inv_len,
+         jnp.zeros((tile, 1), jnp.float32)], axis=1
+    )
+    normal_ref[:] = jnp.where(upd, n_new, normal_ref[:])
+    hitmat_ref[:] = jnp.where(upd, mat_sel, hitmat_ref[:])
+
+
+def _tile_kernel_dnf_inst(o_ref, d_ref, t0_ref, cb_ref, cmap_ref, xf_ref,
+                          woop_ref, mat_ref, t_ref, slot_ref, normal_ref,
+                          hitmat_ref, key_ref, dead_ref, *, n_exp: int,
+                          tile: int, c_pad: int, idx_bits: int,
+                          group: int, windowed: bool, occ: bool = False):
+    """Instanced dense nearest-first kernel: the _tile_kernel_dnf loop
+    (phase-1 world-AABB cull → conservative int-space re-cull → windowed
+    pop → dense group eval) over EXPANDED cluster columns, with the
+    per-popped-cluster ray transform of _inst_eval_group. ``occ`` selects
+    the any-hit epilogue (t_ref doubles as the occlusion output)."""
+    o_aug = o_ref[:]
+    d_aug = d_ref[:]
+    inv_d = _safe_inv(d_aug[:, 0:3])
+    if occ:
+        t_ref[:] = jnp.zeros((tile, 1), jnp.float32)
+        t_cap0 = t0_ref[:]
+    else:
+        t_ref[:] = t0_ref[:]
+        slot_ref[:] = jnp.full((tile, 1), -1, jnp.int32)
+        normal_ref[:] = jnp.zeros((tile, 4), jnp.float32)
+        hitmat_ref[:] = jnp.zeros((tile, 1), jnp.int32)
+    rowc = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
+    key_ref[:] = _dnf_phase1(o_aug, inv_d, cb_ref, t0_ref[:], tile,
+                             c_pad, idx_bits, n_exp,
+                             interleave=c_pad // 128 if windowed else 0)
+    dead_ref[:] = jnp.zeros((1, c_pad), jnp.int32)
+    ones = jnp.ones((tile, 1), jnp.float32)
+    zeros = jnp.zeros((tile, 1), jnp.float32)
+    o0, o1, o2 = o_aug[:, 0:1], o_aug[:, 1:2], o_aug[:, 2:3]
+    d0, d1, d2 = d_aug[:, 0:1], d_aug[:, 1:2], d_aug[:, 2:3]
+
+    def body(_):
+        if occ:
+            cap = jnp.where(t_ref[:] > 0.0, 0.0, t_cap0)
+            bt = _bt_inflate(cap, idx_bits)
+        else:
+            cap = None
+            bt = _bt_inflate(t_ref[:], idx_bits)
+        live = jnp.where(key_ref[:] < bt, key_ref[:], _INT_MAX)
+        row = jnp.min(live, axis=0, keepdims=True)
+        row = jnp.where(dead_ref[:] > 0, _INT_MAX, row)
+        if windowed:
+            ids, valids, any_valid, retire = _dnf_pop_window(
+                row, rowc, n_exp, idx_bits, group
+            )
+        else:
+            ids, valids, _ = _dnf_pop_group(
+                row, rowc, n_exp, idx_bits, group
+            )
+            any_valid = valids[0]
+            retire = jnp.zeros((1, c_pad), jnp.bool_)
+            for c, v in zip(ids, valids):
+                retire = retire | ((rowc == c) & v)
+        dead_ref[:] = dead_ref[:] | retire.astype(jnp.int32)
+
+        @pl.when(any_valid)
+        def _():
+            _inst_eval_group(
+                ids, cmap_ref, xf_ref, woop_ref, mat_ref,
+                o0, o1, o2, d0, d1, d2, ones, zeros, tile, t_ref,
+                slot_ref, normal_ref, hitmat_ref,
+                cap=cap, occ_ref=t_ref if occ else None,
+            )
+
+        return any_valid
+
+    jax.lax.while_loop(lambda f: f, body, jnp.bool_(True))
+
+
+def _inst_tables(inst, c_pad: int):
+    """(6, c_pad) world bounds, (1, c_pad) i32 proto map, (12, c_pad)
+    f32 transforms — SMEM-friendly long-lane layouts, never-hit pads."""
+    ce = inst.cmap.shape[0]
+    amin = jnp.asarray(inst.aabb_min)
+    cb = jnp.concatenate(
+        [amin.T, jnp.asarray(inst.aabb_max).T], axis=0
+    ).astype(jnp.float32)
+    cmap = jnp.asarray(inst.cmap, jnp.int32)[None, :]
+    xf = jnp.asarray(inst.xform, jnp.float32).T
+    pad = c_pad - ce
+    if pad:
+        fill = jnp.concatenate(
+            [jnp.full((3, pad), _BIG, jnp.float32),
+             jnp.full((3, pad), -_BIG, jnp.float32)], axis=0
+        )
+        cb = jnp.concatenate([cb, fill], axis=1)
+        cmap = jnp.pad(cmap, ((0, 0), (0, pad)))
+        xf = jnp.pad(xf, ((0, 0), (0, pad)))
+    return cb, cmap, xf
+
+
+def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
+                   interpret, tile, group, windowed):
+    ce = inst.cmap.shape[0]
+    r = origin.shape[0]
+    if ce > DNF_MAX_CLUSTERS:
+        raise ValueError(
+            f"{ce} expanded instance clusters exceed the DNF scratch "
+            f"budget ({DNF_MAX_CLUSTERS}); split the scene or reduce "
+            f"instance counts."
+        )
+    c_pad = -(-ce // 128) * 128
+    idx_bits = max((c_pad - 1).bit_length(), 1)
+    if windowed is None:
+        windowed = c_pad >= 512
+    if group is None:
+        group = min(6, c_pad // 128) if windowed else 4
+    r_pad = -(-r // tile) * tile
+    pad = r_pad - r
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(
+            direction, ((0, pad), (0, 0)), constant_values=1.0
+        )
+        t_init = jnp.pad(t_init, (0, pad))
+    o_aug, d_aug = _augment(origin, direction)
+    cb, cmap, xf = _inst_tables(inst, c_pad)
+    if windowed:
+        nw = c_pad // 128
+        col = jnp.arange(c_pad, dtype=jnp.int32)
+        cb = cb[:, (col % 128) * nw + col // 128]
+    grid = r_pad // tile
+
+    ray_spec = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [
+        ray_spec(4), ray_spec(4), ray_spec(1),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # expanded world bounds
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # cmap (1, c_pad)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # xform (12, c_pad)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # proto woop
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # proto mat
+    ]
+    if occ:
+        out_specs, out_shape = ray_spec(1), jax.ShapeDtypeStruct(
+            (r_pad, 1), jnp.float32
+        )
+    else:
+        out_specs = (ray_spec(1), ray_spec(1), ray_spec(4), ray_spec(1))
+        out_shape = (
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        )
+
+    def kernel(o, d, t0, cb_, cmap_, xf_, woop_, mat_, *outs, key_ref,
+               dead_ref):
+        if occ:
+            t_ref, = outs
+            slot_ref = normal_ref = hitmat_ref = None
+        else:
+            t_ref, slot_ref, normal_ref, hitmat_ref = outs
+        _tile_kernel_dnf_inst(
+            o, d, t0, cb_, cmap_, xf_, woop_, mat_, t_ref, slot_ref,
+            normal_ref, hitmat_ref, key_ref, dead_ref, n_exp=ce,
+            tile=tile, c_pad=c_pad, idx_bits=idx_bits, group=group,
+            windowed=windowed, occ=occ,
+        )
+
+    def kernel_flat(*refs):
+        kernel(*refs[:-2], key_ref=refs[-2], dead_ref=refs[-1])
+
+    out = pl.pallas_call(
+        kernel_flat,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((tile, c_pad), jnp.int32),   # packed keys
+            pltpu.VMEM((1, c_pad), jnp.int32),      # retired clusters
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_aug, d_aug, t_init[:, None], cb, cmap, xf, clusters.woop,
+      clusters.mat[:, None, :])
+    if occ:
+        return out[:r, 0] > 0.0
+    t, slot, normal, mat = out
+    return t[:r, 0], slot[:r, 0], normal[:r, 0:3], mat[:r, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile",
+                                             "group", "windowed"))
+def trace_pallas_dnf_inst(clusters, inst, origin, direction, t_init,
+                          interpret=False, tile=DNF_TILE, group=None,
+                          windowed=None):
+    """Instanced dense nearest-first closest hit; contract of
+    trace_pallas with prototype-slot ids and world-space normals (see
+    trace_jax_inst)."""
+    r = origin.shape[0]
+    if inst.cmap.shape[0] == 0:
+        return (t_init, jnp.full(r, -1, jnp.int32),
+                jnp.zeros((r, 3), jnp.float32), jnp.zeros(r, jnp.int32))
+    return _dnf_inst_call(clusters, inst, origin, direction, t_init,
+                          False, interpret, tile, group, windowed)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile",
+                                             "group", "windowed"))
+def occluded_pallas_dnf_inst(clusters, inst, origin, direction, t_max,
+                             interpret=False, tile=DNF_TILE, group=None,
+                             windowed=None):
+    """Instanced dense nearest-first any-hit; contract of
+    occluded_pallas."""
+    if inst.cmap.shape[0] == 0:
+        return jnp.zeros(origin.shape[0], bool)
+    return _dnf_inst_call(clusters, inst, origin, direction, t_max,
+                          True, interpret, tile, group, windowed)
+
+
 def _tile_kernel_occ(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,
                      links_ref, woop_ref, occ_ref,
                      *, n_nodes: int, tile: int, ordered: bool):

@@ -193,6 +193,86 @@ CAND_HEAP = 15          # binary heap of candidates: lookahead <= 4 steps
 PAGE_CLUSTERS = 2048    # clusters per HBM page (12 MB of Woop data)
 
 
+class InstanceSet(NamedTuple):
+    """Instance-expanded traversal metadata over a shared prototype
+    ClusterSet (true shared-geometry instancing).
+
+    The heavy tensors (Woop/mat, ~6 KB/cluster) stay PROTOTYPE-sized in
+    object space; only cheap per-cluster metadata expands per instance
+    (~72 B/cluster), so a forest of N copies costs N × 72 B/cluster of
+    extra memory instead of N × the geometry. The instanced DNF kernel
+    (``cluster_trace.trace_pallas_dnf_inst``) culls EXPANDED world-space
+    AABBs per ray exactly as the flat kernel does — off-screen instances
+    are never popped — and at eval time transforms the ray tile into the
+    popped cluster's object space (t is preserved: o' = L·o + tr,
+    d' = L·d with L = A⁻¹ keeps the world parameterization exactly), so
+    one shared Woop block serves every instance.
+
+    cmap:     (Ce,) i32  expanded cluster -> prototype cluster index.
+    xform:    (Ce, 12) f32 world->object transform per expanded cluster,
+              row-major [L00..L22, tr0, tr1, tr2].
+    aabb_min: (Ce, 3) f32 world-space bounds (conservatively widened for
+              the f32 corner-transform rounding).
+    aabb_max: (Ce, 3) f32.
+    inst_id:  (Ce,) i32 instance index (diagnostics; attrs later).
+    """
+
+    cmap: np.ndarray
+    xform: np.ndarray
+    aabb_min: np.ndarray
+    aabb_max: np.ndarray
+    inst_id: np.ndarray
+
+
+def expand_instances(proto: ClusterSet, placements) -> InstanceSet:
+    """Expand per-instance placements into an InstanceSet.
+
+    ``placements``: sequence of (first_cluster, n_clusters, M) where M is
+    the (3, 4) or (4, 4) OBJECT→WORLD affine transform of one instance
+    over the prototype cluster range [first_cluster, first_cluster +
+    n_clusters). Transforms may rotate, translate, and scale (uniform or
+    not — normals go through L^T which is exact for any invertible A).
+    """
+    cmaps, xforms, mins, maxs, iids = [], [], [], [], []
+    for iid, (first, count, m) in enumerate(placements):
+        m = np.asarray(m, np.float64)
+        if m.shape == (4, 4):
+            m = m[:3]
+        if m.shape != (3, 4):
+            raise ValueError(
+                f"instance transform must be (3,4) or (4,4); got {m.shape}"
+            )
+        a, t = m[:, :3], m[:, 3]
+        li = np.linalg.inv(a)
+        tr = -li @ t
+        ids = np.arange(first, first + count)
+        cmaps.append(ids.astype(np.int32))
+        xf = np.concatenate([li.reshape(9), tr]).astype(np.float32)
+        xforms.append(np.tile(xf, (count, 1)))
+        # World bounds: transform the 8 corners of each proto AABB
+        # (exact for affine), then widen by a few ulp for the f32 cast.
+        lo = proto.aabb_min[ids].astype(np.float64)
+        hi = proto.aabb_max[ids].astype(np.float64)
+        corners = np.stack([
+            np.where(np.array(mask)[None, :], hi, lo)
+            for mask in ((0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+                         (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1))
+        ], axis=1)                                    # (count, 8, 3)
+        wc = corners @ a.T + t                        # (count, 8, 3)
+        wmin, wmax = wc.min(axis=1), wc.max(axis=1)
+        margin = (wmax - wmin) * 1e-6 + 1e-30
+        mins.append((wmin - margin).astype(np.float32))
+        maxs.append((wmax + margin).astype(np.float32))
+        iids.append(np.full(count, iid, np.int32))
+    return InstanceSet(
+        cmap=np.concatenate(cmaps),
+        xform=np.concatenate(xforms),
+        aabb_min=np.concatenate(mins),
+        aabb_max=np.concatenate(maxs),
+        inst_id=np.concatenate(iids),
+    )
+
+
 class PageSet(NamedTuple):
     """Per-page traversal structures for HBM-resident scenes.
 

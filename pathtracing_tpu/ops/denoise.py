@@ -78,7 +78,7 @@ def guidance_buffers(scene, camera, config):
     )(s, t, half)
 
     hit = scene_mod.intersect_batch(
-        scene, origin, direction, config.resolve_traversal()
+        scene, origin, direction, config.resolve_traversal(scene)
     )
     mtype, alb, par, emit = materials.gather(
         scene.material_table, hit.mat_id

@@ -102,18 +102,28 @@ class RenderConfig:
     def resolution(self) -> Tuple[int, int]:
         return (self.height, self.width)
 
-    def resolve_traversal(self) -> str:
+    def resolve_traversal(self, scene=None) -> str:
         """Pick the concrete traversal for "auto": the Pallas cluster
         sweep on TPU, the threaded-BVH walk elsewhere (CPU tests). Debug
         mode forces the interpreted kernel — the reference's
         validation-layer analogue for the traversal path
-        (GraphicsDevice.cs:62-67)."""
+        (GraphicsDevice.cs:62-67). Instanced scenes (shared-geometry
+        instancing, ``scene.instances``) never resolve to the BVH — it
+        only indexes base triangles — so CPU auto falls back to the
+        pure-XLA instanced oracle."""
         if self.traversal != "auto":
             return self.traversal
         import jax
 
+        instanced = scene is not None and getattr(
+            scene, "instances", None
+        ) is not None
         if jax.default_backend() != "tpu":
-            return "bvh"
+            # Interpreted instanced kernel, not the cluster_jax oracle:
+            # the oracle brute-forces every expanded cluster (O(Ce) per
+            # ray); the nearest-first kernel pops only what the rays
+            # reach.
+            return "cluster_interpret" if instanced else "bvh"
         return "cluster_interpret" if self.debug else "cluster_pallas"
 
 

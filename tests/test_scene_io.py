@@ -119,3 +119,39 @@ class TestJsonScene:
             json.dump({"objects": [{"type": "torus"}]}, f)
         with pytest.raises(ValueError, match="unknown object"):
             scene_io.load_scene(p)
+
+    def test_instances_object(self, tmp_path):
+        import json
+
+        spec = {
+            "materials": {"white": {"type": "lambertian",
+                                    "albedo": [0.7, 0.7, 0.7]}},
+            "objects": [{
+                "type": "instances", "material": "white",
+                "icosphere": {"subdivisions": 1, "radius": 0.4},
+                "transforms": [
+                    {"translate": [0, 0, 0]},
+                    {"scale": [1, 1.5, 1], "rotate_y_degrees": 45,
+                     "translate": [2, 0, 0]},
+                    {"matrix": [[1, 0, 0, -2], [0, 1, 0, 0],
+                                [0, 0, 1, 0]]},
+                ],
+            }],
+        }
+        p = str(tmp_path / "inst.json")
+        with open(p, "w") as f:
+            json.dump(spec, f)
+        scene, _ = scene_io.load_scene(p)
+        assert scene.instances is not None
+        proto_c = scene.clusters.woop.shape[0]
+        # base pad cluster(s) + one proto range expanded 3x
+        assert scene.instances.cmap.shape[0] > proto_c
+        # Component transform: scale→rotate→translate lands the second
+        # instance's world bounds around x = 2.
+        m = scene_io._affine(spec["objects"][0]["transforms"][1])
+        np.testing.assert_allclose(m[:, 3], [2, 0, 0])
+        assert m.shape == (3, 4)
+
+    def test_instances_matrix_shape_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="matrix"):
+            scene_io._affine({"matrix": [[1, 0], [0, 1]]})
