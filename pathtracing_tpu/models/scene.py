@@ -66,6 +66,16 @@ class Scene(NamedTuple):
     attr_uv: jnp.ndarray = None
     attr_shn: jnp.ndarray = None
     slot_to_tri: jnp.ndarray = None
+    # Packed SLOT-indexed attribute table (C*128, 25) f32: one row per
+    # padded cluster slot holding [valid, v0(3), e1(3), e2(3), shn(9),
+    # uv(6)] — the per-wave resolve is then ONE gather by the kernel's
+    # slot id instead of slot_to_tri + v0/e1/e2 + attr row gathers
+    # (5 gathers; measured +18.8%/step on smooth-normal scenes,
+    # PERF.md r3g). Values are the same f32 bits the row arrays hold,
+    # so the packed path is arithmetically identical to the legacy
+    # prim-indexed path (kept for the BVH/oracle route, whose hits
+    # carry no slot). None unless the scene has attributes.
+    attr_pack: jnp.ndarray = None
     # Image textures (ops.texture.TextureAtlas) + per-material texture id
     # ((K,) i32, -1 = untextured); both None for texture-free scenes.
     textures: "object" = None
@@ -128,6 +138,11 @@ class Hit(NamedTuple):
                            # hits (-1 for spheres/misses, and for cluster
                            # paths when the scene has no slot_to_tri) —
                            # feeds surface-attribute interpolation
+    slot: jnp.ndarray = None  # int32 padded cluster slot id (cluster
+                           # traversal paths only; None from the BVH/
+                           # oracle route). With ``scene.attr_pack`` it
+                           # drives the single-gather attribute resolve;
+                           # unused hits cost nothing (XLA DCE).
 
 
 class SceneBuilder:
@@ -556,6 +571,26 @@ class SceneBuilder:
                             -1, np.int32),
                 ])
 
+        # Packed slot-indexed attribute rows (see the Scene field doc):
+        # built LAST so slot_to_tri already carries paging remaps and
+        # instanced-prototype -1 padding. Rows hold the exact f32 values
+        # of the prim-indexed arrays, so both resolve paths compute
+        # identical attributes.
+        attr_pack = None
+        if has_attrs:
+            s_valid = slot_to_tri >= 0
+            s_idx = np.maximum(slot_to_tri, 0)
+            attr_pack = np.zeros((slot_to_tri.shape[0], 25), np.float32)
+            attr_pack[:, 0] = s_valid
+            attr_pack[:, 1:4] = v0[s_idx]
+            attr_pack[:, 4:7] = e1[s_idx]
+            attr_pack[:, 7:10] = e2[s_idx]
+            if attr_shn is not None:
+                attr_pack[:, 10:19] = attr_shn[s_idx].reshape(-1, 9)
+            if attr_uv is not None:
+                attr_pack[:, 19:25] = attr_uv[s_idx].reshape(-1, 6)
+            attr_pack *= s_valid[:, None]
+
         textures = mat_tex = mat_ntex = None
         mat_tex_np = np.array(self._mat_tex, np.int32)
         mat_ntex_np = np.array(self._mat_ntex, np.int32)
@@ -622,6 +657,8 @@ class SceneBuilder:
             attr_shn=(jnp.asarray(attr_shn)
                       if attr_shn is not None else None),
             slot_to_tri=(jnp.asarray(slot_to_tri) if has_attrs else None),
+            attr_pack=(jnp.asarray(attr_pack)
+                       if attr_pack is not None else None),
             textures=textures,
             mat_tex=mat_tex,
             mat_ntex=mat_ntex,
@@ -727,11 +764,31 @@ def surface_attributes(scene: Scene, hit: Hit):
     attribute-free scenes never pay these gathers.
     """
     r = hit.t.shape[0]
-    tri = hit.tri & (hit.prim >= 0)
-    safe = jnp.clip(hit.prim, 0, scene.tri_v0.shape[0] - 1)
-    v0 = scene.tri_v0[safe]
-    e1 = scene.tri_e1[safe]
-    e2 = scene.tri_e2[safe]
+    if scene.attr_pack is not None and hit.slot is not None:
+        # Cluster-kernel hits: ONE slot-indexed gather resolves the
+        # validity bit, the triangle rows, and both attribute corners
+        # (PERF.md r3m — replaces the 5-gather slot_to_tri chain; the
+        # packed values are the same f32 bits, so both paths compute
+        # identical attributes).
+        safe_slot = jnp.clip(hit.slot, 0, scene.attr_pack.shape[0] - 1)
+        pack = scene.attr_pack[safe_slot]
+        tri = hit.tri & (pack[:, 0] > 0.0)
+        v0 = pack[:, 1:4]
+        e1 = pack[:, 4:7]
+        e2 = pack[:, 7:10]
+        shn = (pack[:, 10:19].reshape(r, 3, 3)
+               if scene.attr_shn is not None else None)
+        uvs = (pack[:, 19:25].reshape(r, 3, 2)
+               if scene.attr_uv is not None else None)
+    else:
+        # BVH/oracle hits carry a prim index instead of a slot.
+        tri = hit.tri & (hit.prim >= 0)
+        safe = jnp.clip(hit.prim, 0, scene.tri_v0.shape[0] - 1)
+        v0 = scene.tri_v0[safe]
+        e1 = scene.tri_e1[safe]
+        e2 = scene.tri_e2[safe]
+        shn = scene.attr_shn[safe] if scene.attr_shn is not None else None
+        uvs = scene.attr_uv[safe] if scene.attr_uv is not None else None
 
     # Barycentrics (u along e1, v along e2) by projecting the hit point
     # onto the edge basis — elementwise dots only (never a matmul: TPU
@@ -748,8 +805,7 @@ def surface_attributes(scene: Scene, hit: Hit):
     bw = jnp.clip(1.0 - bu - bv, 0.0, 1.0)
 
     normal = hit.normal
-    if scene.attr_shn is not None:
-        shn = scene.attr_shn[safe]                    # (R, 3, 3)
+    if shn is not None:
         ns = (bw[:, None] * shn[:, 0] + bu[:, None] * shn[:, 1]
               + bv[:, None] * shn[:, 2])
         len2 = jnp.sum(ns * ns, axis=-1)
@@ -759,8 +815,7 @@ def surface_attributes(scene: Scene, hit: Hit):
         flip = jnp.where(linalg.dot(ns, hit.normal) < 0.0, -1.0, 1.0)
         normal = jnp.where(ok[:, None], ns * flip[:, None], hit.normal)
 
-    if scene.attr_uv is not None:
-        uvs = scene.attr_uv[safe]                     # (R, 3, 2)
+    if uvs is not None:
         uv_tri = (bw[:, None] * uvs[:, 0] + bu[:, None] * uvs[:, 1]
                   + bv[:, None] * uvs[:, 2])
     else:
@@ -1084,4 +1139,5 @@ def intersect_batch(scene: Scene, origin, direction,
         t=t, position=position, normal=normal,
         mat_id=mat_id, front=front, valid=valid, tri=hit_tri & valid,
         prim=prim,
+        slot=jnp.where(hit_tri & valid, slot, -1).astype(jnp.int32),
     )

@@ -327,3 +327,44 @@ def test_textured_demo_scene_renders():
     sc, cam = scenes.textured_demo()
     img = _render_small(sc, cam, size=48)
     assert np.isfinite(img).all() and img.max() > 0.05
+
+
+def test_attr_pack_matches_legacy_resolve():
+    """The packed slot-indexed resolve (one gather) computes bitwise the
+    same attributes as the legacy prim-indexed chain, on a scene with
+    UVs + smooth normals + paging (slot renumbering) in play."""
+    b = SceneBuilder()
+    m = b.lambertian((0.5, 0.5, 0.5))
+    verts, faces = scenes.icosphere(3, radius=0.8)
+    uvs = np.stack([verts[:, 0] * 0.5 + 0.5, verts[:, 1] * 0.5 + 0.5],
+                   axis=-1)
+    b.add_mesh(verts, faces, m, smooth=True, uvs=uvs)
+    sc = b.build(page_clusters=8)
+    assert sc.attr_pack is not None
+    assert sc.attr_pack.shape == (sc.slot_to_tri.shape[0], 25)
+    rs = np.random.RandomState(3)
+    dirs = rs.randn(256, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    o = jnp.asarray(dirs * 3.0, jnp.float32)
+    d = jnp.asarray(-dirs, jnp.float32)
+    hit = scene_mod.intersect_batch(sc, o, d, "cluster_interpret")
+    assert bool(jnp.any(hit.tri))
+    n_pack, uv_pack = scene_mod.surface_attributes(sc, hit)
+    n_leg, uv_leg = scene_mod.surface_attributes(
+        sc._replace(attr_pack=None), hit
+    )
+    msk = np.asarray(hit.valid)
+    np.testing.assert_array_equal(
+        np.asarray(n_pack)[msk], np.asarray(n_leg)[msk]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(uv_pack)[msk], np.asarray(uv_leg)[msk]
+    )
+
+
+def test_attr_pack_gating():
+    """Attribute-free scenes build no pack; cluster hits carry slots."""
+    sc, _ = scenes.cornell_bsdf()
+    assert sc.attr_pack is None
+    sc2, _ = scenes.textured_demo()
+    assert sc2.attr_pack is not None
