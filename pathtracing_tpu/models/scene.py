@@ -109,6 +109,12 @@ class Scene(NamedTuple):
     # (``ops.materials.scatter``). None unless some dielectric disperses
     # — plain scenes keep the identical jit graph and bitwise results.
     mat_disp: jnp.ndarray = None
+    # Optional (K,) f32 metallic column for TYPE_PRINCIPLED materials
+    # (metallic-roughness workflow; mat_param carries the perceptual
+    # roughness). None unless some material is principled — plain
+    # scenes skip the lobe entirely (identical jit graphs and bitwise
+    # results, the same feature-gating contract as ``mat_param2``).
+    mat_metallic: jnp.ndarray = None
     # Shared-geometry instancing (ops.clusters.InstanceSet): expanded
     # per-instance world AABBs + transforms over the PROTOTYPE clusters
     # stored in ``clusters`` (base geometry rides along as identity-
@@ -162,6 +168,7 @@ class SceneBuilder:
         self._mat_absorb = []   # per-material interior sigma_a (r, g, b)
         self._mat_param2 = []   # per-material second scalar (rough alpha)
         self._mat_disp = []     # per-material IOR dispersion (blue - red)
+        self._mat_metallic = []  # per-material metallic (principled)
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
@@ -216,7 +223,8 @@ class SceneBuilder:
     def add_material(self, mtype, albedo=(0.0, 0.0, 0.0), param=0.0,
                      emit=(0.0, 0.0, 0.0), texture=None,
                      absorption=(0.0, 0.0, 0.0), param2=0.0,
-                     normal_map=None, dispersion=0.0) -> int:
+                     normal_map=None, dispersion=0.0,
+                     metallic=0.0) -> int:
         """``texture`` (optional): a texture id from ``add_texture``, an
         image array, or a path. The sampled color MODULATES the albedo
         at UV-mapped hits (white albedo shows the texture alone).
@@ -238,6 +246,7 @@ class SceneBuilder:
         self._mat_absorb.append(tuple(float(x) for x in absorption))
         self._mat_param2.append(float(param2))
         self._mat_disp.append(float(dispersion))
+        self._mat_metallic.append(float(metallic))
         return len(self._mat) - 1
 
     def lambertian(self, albedo, texture=None, normal_map=None) -> int:
@@ -280,6 +289,18 @@ class SceneBuilder:
         return self.add_material(
             materials.TYPE_DIELECTRIC, tint, ior, absorption=absorption,
             dispersion=dispersion,
+        )
+
+    def principled(self, base_color, metallic=0.0, roughness=0.5,
+                   texture=None, normal_map=None) -> int:
+        """Metallic-roughness material (the glTF/Disney-lite standard
+        workflow): diffuse + GGX specular with F0 = lerp(0.04,
+        base_color, metallic); ``roughness`` is perceptual (GGX alpha =
+        roughness²). Fully NEE/MIS-eligible. A ``texture`` modulates the
+        base color like every other textured material."""
+        return self.add_material(
+            materials.TYPE_PRINCIPLED, base_color, roughness,
+            texture=texture, normal_map=normal_map, metallic=metallic,
         )
 
     def emissive(self, radiance) -> int:
@@ -622,6 +643,12 @@ class SceneBuilder:
         if (disp_np > 0.0).any():
             mat_disp = jnp.asarray(disp_np)
 
+        mat_metallic = None
+        if (types_np == materials.TYPE_PRINCIPLED).any():
+            mat_metallic = jnp.asarray(
+                np.array(self._mat_metallic, np.float32)
+            )
+
         mat_type = np.array([m[0] for m in self._mat], np.int32)
         mat_albedo = np.array([m[1] for m in self._mat], np.float32)
         mat_param = np.array([m[2] for m in self._mat], np.float32)
@@ -667,6 +694,7 @@ class SceneBuilder:
                  if self._fog is not None else None),
             mat_param2=mat_param2,
             mat_disp=mat_disp,
+            mat_metallic=mat_metallic,
             instances=(jax.tree.map(jnp.asarray, instances)
                        if instances is not None else None),
         )

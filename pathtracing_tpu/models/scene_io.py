@@ -18,6 +18,8 @@ Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
     "mirror": {"type": "metal", "albedo": [..], "fuzz": 0.05},
     "glass":  {"type": "dielectric", "ior": 1.5, "tint": [1,1,1]},
     "frost":  {"type": "dielectric", "ior": 1.5, "roughness": 0.15},
+    "paint":  {"type": "principled", "base_color": [..],
+               "metallic": 0.3, "roughness": 0.4},
     "lamp":   {"type": "emissive", "radiance": [15,15,15]}
   },
   "objects": [
@@ -165,6 +167,13 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             mat_ids[name] = b.ggx(
                 m["albedo"], m.get("roughness", 0.1), texture=tex,
                 normal_map=nmap,
+            )
+        elif mtype == "principled":
+            mat_ids[name] = b.principled(
+                m.get("base_color", (0.8, 0.8, 0.8)),
+                metallic=m.get("metallic", 0.0),
+                roughness=m.get("roughness", 0.5),
+                texture=tex, normal_map=nmap,
             )
         elif mtype == "checker":
             mat_ids[name] = b.checker(

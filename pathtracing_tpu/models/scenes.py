@@ -493,6 +493,36 @@ def instanced_demo(grid: int = 12,
     return b.build(), cam
 
 
+def principled_demo(rows: int = 4, cols: int = 6) -> Tuple[Scene, CameraConfig]:
+    """The classic material-ball grid: metallic varies down the rows
+    (0 → 1), perceptual roughness across the columns (0.04 → 1), under
+    the sun-sky environment on a checker floor — the standard visual
+    reference for a metallic-roughness (principled) workflow."""
+    from pathtracing_tpu.ops import envmap as envmap_ops
+
+    b = SceneBuilder()
+    ground = b.checker((0.5, 0.5, 0.5), (0.25, 0.25, 0.28), 1.2)
+    b.add_quad((-30.0, 0.0, -30.0), (60.0, 0.0, 0.0), (0.0, 0.0, 60.0),
+               ground)
+    r_ball = 0.42
+    pitch = 1.0
+    base = (0.75, 0.25, 0.2)
+    for i in range(rows):
+        metallic = i / max(rows - 1, 1)
+        for j in range(cols):
+            rough = 0.04 + (1.0 - 0.04) * j / max(cols - 1, 1)
+            m = b.principled(base, metallic=metallic, roughness=rough)
+            x = (j - (cols - 1) / 2.0) * pitch
+            z = (i - (rows - 1) / 2.0) * pitch
+            b.add_sphere((x, r_ball, z), r_ball, m)
+    b.environment(envmap_ops.sky_texels(
+        sun_direction=(0.4, 0.6, 0.5), sky_scale=0.35,
+    ))
+    cam = CameraConfig(position=(0.0, 3.4, 5.6),
+                       look_at=(0.0, 0.3, 0.0), vfov_degrees=36.0)
+    return b.build(), cam
+
+
 SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_sphere": cornell_sphere,
     "cornell_bsdf": cornell_bsdf,
@@ -508,6 +538,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "frosted_demo": frosted_demo,
     "fog_demo": fog_demo,
     "instanced_demo": instanced_demo,
+    "principled_demo": principled_demo,
 }
 
 

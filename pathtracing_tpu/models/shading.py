@@ -325,6 +325,18 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         f_ggx, pdf_ggx = materials.ggx_eval(alb, par, hit.normal, -d, wi)
         f_lobe = jnp.where(is_ggx[:, None], f_ggx, alb * INV_PI)
         pdf_b = jnp.where(is_ggx, pdf_ggx, cos_s * INV_PI)
+        if scene.mat_metallic is not None:
+            # Principled vertices: both-lobe sum with the mixture pdf
+            # (exactly what scatter samples from) — feature-gated.
+            m_nee = scene.mat_metallic[
+                jnp.clip(hit.mat_id, 0, scene.mat_metallic.shape[0] - 1)
+            ]
+            is_pr = mtype == materials.TYPE_PRINCIPLED
+            f_p, pdf_p = materials.principled_eval(
+                alb, m_nee, par, hit.normal, -d, wi
+            )
+            f_lobe = jnp.where(is_pr[:, None], f_p, f_lobe)
+            pdf_b = jnp.where(is_pr, pdf_p, pdf_b)
 
         # MIS weight-side pdf: the locally-computable area-law density
         # (per-area luminance(lemit)/total_power converted to solid
@@ -394,6 +406,16 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         )
         f_lobe_e = jnp.where(is_ggx_e[:, None], f_ggx_e, alb * INV_PI)
         pdf_b_e = jnp.where(is_ggx_e, pdf_ggx_e, cos_e * INV_PI)
+        if scene.mat_metallic is not None:
+            m_nee_e = scene.mat_metallic[
+                jnp.clip(hit.mat_id, 0, scene.mat_metallic.shape[0] - 1)
+            ]
+            is_pr_e = mtype == materials.TYPE_PRINCIPLED
+            f_pe, pdf_pe = materials.principled_eval(
+                alb, m_nee_e, par, hit.normal, -d, wi_e
+            )
+            f_lobe_e = jnp.where(is_pr_e[:, None], f_pe, f_lobe_e)
+            pdf_b_e = jnp.where(is_pr_e, pdf_pe, pdf_b_e)
 
         w_e = pdf_e**2 / (pdf_e**2 + pdf_b_e**2 + 1e-30)
         scale_e = cos_e / jnp.maximum(pdf_e, 1e-20) * w_e
@@ -431,9 +453,15 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         disp = scene.mat_disp[
             jnp.clip(hit.mat_id, 0, scene.mat_disp.shape[0] - 1)
         ]
+    metal_col = None
+    if scene.mat_metallic is not None:
+        # Principled metallic column — feature-gated like mat_param2.
+        metal_col = scene.mat_metallic[
+            jnp.clip(hit.mat_id, 0, scene.mat_metallic.shape[0] - 1)
+        ]
     d_out, atten, scattered, scatter_pdf = materials.scatter(
         mtype, alb, par, emit, hit.normal, d, hit.front, u, param2=par2,
-        disp=disp, throughput=throughput,
+        disp=disp, throughput=throughput, metallic=metal_col,
     )
 
     throughput = throughput * jnp.where(live[:, None], atten, 1.0)

@@ -37,6 +37,15 @@ TYPE_ROUGH_DIELECTRIC = 6   # microfacet glass (Walter 2007): albedo =
                    # mat_param2 column (scenes without one skip the
                    # lobe entirely — see ``scatter``). BSDF-sampling
                    # only, like the smooth dielectric.
+TYPE_PRINCIPLED = 7  # metallic-roughness workflow (the glTF/Disney-lite
+                   # standard): albedo = base color, param = perceptual
+                   # roughness (GGX alpha = roughness²), metallic in the
+                   # OPTIONAL mat_metallic column. One diffuse + one GGX
+                   # specular lobe with F0 = lerp(0.04, base, metallic)
+                   # and diffuse = base·(1−metallic); sampled by a
+                   # Fresnel-luminance lobe pick, evaluated as the SUM
+                   # with the mixture pdf — finite pdf, so principled
+                   # vertices are fully NEE/MIS-eligible.
 
 INV_PI = 0.3183098861837907
 GGX_MIN_ALPHA = 1e-3   # below this the lobe is numerically a mirror
@@ -49,8 +58,10 @@ def is_diffuse_type(mat_type):
 
 def is_nee_type(mat_type):
     """Types with a finite BSDF pdf — eligible for light sampling with
-    MIS (diffuse lobes + GGX; delta lobes are BSDF-sampling-only)."""
-    return is_diffuse_type(mat_type) | (mat_type == TYPE_GGX)
+    MIS (diffuse lobes + GGX + principled; delta lobes are
+    BSDF-sampling-only)."""
+    return (is_diffuse_type(mat_type) | (mat_type == TYPE_GGX)
+            | (mat_type == TYPE_PRINCIPLED))
 
 
 def _ggx_d(alpha2, cos_h):
@@ -131,6 +142,52 @@ def ggx_sample(alpha, normal, d_in, u1, u2):
     return d_out, cos_h, linalg.dot(-d_in, h)
 
 
+def _principled_parts(base, metallic, rough):
+    """(F0, diffuse color, GGX alpha) for the metallic-roughness model:
+    F0 = lerp(0.04, base, metallic) (the universal dielectric normal
+    reflectance), diffuse = base·(1−metallic) (metals have no diffuse),
+    alpha = roughness² (the perceptual remap every engine uses)."""
+    m = metallic[..., None]
+    f0 = 0.04 * (1.0 - m) + base * m
+    dif = base * (1.0 - m)
+    alpha = jnp.maximum(rough * rough, GGX_MIN_ALPHA)
+    return f0, dif, alpha
+
+
+def _principled_pspec(f0, dif, cos_v):
+    """Specular-lobe selection probability: luminance of the
+    view-Fresnel vs the diffuse color (the standard heuristic). Clamped
+    so neither lobe starves; purely a function of (material, view), so
+    the SAME value weights the sampler and the mixture pdf."""
+    fres = f0 + (1.0 - f0) * jnp.power(
+        jnp.clip(1.0 - cos_v, 0.0, 1.0), 5.0
+    )[..., None]
+    ls = linalg.luminance(fres)
+    ld = linalg.luminance(dif)
+    return jnp.clip(ls / jnp.maximum(ls + ld, 1e-12), 0.05, 1.0)
+
+
+def principled_eval(base, metallic, rough, normal, view, light):
+    """Evaluate the principled BSDF for given directions (the NEE arm).
+
+    Returns (f (...,3), pdf (...,)): f = diffuse/π + GGX specular, pdf =
+    the lobe-pick mixture p_s·pdf_ggx + (1−p_s)·cos/π — exactly the
+    density ``scatter`` samples from, which is what MIS needs.
+    """
+    f0, dif, alpha = _principled_parts(base, metallic, rough)
+    f_spec, pdf_spec = ggx_eval(f0, alpha, normal, view, light)
+    cos_l = linalg.dot(normal, light)
+    cos_v = linalg.dot(normal, view)
+    f = dif * INV_PI + f_spec
+    p_s = _principled_pspec(f0, dif, cos_v)
+    pdf = p_s * pdf_spec + (1.0 - p_s) * jnp.maximum(cos_l, 0.0) * INV_PI
+    ok = (cos_l > 1e-6) & (cos_v > 1e-6)
+    return (
+        jnp.where(ok[..., None], f, 0.0),
+        jnp.where(ok, pdf, 0.0),
+    )
+
+
 def effective_albedo(mat_type, albedo, param, emit, position):
     """Surface color at a hit point (procedural checker evaluated here;
     plain materials pass through). emit doubles as the checker's second
@@ -155,7 +212,7 @@ def effective_emission(mat_type, emit):
 
 
 def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
-            param2=None, disp=None, throughput=None):
+            param2=None, disp=None, throughput=None, metallic=None):
     """Sample the BSDF for a batch of hits. Fully branchless.
 
     Args:
@@ -184,6 +241,10 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
         path no longer carries are never picked).
       throughput: (..., 3) current path throughput — required with
         ``disp`` (drives the channel-pick probabilities).
+      metallic: optional (...,) metallic column for TYPE_PRINCIPLED rows
+        (None for scenes without one — same gating contract as
+        ``param2``: plain scenes never build the principled lobe).
+        ``param`` carries the perceptual roughness for these rows.
 
     Returns:
       (d_out, attenuation, scattered, pdf):
@@ -315,6 +376,31 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
             / jnp.maximum(cos_v_rd * jnp.maximum(cos_h_rd, 1e-6), 1e-9)
         )[..., None]
 
+    # --- Principled (metallic-roughness), only when the scene carries a
+    # metallic column: pick diffuse vs GGX-specular by the Fresnel-
+    # luminance probability (reusing the scatter draw u[...,2] — unused
+    # by the diffuse/GGX lobes, so other materials' streams are
+    # untouched), then weight by f·cos/pdf with the MIXTURE pdf — the
+    # textbook one-sample estimator of the two-lobe sum. The u[...,0/1]
+    # pair drives BOTH candidate directions (same draws as the plain
+    # lobes), so the sampler stays stream-neutral.
+    if metallic is not None:
+        f0_p, dif_p, alpha_p = _principled_parts(albedo, metallic, param)
+        d_spec, _, _ = ggx_sample(alpha_p, normal, d_in,
+                                  u[..., 0], u[..., 1])
+        cos_vp = linalg.dot(normal, view)
+        p_s = _principled_pspec(f0_p, dif_p, cos_vp)
+        choose_spec = u[..., 2] < p_s
+        d_pr = jnp.where(choose_spec[..., None], d_spec, d_diffuse)
+        f_pr, pdf_pr = principled_eval(
+            albedo, metallic, param, normal, view, d_pr
+        )
+        cos_op = linalg.dot(normal, d_pr)
+        pr_ok = (cos_op > 1e-6) & (cos_vp > 1e-6) & (pdf_pr > 1e-9)
+        w_pr = f_pr * (
+            cos_op / jnp.maximum(pdf_pr, 1e-12)
+        )[..., None]
+
     # --- Select by type (branchless).
     is_diffuse = is_diffuse_type(mat_type)
     is_metal = mat_type == TYPE_METAL
@@ -347,6 +433,12 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
     pdf = jnp.where(
         is_diffuse, pdf_diffuse, jnp.where(is_ggx, pdf_ggx, 0.0)
     )
+    if metallic is not None:
+        is_pr = mat_type == TYPE_PRINCIPLED
+        d_out = jnp.where(is_pr[..., None], d_pr, d_out)
+        attenuation = jnp.where(is_pr[..., None], w_pr, attenuation)
+        scattered = jnp.where(is_pr, pr_ok, scattered)
+        pdf = jnp.where(is_pr, pdf_pr, pdf)
     return d_out, attenuation, scattered, pdf
 
 
