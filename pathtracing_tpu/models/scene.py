@@ -115,6 +115,12 @@ class Scene(NamedTuple):
     # scenes skip the lobe entirely (identical jit graphs and bitwise
     # results, the same feature-gating contract as ``mat_param2``).
     mat_metallic: jnp.ndarray = None
+    # Optional (K,) i32 metallic-roughness MAP id into the shared atlas
+    # (-1 = none; glTF channel convention: G scales the roughness
+    # factor, B the metallic factor). None unless some principled
+    # material carries one — unmapped scenes skip the extra atlas
+    # gather entirely.
+    mat_mrtex: jnp.ndarray = None
     # Shared-geometry instancing (ops.clusters.InstanceSet): expanded
     # per-instance world AABBs + transforms over the PROTOTYPE clusters
     # stored in ``clusters`` (base geometry rides along as identity-
@@ -169,6 +175,7 @@ class SceneBuilder:
         self._mat_param2 = []   # per-material second scalar (rough alpha)
         self._mat_disp = []     # per-material IOR dispersion (blue - red)
         self._mat_metallic = []  # per-material metallic (principled)
+        self._mat_mrtex = []    # per-material metallic-roughness map id
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
@@ -224,7 +231,7 @@ class SceneBuilder:
                      emit=(0.0, 0.0, 0.0), texture=None,
                      absorption=(0.0, 0.0, 0.0), param2=0.0,
                      normal_map=None, dispersion=0.0,
-                     metallic=0.0) -> int:
+                     metallic=0.0, mr_texture=None) -> int:
         """``texture`` (optional): a texture id from ``add_texture``, an
         image array, or a path. The sampled color MODULATES the albedo
         at UV-mapped hits (white albedo shows the texture alone).
@@ -247,6 +254,9 @@ class SceneBuilder:
         self._mat_param2.append(float(param2))
         self._mat_disp.append(float(dispersion))
         self._mat_metallic.append(float(metallic))
+        # Metallic-roughness maps are DATA (G = roughness scale, B =
+        # metallic scale) — loaded without the sRGB transfer.
+        self._mat_mrtex.append(self._tex_id(mr_texture, srgb=False))
         return len(self._mat) - 1
 
     def lambertian(self, albedo, texture=None, normal_map=None) -> int:
@@ -292,15 +302,20 @@ class SceneBuilder:
         )
 
     def principled(self, base_color, metallic=0.0, roughness=0.5,
-                   texture=None, normal_map=None) -> int:
+                   texture=None, normal_map=None,
+                   mr_texture=None) -> int:
         """Metallic-roughness material (the glTF/Disney-lite standard
         workflow): diffuse + GGX specular with F0 = lerp(0.04,
         base_color, metallic); ``roughness`` is perceptual (GGX alpha =
         roughness²). Fully NEE/MIS-eligible. A ``texture`` modulates the
-        base color like every other textured material."""
+        base color like every other textured material; ``mr_texture``
+        is a metallic-roughness MAP in the glTF channel convention —
+        its G channel scales ``roughness``, its B channel scales
+        ``metallic`` (loaded linearly, it is data, not color)."""
         return self.add_material(
             materials.TYPE_PRINCIPLED, base_color, roughness,
             texture=texture, normal_map=normal_map, metallic=metallic,
+            mr_texture=mr_texture,
         )
 
     def emissive(self, radiance) -> int:
@@ -612,12 +627,14 @@ class SceneBuilder:
                 attr_pack[:, 19:25] = attr_uv[s_idx].reshape(-1, 6)
             attr_pack *= s_valid[:, None]
 
-        textures = mat_tex = mat_ntex = None
+        textures = mat_tex = mat_ntex = mat_mrtex = None
         mat_tex_np = np.array(self._mat_tex, np.int32)
         mat_ntex_np = np.array(self._mat_ntex, np.int32)
+        mat_mrtex_np = np.array(self._mat_mrtex, np.int32)
         any_tex = (mat_tex_np >= 0).any()
         any_ntex = (mat_ntex_np >= 0).any()
-        if self._tex and (any_tex or any_ntex):
+        any_mrtex = (mat_mrtex_np >= 0).any()
+        if self._tex and (any_tex or any_ntex or any_mrtex):
             from pathtracing_tpu.ops import texture as texture_ops
 
             textures = texture_ops.build_atlas(self._tex)
@@ -625,6 +642,8 @@ class SceneBuilder:
                 mat_tex = jnp.asarray(mat_tex_np)
             if any_ntex:
                 mat_ntex = jnp.asarray(mat_ntex_np)
+            if any_mrtex:
+                mat_mrtex = jnp.asarray(mat_mrtex_np)
 
         mat_absorb = None
         absorb_np = np.array(self._mat_absorb, np.float32)
@@ -695,6 +714,7 @@ class SceneBuilder:
             mat_param2=mat_param2,
             mat_disp=mat_disp,
             mat_metallic=mat_metallic,
+            mat_mrtex=mat_mrtex,
             instances=(jax.tree.map(jnp.asarray, instances)
                        if instances is not None else None),
         )

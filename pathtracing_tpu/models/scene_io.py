@@ -169,11 +169,17 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                 normal_map=nmap,
             )
         elif mtype == "principled":
+            # Optional "mr_texture": metallic-roughness map path (glTF
+            # channels — G scales roughness, B scales metallic; loaded
+            # linearly like the normal map).
+            mrt = m.get("mr_texture")
+            if mrt is not None and not os.path.isabs(mrt):
+                mrt = os.path.join(base_dir, mrt)
             mat_ids[name] = b.principled(
                 m.get("base_color", (0.8, 0.8, 0.8)),
                 metallic=m.get("metallic", 0.0),
                 roughness=m.get("roughness", 0.5),
-                texture=tex, normal_map=nmap,
+                texture=tex, normal_map=nmap, mr_texture=mrt,
             )
         elif mtype == "checker":
             mat_ids[name] = b.checker(

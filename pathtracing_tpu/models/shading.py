@@ -207,6 +207,14 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
     alb = materials.effective_albedo(mtype, alb, par, emit, hit.position)
     emit = materials.effective_emission(mtype, emit)
+    metal_col = None
+    if scene.mat_metallic is not None:
+        # Principled metallic column — feature-gated like mat_param2.
+        # Gathered ONCE here so metallic-roughness maps (below) can
+        # override it before the NEE evals and the scatter see it.
+        metal_col = scene.mat_metallic[
+            jnp.clip(hit.mat_id, 0, scene.mat_metallic.shape[0] - 1)
+        ]
 
     if scene.attr_shn is not None or scene.textures is not None:
         # Surface attributes (smooth shading normals / UV textures) —
@@ -225,6 +233,24 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 )
                 textured = (tex_id >= 0) & hit.valid
                 alb = jnp.where(textured[:, None], alb * tex_rgb, alb)
+            if scene.mat_mrtex is not None:
+                # Metallic-roughness map (glTF channels: G scales the
+                # roughness factor, B the metallic factor) — sampled
+                # from the same atlas at the same UVs.
+                from pathtracing_tpu.ops import texture as texture_ops
+
+                mr_id = scene.mat_mrtex[
+                    jnp.clip(hit.mat_id, 0, scene.mat_mrtex.shape[0] - 1)
+                ]
+                mr = texture_ops.sample_bilinear(
+                    scene.textures, mr_id, uv
+                )
+                mr_on = (mr_id >= 0) & hit.valid
+                par = jnp.where(mr_on, par * mr[:, 1], par)
+                if metal_col is not None:
+                    metal_col = jnp.where(
+                        mr_on, metal_col * mr[:, 2], metal_col
+                    )
             if scene.attr_shn is not None or scene.mat_ntex is not None:
                 # The interpolated (and/or normal-mapped) normal drives
                 # every downstream cosine, sampling frame, and MIS pdf;
@@ -328,12 +354,9 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         if scene.mat_metallic is not None:
             # Principled vertices: both-lobe sum with the mixture pdf
             # (exactly what scatter samples from) — feature-gated.
-            m_nee = scene.mat_metallic[
-                jnp.clip(hit.mat_id, 0, scene.mat_metallic.shape[0] - 1)
-            ]
             is_pr = mtype == materials.TYPE_PRINCIPLED
             f_p, pdf_p = materials.principled_eval(
-                alb, m_nee, par, hit.normal, -d, wi
+                alb, metal_col, par, hit.normal, -d, wi
             )
             f_lobe = jnp.where(is_pr[:, None], f_p, f_lobe)
             pdf_b = jnp.where(is_pr, pdf_p, pdf_b)
@@ -407,12 +430,9 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         f_lobe_e = jnp.where(is_ggx_e[:, None], f_ggx_e, alb * INV_PI)
         pdf_b_e = jnp.where(is_ggx_e, pdf_ggx_e, cos_e * INV_PI)
         if scene.mat_metallic is not None:
-            m_nee_e = scene.mat_metallic[
-                jnp.clip(hit.mat_id, 0, scene.mat_metallic.shape[0] - 1)
-            ]
             is_pr_e = mtype == materials.TYPE_PRINCIPLED
             f_pe, pdf_pe = materials.principled_eval(
-                alb, m_nee_e, par, hit.normal, -d, wi_e
+                alb, metal_col, par, hit.normal, -d, wi_e
             )
             f_lobe_e = jnp.where(is_pr_e[:, None], f_pe, f_lobe_e)
             pdf_b_e = jnp.where(is_pr_e, pdf_pe, pdf_b_e)
@@ -452,12 +472,6 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # path no longer carries are never picked).
         disp = scene.mat_disp[
             jnp.clip(hit.mat_id, 0, scene.mat_disp.shape[0] - 1)
-        ]
-    metal_col = None
-    if scene.mat_metallic is not None:
-        # Principled metallic column — feature-gated like mat_param2.
-        metal_col = scene.mat_metallic[
-            jnp.clip(hit.mat_id, 0, scene.mat_metallic.shape[0] - 1)
         ]
     d_out, atten, scattered, scatter_pdf = materials.scatter(
         mtype, alb, par, emit, hit.normal, d, hit.front, u, param2=par2,

@@ -149,3 +149,52 @@ def test_scene_io_principled(tmp_path):
     assert int(np.asarray(sc.mat_type)[k]) == materials.TYPE_PRINCIPLED
     assert abs(float(np.asarray(sc.mat_metallic)[k]) - 0.7) < 1e-6
     assert abs(float(np.asarray(sc.mat_param)[k]) - 0.25) < 1e-6
+
+
+def _mr_box(mr_tex=None, metallic=1.0, roughness=1.0):
+    b = SceneBuilder()
+    white = b.lambertian((0.73, 0.73, 0.73))
+    lamp = b.emissive((18.0, 18.0, 18.0))
+    ball = b.principled((0.7, 0.3, 0.25), metallic=metallic,
+                        roughness=roughness, mr_texture=mr_tex)
+    b.add_quad((-1, 0, -1), (2, 0, 0), (0, 0, 2), white)
+    b.add_quad((-0.4, 1.6, -0.4), (0.8, 0, 0), (0, 0, 0.8), lamp)
+    b.add_sphere((0.0, 0.45, 0.0), 0.45, ball)
+    cam = CameraConfig(position=(0.0, 0.9, 2.2), look_at=(0.0, 0.4, 0.0),
+                       vfov_degrees=42.0)
+    return b.build(), cam
+
+
+def test_mr_map_constant_equals_factors():
+    """A constant metallic-roughness map (G=g, B=b) on factor-1 material
+    equals the unmapped material with roughness=g, metallic=b (glTF
+    factor*texture semantics). Bilinear interpolation of a constant is
+    the constant to fp tolerance."""
+    g, bl = 0.3, 0.6
+    tex = np.tile(np.array([0.0, g, bl], np.float32), (8, 8, 1))
+    sc_map, cam = _mr_box(mr_tex=tex, metallic=1.0, roughness=1.0)
+    sc_ref, _ = _mr_box(mr_tex=None, metallic=bl, roughness=g)
+    assert sc_map.mat_mrtex is not None and sc_ref.mat_mrtex is None
+    img_map = _render(sc_map, cam, nee=True, spp=8, size=32)
+    img_ref = _render(sc_ref, cam, nee=True, spp=8, size=32)
+    np.testing.assert_allclose(img_map, img_ref, atol=1e-4)
+
+
+def test_mr_map_varies_roughness():
+    """A map whose roughness channel differs left/right renders the two
+    sphere halves differently (the map actually drives the lobe)."""
+    tex = np.zeros((8, 4, 3), np.float32)
+    tex[:4, :, 1] = 0.05   # sharp lower hemisphere (v < 0.5)
+    tex[4:, :, 1] = 1.0    # rough upper hemisphere
+    tex[..., 2] = 1.0      # fully metallic everywhere
+    sc, cam = _mr_box(mr_tex=tex, metallic=1.0, roughness=1.0)
+    img = _render(sc, cam, nee=True, spp=32, size=48)
+    sc_u, _ = _mr_box(mr_tex=None, metallic=1.0, roughness=1.0)
+    img_u = _render(sc_u, cam, nee=True, spp=32, size=48)
+    # The mapped render must differ from the uniform-rough one (the map
+    # drives the lobe), and the sharp/rough hemispheres must differ
+    # from each other.
+    assert float(np.abs(img - img_u).mean()) > 1e-3
+    top = img[8:20, 12:36].mean(axis=(0, 1))
+    bottom = img[28:40, 12:36].mean(axis=(0, 1))
+    assert not np.allclose(top, bottom, atol=5e-3)
