@@ -88,7 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "cluster_pallas"],
                    help="intersection backend (auto: Pallas cluster "
                         "kernel on TPU, threaded BVH elsewhere)")
-    p.add_argument("--out", default="render.png")
+    p.add_argument("--out", default="render.png",
+                   help="output path: .png (tonemapped), .ppm, or .hdr "
+                        "(LINEAR Radiance RGBE — no tone curve)")
     p.add_argument("--out-hdr", default=None,
                    help="also write the linear HDR radiance (.npz with "
                         "'radiance' (H,W,3) f32 and 'spp')")
@@ -168,7 +170,7 @@ def main(argv=None) -> int:
 
     if args.scene == "reference":
         img = render_reference(args.height, args.width)
-        image.write_png(args.out, np.asarray(img)[..., :3])
+        image.write_image(args.out, np.asarray(img)[..., :3])
         ptlog.log_information("wrote reference-parity image to %s", args.out)
         return 0
 
@@ -251,7 +253,7 @@ def main(argv=None) -> int:
         from pathtracing_tpu.models import aov as aov_mod
 
         img = aov_mod.render_aov(scene, camera, config, args.aov)
-        image.write_png(args.out, img)
+        image.write_image(args.out, img)
         ptlog.log_information("wrote %s AOV to %s", args.aov, args.out)
         return 0
 
@@ -323,7 +325,7 @@ def main(argv=None) -> int:
                     img = np.asarray(img)  # rides the tunnel while the
                     #                        device runs the new step
                     if do_png:
-                        image.write_png(args.out, img,
+                        image.write_image(args.out, img,
                                         args.exposure, args.tonemap)
                     if preview is not None:
                         preview.update(img, psnap_spp)
@@ -359,7 +361,7 @@ def main(argv=None) -> int:
                                state, prev_factor))
                 pending = (img_dev, int(state.spp), do_png)
         if pending is not None and pending[2]:
-            image.write_png(args.out, np.asarray(pending[0]),
+            image.write_image(args.out, np.asarray(pending[0]),
                             args.exposure, args.tonemap)
             pending = None
     except KeyboardInterrupt:
@@ -379,7 +381,7 @@ def main(argv=None) -> int:
         args, config, scene, camera, progressive.resolve(state),
         int(state.spp),
     )
-    image.write_png(args.out, final, args.exposure, args.tonemap)
+    image.write_image(args.out, final, args.exposure, args.tonemap)
     ptlog.log_information(
         "wrote %s (%d spp, %d steps)", args.out, int(state.spp), step
     )
@@ -446,7 +448,7 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
             img = np.asarray(frame(scene, camera,
                                    jnp.uint32(args.seed + i)))
         path = f"{root}_{i:04d}{ext}"
-        image.write_png(path, img, args.exposure, args.tonemap)
+        image.write_image(path, img, args.exposure, args.tonemap)
         ptlog.log_information(
             "frame %d/%d -> %s (%.2fs, %.1f fps-equivalent)",
             i + 1, n, path, t.seconds, 1.0 / max(t.seconds, 1e-9),
@@ -488,7 +490,7 @@ def _tiled_main(args, config, scene, camera) -> int:
             args, config, scene, camera, tiles.resolve_tiled(state),
             float(np.mean(state.band_spp)),
         )
-        image.write_png(args.out, mean, args.exposure, args.tonemap)
+        image.write_image(args.out, mean, args.exposure, args.tonemap)
         ptlog.log_information(
             "wrote %s (adaptive; band spp %s)", args.out,
             list(map(int, state.band_spp)),
@@ -516,7 +518,7 @@ def _tiled_main(args, config, scene, camera) -> int:
     mean = _maybe_denoise(
         args, config, scene, camera, mean, int(state.band_spp.min())
     )
-    image.write_png(args.out, mean, args.exposure, args.tonemap)
+    image.write_image(args.out, mean, args.exposure, args.tonemap)
     ptlog.log_information(
         "wrote %s (%d bands x %d spp)", args.out, args.tiles,
         int(state.band_spp.min()),

@@ -135,6 +135,25 @@ def write_png(path: str, linear_rgb, exposure=1.0,
         f.write(encode_png(rgb8))
 
 
+def write_image(path: str, linear_rgb, exposure=1.0,
+                curve: str = "clip") -> None:
+    """Format-dispatching writer: ``.hdr`` paths get LINEAR Radiance
+    RGBE output (exposure applied, no tone curve — the archival /
+    compositing format; ``ops.envmap.load_hdr`` round-trips it),
+    ``.ppm`` the zero-dependency raster, anything else tonemapped
+    PNG."""
+    low = path.lower()
+    if low.endswith(".hdr"):
+        from pathtracing_tpu.ops.envmap import write_hdr
+
+        img = np.asarray(jax.device_get(jnp.asarray(linear_rgb)))
+        write_hdr(path, img[..., :3] * float(exposure))
+    elif low.endswith(".ppm"):
+        write_ppm(path, linear_rgb)
+    else:
+        write_png(path, linear_rgb, exposure, curve)
+
+
 def write_ppm(path: str, linear_rgb) -> None:
     """Plain PPM (P6) writer — the zero-dependency fallback format."""
     rgb8 = np.asarray(jax.device_get(tonemap(jnp.asarray(linear_rgb))))

@@ -177,3 +177,24 @@ def test_auto_background(tmp_path):
                 "--out", out)
     assert r.returncode == 0, r.stderr
     assert np.asarray(Image.open(out)).mean() > 20.0
+
+
+def test_hdr_output(tmp_path):
+    """--out with a .hdr extension writes LINEAR Radiance RGBE that
+    round-trips through the repo's own loader and matches the npz
+    radiance to RGBE quantization (~1% shared-exponent mantissa)."""
+    out = str(tmp_path / "r.hdr")
+    npz = str(tmp_path / "r.npz")
+    r = run_cli("--scene", "cornell_sphere", "--width", "24",
+                "--height", "16", "--spp", "4", "--spp-per-step", "4",
+                "--max-depth", "3", "--out", out, "--out-hdr", npz)
+    assert r.returncode == 0, r.stderr
+    import sys as _sys
+    _sys.path.insert(0, REPO)
+    from pathtracing_tpu.ops.envmap import load_hdr
+
+    img = load_hdr(out)
+    ref = np.load(npz)["radiance"]
+    assert img.shape == ref.shape
+    assert np.isfinite(img).all()
+    np.testing.assert_allclose(img, ref, rtol=0.01, atol=5e-3)
