@@ -115,6 +115,12 @@ class Scene(NamedTuple):
     # scenes skip the lobe entirely (identical jit graphs and bitwise
     # results, the same feature-gating contract as ``mat_param2``).
     mat_metallic: jnp.ndarray = None
+    # Optional (K, 2) f32 clearcoat column [strength, roughness] for
+    # principled materials (a second GGX layer at fixed IOR 1.5 — the
+    # glTF clearcoat extension). None unless some material has
+    # clearcoat > 0; strength-0 rows in a coated scene reduce
+    # bit-exactly to the two-lobe principled results.
+    mat_clearcoat: jnp.ndarray = None
     # Optional (K,) i32 metallic-roughness MAP id into the shared atlas
     # (-1 = none; glTF channel convention: G scales the roughness
     # factor, B the metallic factor). None unless some principled
@@ -176,6 +182,7 @@ class SceneBuilder:
         self._mat_disp = []     # per-material IOR dispersion (blue - red)
         self._mat_metallic = []  # per-material metallic (principled)
         self._mat_mrtex = []    # per-material metallic-roughness map id
+        self._mat_cc = []       # per-material (clearcoat, cc roughness)
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
@@ -231,7 +238,8 @@ class SceneBuilder:
                      emit=(0.0, 0.0, 0.0), texture=None,
                      absorption=(0.0, 0.0, 0.0), param2=0.0,
                      normal_map=None, dispersion=0.0,
-                     metallic=0.0, mr_texture=None) -> int:
+                     metallic=0.0, mr_texture=None,
+                     clearcoat=0.0, clearcoat_roughness=0.1) -> int:
         """``texture`` (optional): a texture id from ``add_texture``, an
         image array, or a path. The sampled color MODULATES the albedo
         at UV-mapped hits (white albedo shows the texture alone).
@@ -257,6 +265,7 @@ class SceneBuilder:
         # Metallic-roughness maps are DATA (G = roughness scale, B =
         # metallic scale) — loaded without the sRGB transfer.
         self._mat_mrtex.append(self._tex_id(mr_texture, srgb=False))
+        self._mat_cc.append((float(clearcoat), float(clearcoat_roughness)))
         return len(self._mat) - 1
 
     def lambertian(self, albedo, texture=None, normal_map=None) -> int:
@@ -302,8 +311,8 @@ class SceneBuilder:
         )
 
     def principled(self, base_color, metallic=0.0, roughness=0.5,
-                   texture=None, normal_map=None,
-                   mr_texture=None) -> int:
+                   texture=None, normal_map=None, mr_texture=None,
+                   clearcoat=0.0, clearcoat_roughness=0.1) -> int:
         """Metallic-roughness material (the glTF/Disney-lite standard
         workflow): diffuse + GGX specular with F0 = lerp(0.04,
         base_color, metallic); ``roughness`` is perceptual (GGX alpha =
@@ -311,11 +320,15 @@ class SceneBuilder:
         base color like every other textured material; ``mr_texture``
         is a metallic-roughness MAP in the glTF channel convention —
         its G channel scales ``roughness``, its B channel scales
-        ``metallic`` (loaded linearly, it is data, not color)."""
+        ``metallic`` (loaded linearly, it is data, not color).
+        ``clearcoat`` adds a second GGX layer at fixed IOR 1.5 (the
+        glTF clearcoat extension) with its own ``clearcoat_roughness``;
+        the layer's Fresnel attenuates the base lobes."""
         return self.add_material(
             materials.TYPE_PRINCIPLED, base_color, roughness,
             texture=texture, normal_map=normal_map, metallic=metallic,
-            mr_texture=mr_texture,
+            mr_texture=mr_texture, clearcoat=clearcoat,
+            clearcoat_roughness=clearcoat_roughness,
         )
 
     def emissive(self, radiance) -> int:
@@ -663,10 +676,14 @@ class SceneBuilder:
             mat_disp = jnp.asarray(disp_np)
 
         mat_metallic = None
+        mat_clearcoat = None
         if (types_np == materials.TYPE_PRINCIPLED).any():
             mat_metallic = jnp.asarray(
                 np.array(self._mat_metallic, np.float32)
             )
+            cc_np = np.array(self._mat_cc, np.float32)
+            if (cc_np[:, 0] > 0.0).any():
+                mat_clearcoat = jnp.asarray(cc_np)
 
         mat_type = np.array([m[0] for m in self._mat], np.int32)
         mat_albedo = np.array([m[1] for m in self._mat], np.float32)
@@ -714,6 +731,7 @@ class SceneBuilder:
             mat_param2=mat_param2,
             mat_disp=mat_disp,
             mat_metallic=mat_metallic,
+            mat_clearcoat=mat_clearcoat,
             mat_mrtex=mat_mrtex,
             instances=(jax.tree.map(jnp.asarray, instances)
                        if instances is not None else None),

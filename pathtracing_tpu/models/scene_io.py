@@ -180,6 +180,8 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                 metallic=m.get("metallic", 0.0),
                 roughness=m.get("roughness", 0.5),
                 texture=tex, normal_map=nmap, mr_texture=mrt,
+                clearcoat=m.get("clearcoat", 0.0),
+                clearcoat_roughness=m.get("clearcoat_roughness", 0.1),
             )
         elif mtype == "checker":
             mat_ids[name] = b.checker(

@@ -208,6 +208,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     alb = materials.effective_albedo(mtype, alb, par, emit, hit.position)
     emit = materials.effective_emission(mtype, emit)
     metal_col = None
+    cc_col = None
     if scene.mat_metallic is not None:
         # Principled metallic column — feature-gated like mat_param2.
         # Gathered ONCE here so metallic-roughness maps (below) can
@@ -215,6 +216,10 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         metal_col = scene.mat_metallic[
             jnp.clip(hit.mat_id, 0, scene.mat_metallic.shape[0] - 1)
         ]
+        if scene.mat_clearcoat is not None:
+            cc_col = scene.mat_clearcoat[
+                jnp.clip(hit.mat_id, 0, scene.mat_clearcoat.shape[0] - 1)
+            ]
 
     if scene.attr_shn is not None or scene.textures is not None:
         # Surface attributes (smooth shading normals / UV textures) —
@@ -356,7 +361,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             # (exactly what scatter samples from) — feature-gated.
             is_pr = mtype == materials.TYPE_PRINCIPLED
             f_p, pdf_p = materials.principled_eval(
-                alb, metal_col, par, hit.normal, -d, wi
+                alb, metal_col, par, hit.normal, -d, wi,
+                clearcoat=cc_col,
             )
             f_lobe = jnp.where(is_pr[:, None], f_p, f_lobe)
             pdf_b = jnp.where(is_pr, pdf_p, pdf_b)
@@ -432,7 +438,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         if scene.mat_metallic is not None:
             is_pr_e = mtype == materials.TYPE_PRINCIPLED
             f_pe, pdf_pe = materials.principled_eval(
-                alb, metal_col, par, hit.normal, -d, wi_e
+                alb, metal_col, par, hit.normal, -d, wi_e,
+                clearcoat=cc_col,
             )
             f_lobe_e = jnp.where(is_pr_e[:, None], f_pe, f_lobe_e)
             pdf_b_e = jnp.where(is_pr_e, pdf_pe, pdf_b_e)
@@ -476,6 +483,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     d_out, atten, scattered, scatter_pdf = materials.scatter(
         mtype, alb, par, emit, hit.normal, d, hit.front, u, param2=par2,
         disp=disp, throughput=throughput, metallic=metal_col,
+        clearcoat=cc_col,
     )
 
     throughput = throughput * jnp.where(live[:, None], atten, 1.0)

@@ -167,20 +167,72 @@ def _principled_pspec(f0, dif, cos_v):
     return jnp.clip(ls / jnp.maximum(ls + ld, 1e-12), 0.05, 1.0)
 
 
-def principled_eval(base, metallic, rough, normal, view, light):
+_CC_F0 = 0.04   # clearcoat IOR is fixed at 1.5 (the glTF convention)
+
+
+def _fc_scalar(cos_x):
+    """Schlick Fresnel at the clearcoat's fixed F0 = 0.04."""
+    return _CC_F0 + (1.0 - _CC_F0) * jnp.power(
+        jnp.clip(1.0 - cos_x, 0.0, 1.0), 5.0
+    )
+
+
+def _principled_weights(f0, dif, cos_v, cc):
+    """Three-way lobe-pick probabilities (clearcoat, base specular,
+    diffuse) from per-lobe approximate view reflectances; functions of
+    (material, view) only, so sampler and mixture pdf share them.
+    ``cc`` (...,) is the clearcoat strength (0 rows reduce EXACTLY to
+    the two-lobe split: w_cc = 0 drops out of the normalization)."""
+    fres = f0 + (1.0 - f0) * jnp.power(
+        jnp.clip(1.0 - cos_v, 0.0, 1.0), 5.0
+    )[..., None]
+    ls = linalg.luminance(fres)
+    ld = linalg.luminance(dif)
+    lc = cc * _fc_scalar(cos_v)
+    tot = jnp.maximum(ls + ld + lc, 1e-12)
+    p_cc = lc / tot
+    p_s = jnp.clip(ls / tot, 0.05 * (1.0 - p_cc), 1.0)
+    return p_cc, p_s
+
+
+def principled_eval(base, metallic, rough, normal, view, light,
+                    clearcoat=None):
     """Evaluate the principled BSDF for given directions (the NEE arm).
 
-    Returns (f (...,3), pdf (...,)): f = diffuse/π + GGX specular, pdf =
-    the lobe-pick mixture p_s·pdf_ggx + (1−p_s)·cos/π — exactly the
-    density ``scatter`` samples from, which is what MIS needs.
+    Returns (f (...,3), pdf (...,)): f = diffuse/π + GGX specular
+    (+ the clearcoat layer when ``clearcoat`` (..., 2) [strength,
+    roughness] is given — a second GGX at fixed F0 = 0.04 whose view/
+    light Fresnel attenuates the base, the glTF layering), pdf = the
+    lobe-pick mixture — exactly the density ``scatter`` samples from,
+    which is what MIS needs.
     """
     f0, dif, alpha = _principled_parts(base, metallic, rough)
     f_spec, pdf_spec = ggx_eval(f0, alpha, normal, view, light)
     cos_l = linalg.dot(normal, light)
     cos_v = linalg.dot(normal, view)
     f = dif * INV_PI + f_spec
-    p_s = _principled_pspec(f0, dif, cos_v)
-    pdf = p_s * pdf_spec + (1.0 - p_s) * jnp.maximum(cos_l, 0.0) * INV_PI
+    if clearcoat is None:
+        p_s = _principled_pspec(f0, dif, cos_v)
+        pdf = (p_s * pdf_spec
+               + (1.0 - p_s) * jnp.maximum(cos_l, 0.0) * INV_PI)
+    else:
+        cc = clearcoat[..., 0]
+        alpha_cc = jnp.maximum(
+            clearcoat[..., 1] * clearcoat[..., 1], GGX_MIN_ALPHA
+        )
+        one = jnp.ones_like(dif)
+        f_cc, pdf_cc = ggx_eval(_CC_F0 * one, alpha_cc, normal, view,
+                                light)
+        # ggx_eval folds its own Schlick(F0=0.04) into f_cc; the layer
+        # strength scales it, and the base loses the coat's view/light
+        # Fresnel (energy-plausible glTF layering).
+        atten = ((1.0 - cc * _fc_scalar(cos_v))
+                 * (1.0 - cc * _fc_scalar(jnp.maximum(cos_l, 0.0))))
+        f = f * atten[..., None] + cc[..., None] * f_cc
+        p_cc, p_s = _principled_weights(f0, dif, cos_v, cc)
+        pdf = (p_cc * pdf_cc + p_s * pdf_spec
+               + (1.0 - p_cc - p_s)
+               * jnp.maximum(cos_l, 0.0) * INV_PI)
     ok = (cos_l > 1e-6) & (cos_v > 1e-6)
     return (
         jnp.where(ok[..., None], f, 0.0),
@@ -212,7 +264,8 @@ def effective_emission(mat_type, emit):
 
 
 def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
-            param2=None, disp=None, throughput=None, metallic=None):
+            param2=None, disp=None, throughput=None, metallic=None,
+            clearcoat=None):
     """Sample the BSDF for a batch of hits. Fully branchless.
 
     Args:
@@ -245,6 +298,10 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
         (None for scenes without one — same gating contract as
         ``param2``: plain scenes never build the principled lobe).
         ``param`` carries the perceptual roughness for these rows.
+      clearcoat: optional (..., 2) [strength, roughness] clearcoat
+        column (requires ``metallic``; None for coat-free scenes — same
+        gating contract). Strength-0 rows reduce bit-exactly to the
+        two-lobe principled results.
 
     Returns:
       (d_out, attenuation, scattered, pdf):
@@ -389,11 +446,31 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
         d_spec, _, _ = ggx_sample(alpha_p, normal, d_in,
                                   u[..., 0], u[..., 1])
         cos_vp = linalg.dot(normal, view)
-        p_s = _principled_pspec(f0_p, dif_p, cos_vp)
-        choose_spec = u[..., 2] < p_s
-        d_pr = jnp.where(choose_spec[..., None], d_spec, d_diffuse)
+        if clearcoat is None:
+            p_s = _principled_pspec(f0_p, dif_p, cos_vp)
+            d_pr = jnp.where(
+                (u[..., 2] < p_s)[..., None], d_spec, d_diffuse
+            )
+        else:
+            # Three-way pick: clearcoat GGX / base GGX / diffuse. The
+            # same (u0, u1) drive all three candidate directions; the
+            # same weights feed the mixture pdf in principled_eval.
+            cc_s = clearcoat[..., 0]
+            alpha_cc = jnp.maximum(
+                clearcoat[..., 1] * clearcoat[..., 1], GGX_MIN_ALPHA
+            )
+            d_cc, _, _ = ggx_sample(alpha_cc, normal, d_in,
+                                    u[..., 0], u[..., 1])
+            p_cc, p_s = _principled_weights(f0_p, dif_p, cos_vp, cc_s)
+            pick = u[..., 2]
+            d_pr = jnp.where(
+                (pick < p_cc)[..., None], d_cc,
+                jnp.where((pick < p_cc + p_s)[..., None],
+                          d_spec, d_diffuse),
+            )
         f_pr, pdf_pr = principled_eval(
-            albedo, metallic, param, normal, view, d_pr
+            albedo, metallic, param, normal, view, d_pr,
+            clearcoat=clearcoat,
         )
         cos_op = linalg.dot(normal, d_pr)
         pr_ok = (cos_op > 1e-6) & (cos_vp > 1e-6) & (pdf_pr > 1e-9)
