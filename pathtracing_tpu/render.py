@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clamp", type=float, default=0.0,
                    help="per-sample radiance clamp (firefly suppression; "
                         "0 = unbiased/off)")
+    p.add_argument("--bloom", type=float, default=0.0, metavar="S",
+                   help="bloom glow strength (linear-radiance additive "
+                        "post-pass, ops/bloom.py; 0 disables, ~0.05-0.2 "
+                        "is typical)")
+    p.add_argument("--bloom-threshold", type=float, default=1.0,
+                   help="luminance above which radiance blooms "
+                        "(soft knee below it; default 1.0)")
     p.add_argument("--denoise", action="store_true",
                    help="edge-avoiding à-trous denoise of the final "
                         "image, guided by first-hit normal/albedo/depth "
@@ -457,21 +464,31 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
 
 
 def _maybe_denoise(args, config, scene, camera, img, spp):
-    """Apply the --denoise post-pass to a resolved linear image."""
-    if not args.denoise:
-        return img
-    from pathtracing_tpu.ops import denoise as denoise_mod
+    """Apply the final-image post-passes: --denoise, then --bloom
+    (both in linear radiance, before the tone curve)."""
+    if args.denoise:
+        from pathtracing_tpu.ops import denoise as denoise_mod
 
-    out = denoise_mod.denoise_render(
-        scene, camera, config, img, spp=spp,
-        iterations=args.denoise_iters,
-        sigma_color=args.denoise_sigma_color,
-    )
-    ptlog.log_information(
-        "denoised (%d à-trous iterations, %s spp)",
-        args.denoise_iters, spp,
-    )
-    return out
+        img = denoise_mod.denoise_render(
+            scene, camera, config, img, spp=spp,
+            iterations=args.denoise_iters,
+            sigma_color=args.denoise_sigma_color,
+        )
+        ptlog.log_information(
+            "denoised (%d à-trous iterations, %s spp)",
+            args.denoise_iters, spp,
+        )
+    if args.bloom > 0.0:
+        from pathtracing_tpu.ops import bloom as bloom_mod
+
+        img = bloom_mod.apply_bloom(
+            img, args.bloom, threshold=args.bloom_threshold
+        )
+        ptlog.log_information(
+            "bloom applied (strength %.3g, threshold %.3g)",
+            args.bloom, args.bloom_threshold,
+        )
+    return img
 
 
 def _tiled_main(args, config, scene, camera) -> int:
