@@ -135,6 +135,11 @@ class Scene(NamedTuple):
     # and the BVH fallback refuses (it only indexes base triangles).
     # None for ordinary scenes — identical pytrees and jit keys.
     instances: cluster_ops.InstanceSet = None
+    # Delta lights (ops.lights.DeltaLights): point / spot / directional
+    # emitters, pure-NEE (a BSDF ray can't hit a zero-extent light, so
+    # their estimator carries MIS weight 1). None for scenes without
+    # them — identical pytrees, jit keys, and RNG streams.
+    delta: lights.DeltaLights = None
 
     @property
     def material_table(self):
@@ -187,6 +192,7 @@ class SceneBuilder:
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
         self._protos = []       # (v0, e1, e2, mats, [(3,4) transforms])
+        self._delta = []        # delta-light spec dicts (ops.lights)
 
     def set_fog(self, sigma_s: float, sigma_a: float = 0.0,
                 g: float = 0.0) -> None:
@@ -199,6 +205,40 @@ class SceneBuilder:
         if not -1.0 < g < 1.0:
             raise ValueError("HG anisotropy g must be in (-1, 1)")
         self._fog = (float(sigma_s), float(sigma_a), float(g))
+
+    # -- delta lights --------------------------------------------------
+    def point_light(self, position, intensity) -> None:
+        """Zero-extent point emitter: ``intensity`` is radiant W/sr
+        (received radiance falls off as 1/d²)."""
+        self._delta.append({
+            "type": "point", "position": tuple(map(float, position)),
+            "intensity": tuple(map(float, intensity)),
+        })
+
+    def spot_light(self, position, direction, intensity,
+                   inner_degrees: float = 20.0,
+                   outer_degrees: float = 30.0) -> None:
+        """Point emitter restricted to a cone around ``direction`` with a
+        smoothstep falloff between the inner and outer half-angles."""
+        if inner_degrees > outer_degrees:
+            raise ValueError("spot inner cone must be <= outer cone")
+        self._delta.append({
+            "type": "spot", "position": tuple(map(float, position)),
+            "direction": tuple(map(float, direction)),
+            "intensity": tuple(map(float, intensity)),
+            "inner_degrees": float(inner_degrees),
+            "outer_degrees": float(outer_degrees),
+        })
+
+    def directional_light(self, direction, irradiance) -> None:
+        """Sun-style parallel light: ``direction`` is the travel
+        direction; ``irradiance`` the power received by a surface facing
+        it (no distance falloff; shadows query toward infinity)."""
+        self._delta.append({
+            "type": "directional",
+            "direction": tuple(map(float, direction)),
+            "irradiance": tuple(map(float, irradiance)),
+        })
 
     def environment(self, texels_or_envmap) -> None:
         """Attach an image-based environment light: either a pre-built
@@ -735,6 +775,7 @@ class SceneBuilder:
             mat_mrtex=mat_mrtex,
             instances=(jax.tree.map(jnp.asarray, instances)
                        if instances is not None else None),
+            delta=lights.build_delta_lights(self._delta),
         )
 
 

@@ -43,6 +43,14 @@ Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
   ]
 }
 
+An optional top-level ``"delta_lights"`` list adds zero-extent emitters
+(pure-NEE; see ``ops.lights.DeltaLights``):
+
+  {"type": "point", "position": [..], "intensity": [r,g,b]}
+  {"type": "spot", "position": [..], "direction": [..],
+   "intensity": [..], "inner_degrees": 20, "outer_degrees": 30}
+  {"type": "directional", "direction": [..], "irradiance": [r,g,b]}
+
 An optional top-level ``"background": "gradient"`` names the sky used
 for escaped rays when the CLI runs with ``--background auto`` (the
 default) — emitter-free outdoor scenes want "gradient", lit interiors
@@ -282,5 +290,22 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
         b.set_fog(float(f.get("sigma_s", 0.0)),
                   float(f.get("sigma_a", 0.0)),
                   float(f.get("g", 0.0)))
+
+    for dl in spec.get("delta_lights", []):
+        t = dl.get("type")
+        if t == "point":
+            b.point_light(dl["position"], dl["intensity"])
+        elif t == "spot":
+            b.spot_light(
+                dl["position"], dl["direction"], dl["intensity"],
+                inner_degrees=float(dl.get("inner_degrees", 20.0)),
+                outer_degrees=float(dl.get("outer_degrees", 30.0)),
+            )
+        elif t == "directional":
+            b.directional_light(
+                dl["direction"], dl.get("irradiance", dl.get("intensity"))
+            )
+        else:
+            raise ValueError(f"unknown delta light type {t!r}")
 
     return b.build(), camera

@@ -453,6 +453,66 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             contrib_e = contrib_e * jnp.exp(-fog_sigma_t * 1.0e7)
         radiance = radiance + jnp.where(vis_e[:, None], contrib_e, 0.0)
 
+    if nee and scene.delta is not None:
+        # Delta lights (point / spot / directional, ops.lights): pure
+        # NEE with MIS weight 1 — a BSDF-sampled ray can never hit a
+        # zero-extent emitter, so there is no "other estimator" to
+        # weight against. One power-weighted pick per vertex; the
+        # returned radiance already carries falloff, 1/d², and the pick
+        # probability. Feature-gated: delta-free scenes never draw the
+        # STREAM_DELTA uniform, keeping their graphs and streams
+        # bit-identical.
+        ud = jax.vmap(
+            lambda k, dp: jax.random.uniform(
+                rng.stream_key(k, dp, rng.STREAM_DELTA), (),
+                dtype=jnp.float32,
+            )
+        )(keys, depth)
+        o_dl = hit.position
+        if has_fog:
+            o_dl = jnp.where(med_event[:, None], o_med, hit.position)
+        wi_d, t_sh_d, le_d = lights_ops.sample_delta(
+            scene.delta, ud, o_dl
+        )
+        cos_d = linalg.dot(hit.normal, wi_d)
+        cand_d = live & nee_lobe & (cos_d > 1e-6)
+        if has_fog:
+            cand_d = cand_d | (med_event & (fog_albedo > 0.0))
+        occ_d = scene_mod.occluded_batch(
+            scene, o_dl, wi_d, t_sh_d, traversal, active=cand_d,
+            bin_rays=bin_rays,
+        )
+        vis_d = cand_d & jnp.logical_not(occ_d)
+        n_shadow = n_shadow + jnp.sum(
+            cand_d.astype(jnp.int32)
+        ).astype(jnp.float32)
+
+        is_ggx_d = mtype == materials.TYPE_GGX
+        f_ggx_d, _ = materials.ggx_eval(alb, par, hit.normal, -d, wi_d)
+        f_lobe_d = jnp.where(is_ggx_d[:, None], f_ggx_d, alb * INV_PI)
+        if scene.mat_metallic is not None:
+            is_pr_d = mtype == materials.TYPE_PRINCIPLED
+            f_pd, _ = materials.principled_eval(
+                alb, metal_col, par, hit.normal, -d, wi_d,
+                clearcoat=cc_col,
+            )
+            f_lobe_d = jnp.where(is_pr_d[:, None], f_pd, f_lobe_d)
+
+        contrib_d = throughput * f_lobe_d * le_d * cos_d[:, None]
+        if has_fog:
+            # Medium vertices swap f·cosθ for albedo·phase, and every
+            # arm pays the fog transmittance over the shadow distance
+            # (directional rows query to 1e7 → transmittance 0, like
+            # the environment arm).
+            p_ph_d = sampling_ops.hg_phase(fog_g, linalg.dot(d, wi_d))
+            contrib_med_d = (
+                throughput * le_d * (fog_albedo * p_ph_d)[:, None]
+            )
+            contrib_d = jnp.where(
+                med_event[:, None], contrib_med_d, contrib_d
+            ) * jnp.exp(-fog_sigma_t * t_sh_d)[:, None]
+        radiance = radiance + jnp.where(vis_d[:, None], contrib_d, 0.0)
+
     u = jax.vmap(
         lambda k, dp: jax.random.uniform(
             rng.stream_key(k, dp, rng.STREAM_SCATTER), (5,),

@@ -314,3 +314,160 @@ def sample_solid_angle(lights: LightTable, u, origin):
                 / (lights.total_power * one_minus + 1e-20))
     pdf_sa = jnp.where(cone, pdf_cone, pdf_gen)
     return point, normal, emit, pdf_sa
+
+
+# ---------------------------------------------------------------------------
+# Delta lights (point / spot / directional)
+#
+# The reference has no lights at all (`Test.hlsl` shades by normal); these
+# are the classic zero-extent emitters every production renderer carries.
+# A delta light cannot be hit by a BSDF-sampled ray, so its estimator is
+# pure next-event estimation with MIS weight 1 — no pdf bookkeeping beyond
+# the power-weighted pick probability. The table is feature-gated on the
+# Scene (``scene.delta is None`` keeps every existing jit graph and RNG
+# stream bit-identical).
+
+DELTA_POSITIONAL = 0   # point / spot: intensity is radiant W/sr
+DELTA_DIRECTIONAL = 1  # direction is the travel direction; intensity is
+#                        the irradiance on a surface facing the light
+
+
+class DeltaLights(NamedTuple):
+    position: jnp.ndarray   # (L, 3) f32 (directional rows: zeros)
+    intensity: jnp.ndarray  # (L, 3) f32 (see kind comments above)
+    direction: jnp.ndarray  # (L, 3) f32 unit spot axis / travel direction
+    cos_inner: jnp.ndarray  # (L,) f32 spot: full intensity inside
+    cos_outer: jnp.ndarray  # (L,) f32 spot: zero outside (-2 = no cone)
+    kind: jnp.ndarray       # (L,) i32 DELTA_POSITIONAL | DELTA_DIRECTIONAL
+    cum: jnp.ndarray        # (L,) f32 inclusive pick CDF (power-weighted)
+    prob: jnp.ndarray       # (L,) f32 pick probability of each row
+
+
+def build_delta_lights(specs) -> "DeltaLights | None":
+    """Host-side table from a list of dicts:
+
+      {"type": "point", "position": [..], "intensity": [r,g,b]}
+      {"type": "spot", "position": [..], "direction": [..],
+       "intensity": [..], "inner_degrees": 20, "outer_degrees": 30}
+      {"type": "directional", "direction": [..], "irradiance": [r,g,b]}
+
+    Pick weights go with approximate emitted power: 4π·lum for points,
+    the solid-angle-scaled lum for spots, and a nominal 4π·lum for
+    directionals (selection weights affect variance only, never bias —
+    the estimate divides by the matching pick probability).
+    """
+    if not specs:
+        return None
+    pos, inten, direc, ci, co, kind, power = [], [], [], [], [], [], []
+    for s in specs:
+        t = s["type"]
+        if t == "directional":
+            d = np.asarray(s["direction"], np.float64)
+            d = d / np.linalg.norm(d)
+            e = np.asarray(s.get("irradiance", s.get("intensity")),
+                           np.float32)
+            pos.append(np.zeros(3, np.float32))
+            inten.append(e)
+            direc.append(d.astype(np.float32))
+            ci.append(-2.0)
+            co.append(-2.0)
+            kind.append(DELTA_DIRECTIONAL)
+            lum = float(0.2126 * e[0] + 0.7152 * e[1] + 0.0722 * e[2])
+            power.append(4.0 * np.pi * lum)
+            continue
+        p = np.asarray(s["position"], np.float32)
+        e = np.asarray(s["intensity"], np.float32)
+        lum = float(0.2126 * e[0] + 0.7152 * e[1] + 0.0722 * e[2])
+        if t == "spot":
+            d = np.asarray(s["direction"], np.float64)
+            d = d / np.linalg.norm(d)
+            inner = float(np.cos(np.radians(s.get("inner_degrees", 20.0))))
+            outer = float(np.cos(np.radians(s.get("outer_degrees", 30.0))))
+            if inner < outer:
+                raise ValueError("spot inner cone must be <= outer cone")
+            # Power of the smooth cone ≈ 2π(1-cos̄)·lum with the falloff
+            # band counted at half weight.
+            power.append(2.0 * np.pi * (1.0 - 0.5 * (inner + outer)) * lum)
+        elif t == "point":
+            d = np.array([0.0, -1.0, 0.0], np.float64)
+            inner, outer = -2.0, -2.0
+            power.append(4.0 * np.pi * lum)
+        else:
+            raise ValueError(f"unknown delta light type: {t!r}")
+        pos.append(p)
+        inten.append(e)
+        direc.append(d.astype(np.float32))
+        ci.append(inner)
+        co.append(outer)
+        kind.append(DELTA_POSITIONAL)
+    power = np.asarray(power, np.float64)
+    total = power.sum()
+    if total <= 0.0:
+        return None
+    prob = (power / total).astype(np.float32)
+    cum = np.cumsum(power / total).astype(np.float32)
+    return DeltaLights(
+        position=jnp.asarray(np.stack(pos)),
+        intensity=jnp.asarray(np.stack(inten)),
+        direction=jnp.asarray(np.stack(direc)),
+        cos_inner=jnp.asarray(np.asarray(ci, np.float32)),
+        cos_outer=jnp.asarray(np.asarray(co, np.float32)),
+        kind=jnp.asarray(np.asarray(kind, np.int32)),
+        cum=jnp.asarray(cum), prob=jnp.asarray(prob),
+    )
+
+
+def sample_delta(dl: DeltaLights, u, origin):
+    """Pick one delta light per ray (power-weighted) and evaluate it.
+
+    u: (R,) uniforms; origin: (R, 3) shading points. Returns
+    (wi (R,3) unit direction toward the light, t_shadow (R,) occlusion
+    query distance, radiance (R,3) — the FULL unshadowed NEE radiance
+    already divided by the pick probability, i.e. the estimate is
+    f·cosθ·radiance for surface vertices). Spot falloff is the standard
+    smoothstep between the inner and outer cone cosines; directional
+    rows shadow toward infinity like the environment arm.
+    """
+    from pathtracing_tpu.ops import linalg
+
+    n = dl.cum.shape[0]
+    # Same CDF-walk pick as ``sample`` (count of thresholds passed).
+    idx = jnp.clip(
+        jnp.sum((u[:, None] > dl.cum[None, :]).astype(jnp.int32), axis=1),
+        0, n - 1,
+    )
+    onehot = jnp.arange(n, dtype=jnp.int32)[None, :] == idx[:, None]
+
+    def pick(table):
+        # Masked one-hot sum (never a matmul — bf16 default dots put
+        # light positions off by 4e-3; see module docstring).
+        mask = onehot[..., None] if table.ndim == 2 else onehot
+        return jnp.sum(jnp.where(mask, table[None], 0.0), axis=1)
+
+    p = pick(dl.position)
+    e = pick(dl.intensity)
+    axis = pick(dl.direction)
+    cin = pick(dl.cos_inner)
+    cout = pick(dl.cos_outer)
+    knd = pick(dl.kind.astype(jnp.float32))
+    prob = pick(dl.prob)
+
+    is_dir = knd > 0.5
+    to_l = p - origin
+    dist2 = jnp.sum(to_l * to_l, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    wi_pos = to_l / dist[:, None]
+    wi = jnp.where(is_dir[:, None], -axis, wi_pos)
+    t_shadow = jnp.where(is_dir, 1.0e7, dist * (1.0 - 1e-3))
+
+    # Spot smoothstep falloff on the angle between the axis and the
+    # direction toward the receiver (point rows: cout = -2 → always 1).
+    cosang = linalg.dot(axis, -wi_pos)
+    tt = jnp.clip(
+        (cosang - cout) / jnp.maximum(cin - cout, 1e-6), 0.0, 1.0
+    )
+    falloff = jnp.where(cout > -1.5, tt * tt * (3.0 - 2.0 * tt), 1.0)
+
+    rad_pos = e * (falloff / jnp.maximum(dist2, 1e-12))[:, None]
+    radiance = jnp.where(is_dir[:, None], e, rad_pos)
+    return wi, t_shadow, radiance / jnp.maximum(prob, 1e-12)[:, None]

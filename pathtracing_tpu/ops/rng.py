@@ -24,6 +24,8 @@ STREAM_TIME = 0x2B7E  # shutter-time draw (camera motion blur)
 STREAM_FOG = 0x3C6F   # medium distance + phase-direction draws (fog
                       # scenes only — fog-free scenes never fold this
                       # in, so their streams are untouched)
+STREAM_DELTA = 0x51A3  # delta-light pick (scenes without point/spot/
+                       # directional lights never fold this in)
 # Extra fold_in salt for ld_scalar so its rotation stream is disjoint
 # from every ld_pair stream BY CONSTRUCTION (a former ``stream_tag + 1``
 # derivation would silently correlate if a future tag ever equaled an
