@@ -135,6 +135,10 @@ class Scene(NamedTuple):
     # and the BVH fallback refuses (it only indexes base triangles).
     # None for ordinary scenes — identical pytrees and jit keys.
     instances: cluster_ops.InstanceSet = None
+    # Anisotropic-GGX column: per-material anisotropy in [0, 1)
+    # (Disney aspect convention, ops.materials._aniso_alphas). None for
+    # isotropic scenes — identical pytrees, jit keys, and streams.
+    mat_aniso: jnp.ndarray = None
     # Delta lights (ops.lights.DeltaLights): point / spot / directional
     # emitters, pure-NEE (a BSDF ray can't hit a zero-extent light, so
     # their estimator carries MIS weight 1). None for scenes without
@@ -188,6 +192,7 @@ class SceneBuilder:
         self._mat_metallic = []  # per-material metallic (principled)
         self._mat_mrtex = []    # per-material metallic-roughness map id
         self._mat_cc = []       # per-material (clearcoat, cc roughness)
+        self._mat_aniso = []    # per-material GGX anisotropy [0, 1)
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
@@ -279,7 +284,8 @@ class SceneBuilder:
                      absorption=(0.0, 0.0, 0.0), param2=0.0,
                      normal_map=None, dispersion=0.0,
                      metallic=0.0, mr_texture=None,
-                     clearcoat=0.0, clearcoat_roughness=0.1) -> int:
+                     clearcoat=0.0, clearcoat_roughness=0.1,
+                     anisotropy=0.0) -> int:
         """``texture`` (optional): a texture id from ``add_texture``, an
         image array, or a path. The sampled color MODULATES the albedo
         at UV-mapped hits (white albedo shows the texture alone).
@@ -306,6 +312,9 @@ class SceneBuilder:
         # metallic scale) — loaded without the sRGB transfer.
         self._mat_mrtex.append(self._tex_id(mr_texture, srgb=False))
         self._mat_cc.append((float(clearcoat), float(clearcoat_roughness)))
+        if not 0.0 <= anisotropy < 1.0:
+            raise ValueError("anisotropy must be in [0, 1)")
+        self._mat_aniso.append(float(anisotropy))
         return len(self._mat) - 1
 
     def lambertian(self, albedo, texture=None, normal_map=None) -> int:
@@ -320,13 +329,16 @@ class SceneBuilder:
             normal_map=normal_map,
         )
 
-    def ggx(self, f0, roughness=0.1, texture=None, normal_map=None) -> int:
+    def ggx(self, f0, roughness=0.1, texture=None, normal_map=None,
+            anisotropy=0.0) -> int:
         """Microfacet conductor: f0 = Fresnel normal reflectance,
         roughness = GGX alpha. Unlike ``metal`` it has a real pdf, so
-        glossy vertices participate in NEE/MIS."""
+        glossy vertices participate in NEE/MIS. ``anisotropy`` in
+        [0, 1) stretches the NDF along a deterministic surface tangent
+        (Disney aspect convention) — brushed-metal highlights."""
         return self.add_material(
             materials.TYPE_GGX, f0, roughness, texture=texture,
-            normal_map=normal_map,
+            normal_map=normal_map, anisotropy=anisotropy,
         )
 
     def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0),
@@ -715,6 +727,11 @@ class SceneBuilder:
         if (disp_np > 0.0).any():
             mat_disp = jnp.asarray(disp_np)
 
+        mat_aniso = None
+        aniso_np = np.array(self._mat_aniso, np.float32)
+        if (aniso_np > 0.0).any():
+            mat_aniso = jnp.asarray(aniso_np)
+
         mat_metallic = None
         mat_clearcoat = None
         if (types_np == materials.TYPE_PRINCIPLED).any():
@@ -770,6 +787,7 @@ class SceneBuilder:
                  if self._fog is not None else None),
             mat_param2=mat_param2,
             mat_disp=mat_disp,
+            mat_aniso=mat_aniso,
             mat_metallic=mat_metallic,
             mat_clearcoat=mat_clearcoat,
             mat_mrtex=mat_mrtex,

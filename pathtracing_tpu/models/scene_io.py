@@ -175,6 +175,7 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             mat_ids[name] = b.ggx(
                 m["albedo"], m.get("roughness", 0.1), texture=tex,
                 normal_map=nmap,
+                anisotropy=m.get("anisotropy", 0.0),
             )
         elif mtype == "principled":
             # Optional "mr_texture": metallic-roughness map path (glTF

@@ -209,6 +209,12 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     emit = materials.effective_emission(mtype, emit)
     metal_col = None
     cc_col = None
+    aniso_col = None
+    if scene.mat_aniso is not None:
+        # Anisotropic-GGX column — feature-gated like mat_param2.
+        aniso_col = scene.mat_aniso[
+            jnp.clip(hit.mat_id, 0, scene.mat_aniso.shape[0] - 1)
+        ]
     if scene.mat_metallic is not None:
         # Principled metallic column — feature-gated like mat_param2.
         # Gathered ONCE here so metallic-roughness maps (below) can
@@ -356,6 +362,13 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         f_ggx, pdf_ggx = materials.ggx_eval(alb, par, hit.normal, -d, wi)
         f_lobe = jnp.where(is_ggx[:, None], f_ggx, alb * INV_PI)
         pdf_b = jnp.where(is_ggx, pdf_ggx, cos_s * INV_PI)
+        if aniso_col is not None:
+            f_ga, pdf_ga = materials.ggx_eval_aniso(
+                alb, par, aniso_col, hit.normal, -d, wi
+            )
+            sel_a = is_ggx & (aniso_col > 1e-6)
+            f_lobe = jnp.where(sel_a[:, None], f_ga, f_lobe)
+            pdf_b = jnp.where(sel_a, pdf_ga, pdf_b)
         if scene.mat_metallic is not None:
             # Principled vertices: both-lobe sum with the mixture pdf
             # (exactly what scatter samples from) — feature-gated.
@@ -435,6 +448,13 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         )
         f_lobe_e = jnp.where(is_ggx_e[:, None], f_ggx_e, alb * INV_PI)
         pdf_b_e = jnp.where(is_ggx_e, pdf_ggx_e, cos_e * INV_PI)
+        if aniso_col is not None:
+            f_gae, pdf_gae = materials.ggx_eval_aniso(
+                alb, par, aniso_col, hit.normal, -d, wi_e
+            )
+            sel_ae = is_ggx_e & (aniso_col > 1e-6)
+            f_lobe_e = jnp.where(sel_ae[:, None], f_gae, f_lobe_e)
+            pdf_b_e = jnp.where(sel_ae, pdf_gae, pdf_b_e)
         if scene.mat_metallic is not None:
             is_pr_e = mtype == materials.TYPE_PRINCIPLED
             f_pe, pdf_pe = materials.principled_eval(
@@ -490,6 +510,12 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         is_ggx_d = mtype == materials.TYPE_GGX
         f_ggx_d, _ = materials.ggx_eval(alb, par, hit.normal, -d, wi_d)
         f_lobe_d = jnp.where(is_ggx_d[:, None], f_ggx_d, alb * INV_PI)
+        if aniso_col is not None:
+            f_gad, _ = materials.ggx_eval_aniso(
+                alb, par, aniso_col, hit.normal, -d, wi_d
+            )
+            sel_ad = is_ggx_d & (aniso_col > 1e-6)
+            f_lobe_d = jnp.where(sel_ad[:, None], f_gad, f_lobe_d)
         if scene.mat_metallic is not None:
             is_pr_d = mtype == materials.TYPE_PRINCIPLED
             f_pd, _ = materials.principled_eval(
@@ -543,7 +569,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     d_out, atten, scattered, scatter_pdf = materials.scatter(
         mtype, alb, par, emit, hit.normal, d, hit.front, u, param2=par2,
         disp=disp, throughput=throughput, metallic=metal_col,
-        clearcoat=cc_col,
+        clearcoat=cc_col, aniso=aniso_col,
     )
 
     throughput = throughput * jnp.where(live[:, None], atten, 1.0)

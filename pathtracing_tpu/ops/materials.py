@@ -106,6 +106,97 @@ def ggx_eval(f0, alpha, normal, view, light):
     )
 
 
+def _aniso_alphas(alpha, aniso):
+    """Disney anisotropy convention: aspect = sqrt(1 - 0.9·aniso);
+    alpha_x = alpha/aspect (along the tangent), alpha_y = alpha·aspect.
+    aniso=0 gives alpha_x == alpha_y == alpha exactly."""
+    aspect = jnp.sqrt(jnp.maximum(
+        1.0 - 0.9 * jnp.clip(aniso, 0.0, 1.0), 1e-4
+    ))
+    ax = jnp.maximum(alpha / aspect, GGX_MIN_ALPHA)
+    ay = jnp.maximum(alpha * aspect, GGX_MIN_ALPHA)
+    return ax, ay
+
+
+def _smith_g1_aniso(ax, ay, wt, wb, wn):
+    """Separable Smith masking, anisotropic Trowbridge-Reitz lambda.
+    Reduces exactly to ``_smith_g1`` at ax == ay."""
+    wn_ = jnp.maximum(jnp.abs(wn), 1e-6)
+    lam = 0.5 * (-1.0 + jnp.sqrt(
+        1.0 + (jnp.square(ax * wt) + jnp.square(ay * wb)) / (wn_ * wn_)
+    ))
+    return 1.0 / (1.0 + lam)
+
+
+def ggx_eval_aniso(f0, alpha, aniso, normal, view, light):
+    """Anisotropic GGX conductor eval: same contract as ``ggx_eval``
+    with the NDF stretched along a deterministic surface tangent frame
+    (``linalg.orthonormal_basis(normal)`` — stable across engines and
+    shardings because it is a pure function of the shading normal).
+    Returns (f (...,3), pdf (...,)); pdf matches ``ggx_sample_aniso``.
+    """
+    alpha = jnp.maximum(alpha, GGX_MIN_ALPHA)
+    ax, ay = _aniso_alphas(alpha, aniso)
+    t, b = linalg.orthonormal_basis(normal)
+
+    cos_v = linalg.dot(normal, view)
+    cos_l = linalg.dot(normal, light)
+    h = linalg.normalize(view + light)
+    vh = linalg.dot(view, h)
+    ht, hb, hn = linalg.dot(h, t), linalg.dot(h, b), linalg.dot(h, normal)
+    e = (jnp.square(ht / ax) + jnp.square(hb / ay)
+         + jnp.square(jnp.maximum(hn, 0.0)))
+    d_ndf = 1.0 / jnp.maximum(jnp.pi * ax * ay * e * e, 1e-12)
+    g = (
+        _smith_g1_aniso(ax, ay, linalg.dot(view, t),
+                        linalg.dot(view, b), cos_v)
+        * _smith_g1_aniso(ax, ay, linalg.dot(light, t),
+                          linalg.dot(light, b), cos_l)
+    )
+    fres = f0 + (1.0 - f0) * jnp.power(
+        jnp.clip(1.0 - vh, 0.0, 1.0), 5.0
+    )[..., None]
+    ok = (cos_v > 1e-6) & (cos_l > 1e-6) & (vh > 1e-6)
+    f = fres * (
+        d_ndf * g / jnp.maximum(4.0 * cos_v * cos_l, 1e-12)
+    )[..., None]
+    pdf = d_ndf * jnp.maximum(hn, 0.0) / jnp.maximum(4.0 * vh, 1e-12)
+    return (
+        jnp.where(ok[..., None], f, 0.0),
+        jnp.where(ok, pdf, 0.0),
+    )
+
+
+def ggx_sample_aniso(alpha, aniso, normal, d_in, u1, u2):
+    """Sample the anisotropic GGX NDF and reflect (PBRT Trowbridge-Reitz
+    Sample_wh, non-visible-normal form). Same contract as ``ggx_sample``:
+    returns (d_out, cos_h, vh); pdf/weights come from the matching
+    ``ggx_eval_aniso`` terms."""
+    alpha = jnp.maximum(alpha, GGX_MIN_ALPHA)
+    ax, ay = _aniso_alphas(alpha, aniso)
+    t, b = linalg.orthonormal_basis(normal)
+
+    a = 2.0 * jnp.pi * u2
+    # atan2(ay sinA, ax cosA) warps the azimuth with the D-matched
+    # density (the quadrant-safe form of atan(ay/ax · tanA)).
+    phi = jnp.arctan2(ay * jnp.sin(a), ax * jnp.cos(a))
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    inv_a2 = jnp.square(cp / ax) + jnp.square(sp / ay)
+    u1 = jnp.clip(u1, 0.0, 1.0 - 1e-6)
+    tan2t = (u1 / (1.0 - u1)) / jnp.maximum(inv_a2, 1e-12)
+    cos_h = 1.0 / jnp.sqrt(1.0 + tan2t)
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    h = (
+        (sin_h * cp)[..., None] * t
+        + (sin_h * sp)[..., None] * b
+        + cos_h[..., None] * normal
+    )
+    d_out = linalg.normalize(
+        d_in - 2.0 * linalg.dot(d_in, h)[..., None] * h
+    )
+    return d_out, cos_h, linalg.dot(-d_in, h)
+
+
 def ggx_sample_h(alpha, normal, u1, u2):
     """Sample a GGX half-vector around ``normal`` (NDF sampling).
 
@@ -265,7 +356,7 @@ def effective_emission(mat_type, emit):
 
 def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
             param2=None, disp=None, throughput=None, metallic=None,
-            clearcoat=None):
+            clearcoat=None, aniso=None):
     """Sample the BSDF for a batch of hits. Fully branchless.
 
     Args:
@@ -302,6 +393,10 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
         column (requires ``metallic``; None for coat-free scenes — same
         gating contract). Strength-0 rows reduce bit-exactly to the
         two-lobe principled results.
+      aniso: optional (...,) anisotropy column for TYPE_GGX rows
+        (None for isotropic scenes — same gating contract). Rows with
+        aniso > 0 sample/evaluate the anisotropic NDF over the
+        deterministic ``orthonormal_basis(normal)`` tangent frame.
 
     Returns:
       (d_out, attenuation, scattered, pdf):
@@ -322,6 +417,17 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
     alpha = jnp.maximum(param, GGX_MIN_ALPHA)
     alpha2 = alpha * alpha
     d_ggx, cos_h, vh = ggx_sample(alpha, normal, d_in, u[..., 0], u[..., 1])
+    if aniso is not None:
+        # Anisotropic rows re-sample through the stretched NDF (same
+        # uniforms — isotropic rows keep bit-identical draws via the
+        # where-select below).
+        use_a = aniso > 1e-6
+        d_ga, cos_h_a, vh_a = ggx_sample_aniso(
+            param, aniso, normal, d_in, u[..., 0], u[..., 1]
+        )
+        d_ggx = jnp.where(use_a[..., None], d_ga, d_ggx)
+        cos_h = jnp.where(use_a, cos_h_a, cos_h)
+        vh = jnp.where(use_a, vh_a, vh)
     cos_v = linalg.dot(normal, view)
     cos_lg = linalg.dot(normal, d_ggx)
     ggx_ok = (cos_lg > 1e-6) & (cos_v > 1e-6) & (vh > 1e-6)
@@ -334,6 +440,18 @@ def scatter(mat_type, albedo, param, emit, normal, d_in, front_face, u,
     )[..., None]
     pdf_ggx = _ggx_d(alpha2, cos_h) * jnp.maximum(cos_h, 0.0) \
         / jnp.maximum(4.0 * vh, 1e-9)
+    if aniso is not None:
+        # Anisotropic weight via the generic f·cosθ/pdf (the Walter
+        # form above is its algebraic simplification; eval/pdf share
+        # the frame and NDF with the sampler).
+        f_a, pdf_a = ggx_eval_aniso(
+            albedo, param, aniso, normal, view, d_ggx
+        )
+        w_a = f_a * (
+            jnp.maximum(cos_lg, 0.0) / jnp.maximum(pdf_a, 1e-12)
+        )[..., None]
+        w_ggx = jnp.where(use_a[..., None], w_a, w_ggx)
+        pdf_ggx = jnp.where(use_a, pdf_a, pdf_ggx)
 
     # --- Metal: mirror + fuzz * point-in-ball, rejected if driven below
     # the horizon (standard RTiOW-style lobe).
