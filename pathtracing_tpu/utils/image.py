@@ -140,6 +140,8 @@ def write_image(path: str, linear_rgb, exposure=1.0,
     """Format-dispatching writer: ``.hdr`` paths get LINEAR Radiance
     RGBE output (exposure applied, no tone curve — the archival /
     compositing format; ``ops.envmap.load_hdr`` round-trips it),
+    ``.exr`` linear float32 OpenEXR (``utils.exr``, the compositing
+    standard — full float precision, no RGBE mantissa sharing),
     ``.ppm`` the zero-dependency raster, anything else tonemapped
     PNG."""
     low = path.lower()
@@ -148,6 +150,11 @@ def write_image(path: str, linear_rgb, exposure=1.0,
 
         img = np.asarray(jax.device_get(jnp.asarray(linear_rgb)))
         write_hdr(path, img[..., :3] * float(exposure))
+    elif low.endswith(".exr"):
+        from pathtracing_tpu.utils.exr import write_exr
+
+        img = np.asarray(jax.device_get(jnp.asarray(linear_rgb)))
+        write_exr(path, img[..., :3] * float(exposure))
     elif low.endswith(".ppm"):
         write_ppm(path, linear_rgb)
     else:
