@@ -383,9 +383,15 @@ class SceneBuilder:
             clearcoat_roughness=clearcoat_roughness,
         )
 
-    def emissive(self, radiance) -> int:
+    def emissive(self, radiance, texture=None) -> int:
+        """``texture`` (optional) modulates the emitted radiance by the
+        texel at the hit/sampled uv (TV screens, stained glass) — the
+        emitter's geometry needs texture coordinates, like any textured
+        surface. Light selection and the MIS pdfs stay on the BASE
+        ``radiance`` power (see ops.lights.LightTable)."""
         return self.add_material(
-            materials.TYPE_EMISSIVE, (0.0, 0.0, 0.0), 0.0, radiance
+            materials.TYPE_EMISSIVE, (0.0, 0.0, 0.0), 0.0, radiance,
+            texture=texture,
         )
 
     def checker(self, color1, color2, frequency: float = 3.0) -> int:
@@ -771,6 +777,11 @@ class SceneBuilder:
                 materials.TYPE_EMISSIVE,
                 sph_center=sph_center, sph_radius=sph_radius,
                 sph_mat=sph_mat,
+                # Textured emission: per-tri uv rows + the material's
+                # texture id (columns attach only when an emitter is
+                # actually textured — build_light_table gates).
+                tri_uv=attr_uv,
+                tri_tex=(mat_tex_np[tri_mat] if any_tex else None),
             ),
             env=self._env,
             attr_uv=(jnp.asarray(attr_uv) if attr_uv is not None else None),

@@ -170,7 +170,7 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                 dispersion=m.get("dispersion", 0.0),
             )
         elif mtype == "emissive":
-            mat_ids[name] = b.emissive(m["radiance"])
+            mat_ids[name] = b.emissive(m["radiance"], texture=tex)
         elif mtype == "ggx":
             mat_ids[name] = b.ggx(
                 m["albedo"], m.get("roughness", 0.1), texture=tex,

@@ -207,6 +207,10 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
     alb = materials.effective_albedo(mtype, alb, par, emit, hit.position)
     emit = materials.effective_emission(mtype, emit)
+    # BASE emission — the MIS pdf side. Textured emitters (below)
+    # modulate the accumulated radiance, but light SELECTION is ∝ base
+    # power, so both MIS arms must keep the base-emission pdf.
+    emit_pdf = emit
     metal_col = None
     cc_col = None
     aniso_col = None
@@ -244,6 +248,14 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 )
                 textured = (tex_id >= 0) & hit.valid
                 alb = jnp.where(textured[:, None], alb * tex_rgb, alb)
+                # Textured emission (TV screens, stained glass): the
+                # texel scales the emitted radiance; ``emit_pdf`` above
+                # keeps the selection-matched base for the MIS weight.
+                emit = jnp.where(
+                    (textured
+                     & (mtype == materials.TYPE_EMISSIVE))[:, None],
+                    emit * tex_rgb, emit,
+                )
             if scene.mat_mrtex is not None:
                 # Metallic-roughness map (glTF channels: G scales the
                 # roughness factor, B the metallic factor) — sampled
@@ -284,7 +296,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # (ops.lights module docstring).
         total_power = scene.lights.total_power
         cos_l = jnp.abs(linalg.dot(d, hit.normal))
-        pdf_l = (hit.t * hit.t * linalg.luminance(emit)
+        pdf_l = (hit.t * hit.t * linalg.luminance(emit_pdf)
                  / (cos_l * total_power + 1e-20))
         w = prev_pdf**2 / (prev_pdf**2 + pdf_l**2 + 1e-30)
         # Every emissive primitive (triangle or sphere) is in the NEE
@@ -327,9 +339,29 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # triangles) — pdf_sa is the TRUE per-solid-angle density, the
         # estimator denominator. Triangle-only scenes draw identical
         # points and pdfs to the legacy area sampler, bit-for-bit.
-        lp, ln, lemit, pdf_sa = lights_ops.sample_solid_angle(
-            scene.lights, ul, o_nee
-        )
+        if scene.lights.uv0 is not None:
+            # Textured emitters: same draws, plus the sampled point's
+            # uv + atlas id; the texel scales the CONTRIBUTION while
+            # pdf_sa / the MIS pdfs stay on the base emission (any
+            # weight pair summing to one is unbiased).
+            from pathtracing_tpu.ops import texture as texture_ops
+
+            lp, ln, lemit, pdf_sa, uv_l, tex_l = (
+                lights_ops.sample_solid_angle(
+                    scene.lights, ul, o_nee, with_uv=True
+                )
+            )
+            ltex_rgb = texture_ops.sample_bilinear(
+                scene.textures, tex_l, uv_l
+            )
+            lemit_mod = jnp.where(
+                (tex_l >= 0)[:, None], lemit * ltex_rgb, lemit
+            )
+        else:
+            lp, ln, lemit, pdf_sa = lights_ops.sample_solid_angle(
+                scene.lights, ul, o_nee
+            )
+            lemit_mod = lemit
         wi_vec = lp - o_nee
         dist2 = jnp.sum(wi_vec * wi_vec, axis=-1)
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
@@ -400,11 +432,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             pdf_b = jnp.where(med_event, p_phase_l, pdf_b)
         w = pdf_l**2 / (pdf_l**2 + pdf_b**2 + 1e-30)
         scale = cos_s / jnp.maximum(pdf_sa, 1e-20) * w
-        contrib = throughput * f_lobe * lemit * scale[:, None]
+        contrib = throughput * f_lobe * lemit_mod * scale[:, None]
         if has_fog:
             scale_med = w / jnp.maximum(pdf_sa, 1e-20)
             contrib_med = (
-                throughput * lemit
+                throughput * lemit_mod
                 * (fog_albedo * p_phase_l * scale_med)[:, None]
             )
             contrib = jnp.where(

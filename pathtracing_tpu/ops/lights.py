@@ -66,12 +66,31 @@ class LightTable(NamedTuple):
     total_area: jnp.ndarray  # () f32 — 0.0 means "no lights" (NEE no-op)
     total_power: jnp.ndarray  # () f32 Σ luminance·area; the per-area pdf
     #                           at a sample of light i is lum_i / this
+    # Textured emission (triangle lights only; feature-gated — None for
+    # scenes without a textured emitter, keeping pytrees/jit keys
+    # identical). uv0/uv_e1/uv_e2 mirror the v0/e1/e2 edge form; tex is
+    # the atlas id (-1 on untextured rows, including every sphere).
+    # Selection stays ∝ BASE power — the texture modulates the emitted
+    # radiance at the sampled point, while both MIS arms keep the
+    # locally-computable base-emission pdf (any weight pair summing to
+    # one is unbiased).
+    uv0: jnp.ndarray = None    # (L, 2) f32
+    uv_e1: jnp.ndarray = None  # (L, 2) f32
+    uv_e2: jnp.ndarray = None  # (L, 2) f32
+    tex: jnp.ndarray = None    # (L,) i32
 
 
 def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
                       emissive_type: int, sph_center=None, sph_radius=None,
-                      sph_mat=None) -> LightTable:
-    """Host-side (NumPy) collection of emissive triangles + spheres."""
+                      sph_mat=None, tri_uv=None, tri_tex=None) -> LightTable:
+    """Host-side (NumPy) collection of emissive triangles + spheres.
+
+    ``tri_uv`` ((T, 3, 2), optional): per-corner texture coordinates for
+    ALL triangles (the scene's attr_uv rows, same order as v0);
+    ``tri_tex`` ((T,), optional): per-triangle emission-texture atlas id
+    (-1 = none). Both feed the textured-emission columns, attached only
+    when some selected emitter actually has a texture.
+    """
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -83,6 +102,10 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
     sel = types[tri_mat] == emissive_type
     lv0, lv1, lv2 = v0[sel], v1[sel], v2[sel]
     lemit = emits[sel]
+    luv = (np.asarray(tri_uv, np.float32)[sel]
+           if tri_uv is not None else None)
+    ltex = (np.asarray(tri_tex, np.int32)[sel]
+            if tri_tex is not None else None)
 
     e1 = lv1 - lv0
     e2 = lv2 - lv0
@@ -94,6 +117,10 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
         lv0[keep], e1[keep], e2[keep], n[keep], norm[keep], area[keep],
         lemit[keep],
     )
+    if luv is not None:
+        luv = luv[keep]
+    if ltex is not None:
+        ltex = ltex[keep]
     normal = (n / np.maximum(norm[:, None], 1e-20)).astype(np.float32)
     kind = np.zeros(lv0.shape[0], np.int32)
 
@@ -117,6 +144,14 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
                 [area, 4.0 * np.pi * sr[ssel] * sr[ssel]]
             )
             kind = np.concatenate([kind, np.ones(k, np.int32)])
+            if luv is not None:
+                luv = np.concatenate(
+                    [luv, np.zeros((k, 3, 2), np.float32)]
+                )
+            if ltex is not None:
+                ltex = np.concatenate(
+                    [ltex, np.full(k, -1, np.int32)]
+                )
 
     # Selection weight = emitted power (luminance · area), f64 so the
     # all-equal-radiance case reduces to the area CDF bit-exactly.
@@ -140,6 +175,16 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
 
     total = float(area.sum())
     cum = np.cumsum(power) / total_power
+    uv_cols = {}
+    if ltex is not None and (ltex >= 0).any():
+        if luv is None:
+            luv = np.zeros((lv0.shape[0], 3, 2), np.float32)
+        uv_cols = dict(
+            uv0=jnp.asarray(luv[:, 0]),
+            uv_e1=jnp.asarray(luv[:, 1] - luv[:, 0]),
+            uv_e2=jnp.asarray(luv[:, 2] - luv[:, 0]),
+            tex=jnp.asarray(ltex),
+        )
     return LightTable(
         v0=jnp.asarray(lv0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
         normal=jnp.asarray(normal),
@@ -148,6 +193,7 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
         cum=jnp.asarray(cum.astype(np.float32)),
         total_area=jnp.float32(total),
         total_power=jnp.float32(total_power),
+        **uv_cols,
     )
 
 
@@ -204,7 +250,8 @@ def sample(lights: LightTable, u):
     return point, normal, emit
 
 
-def sample_solid_angle(lights: LightTable, u, origin):
+def sample_solid_angle(lights: LightTable, u, origin,
+                       with_uv: bool = False):
     """NEE light sample with its actual per-solid-angle pdf.
 
     u: (R, 3) uniforms; origin: (R, 3) shading points. Returns
@@ -313,6 +360,17 @@ def sample_solid_angle(lights: LightTable, u, origin):
     pdf_cone = (2.0 * lum * rad * rad
                 / (lights.total_power * one_minus + 1e-20))
     pdf_sa = jnp.where(cone, pdf_cone, pdf_gen)
+    if with_uv:
+        # Textured-emission support: the sampled point's interpolated
+        # texture coordinate (triangle rows; sphere rows carry tex=-1
+        # and zeros here) + the emission-texture atlas id. Same (a, b)
+        # draws as the point, so the texel sits exactly at ``point``.
+        uv = (select(lights.uv0) + a * select(lights.uv_e1)
+              + b * select(lights.uv_e2))
+        tex = jnp.sum(
+            jnp.where(onehot, lights.tex[None, :], 0), axis=1
+        )  # the selected row's id verbatim (may be -1 = untextured)
+        return point, normal, emit, pdf_sa, uv, tex
     return point, normal, emit, pdf_sa
 
 
