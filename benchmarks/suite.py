@@ -280,7 +280,10 @@ def main() -> int:
     for tag, scene_name, depth in (("6a-textured", "textured_demo", 4),
                                    ("6b-glass", "glass_demo", 8),
                                    ("6c-fog", "fog_demo", 8),
-                                   ("6d-principled", "principled_demo", 5)):
+                                   ("6d-principled", "principled_demo", 5),
+                                   ("6e-spotlight", "spotlight_demo", 4),
+                                   ("6f-screenlight",
+                                    "screenlight_demo", 4)):
         scene6, cam6 = scenes.get_scene(scene_name)
         w6, h6 = 160, 120
         cfg6 = RenderConfig(width=w6, height=h6, samples_per_pixel=4,

@@ -523,6 +523,59 @@ def principled_demo(rows: int = 4, cols: int = 6) -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def spotlight_demo() -> Tuple[Scene, CameraConfig]:
+    """Delta-light showcase (ops.lights.DeltaLights): a spot pooling on
+    a brushed-metal (anisotropic GGX) disk-stand ball, a cool point
+    light rimming a chrome sphere, and a faint directional fill — the
+    three zero-extent emitter kinds plus the anisotropic conductor in
+    one frame. Pure-NEE lighting: with no area lights, every photon
+    here comes from the delta-light estimator."""
+    b = SceneBuilder()
+    floor = b.ggx((0.55, 0.55, 0.58), roughness=0.3, anisotropy=0.7)
+    b.add_quad((-20.0, 0.0, -20.0), (40.0, 0.0, 0.0), (0.0, 0.0, 40.0),
+               floor)
+    ball = b.principled((0.7, 0.22, 0.15), metallic=0.15, roughness=0.35)
+    b.add_sphere((-0.7, 0.5, 0.0), 0.5, ball)
+    chrome = b.metal((0.9, 0.9, 0.95), fuzz=0.04)
+    b.add_sphere((0.8, 0.4, 0.6), 0.4, chrome)
+    b.spot_light((-0.7, 3.5, 0.3), (0.0, -1.0, -0.08),
+                 (55.0, 50.0, 42.0), inner_degrees=12.0,
+                 outer_degrees=22.0)
+    b.point_light((3.0, 1.5, 2.5), (2.5, 3.5, 6.0))
+    b.directional_light((-0.4, -1.0, -0.3), (0.25, 0.25, 0.3))
+    cam = CameraConfig(position=(0.0, 1.6, 4.5),
+                       look_at=(0.0, 0.5, 0.0), vfov_degrees=40.0)
+    return b.build(), cam
+
+
+def screenlight_demo() -> Tuple[Scene, CameraConfig]:
+    """Textured-emission showcase: a color-bar "TV screen" panel is the
+    only light; its texels tint both the directly visible screen and
+    the NEE-sampled light on the glossy floor (the NEE arm carries the
+    sampled point's texel, ops.lights.sample_solid_angle with_uv)."""
+    b = SceneBuilder()
+    # Color bars over a dim lower band (a tiny procedural test card).
+    card = np.zeros((8, 8, 3), np.float32)
+    bars = [(1, 1, 1), (1, 1, 0), (0, 1, 1), (0, 1, 0),
+            (1, 0, 1), (1, 0, 0), (0, 0, 1), (0.05, 0.05, 0.05)]
+    for i, c in enumerate(bars):
+        card[2:, i] = c
+    card[:2] = 0.25
+    tex = b.add_texture(card)
+    floor = b.ggx((0.7, 0.7, 0.72), roughness=0.12)
+    b.add_quad((-5.0, 0.0, -3.0), (10.0, 0.0, 0.0), (0.0, 0.0, 8.0),
+               floor)
+    wall = b.lambertian((0.3, 0.3, 0.32))
+    b.add_quad((-5.0, 0.0, -3.0), (10.0, 0.0, 0.0), (0.0, 4.0, 0.0),
+               wall)
+    screen = b.emissive((10.0, 10.0, 10.0), texture=tex)
+    b.add_quad((-1.6, 0.35, -2.2), (3.2, 0.0, 0.0), (0.0, 1.8, 0.0),
+               screen, uv=True)
+    cam = CameraConfig(position=(0.0, 1.3, 4.2),
+                       look_at=(0.0, 0.8, 0.0), vfov_degrees=45.0)
+    return b.build(), cam
+
+
 SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_sphere": cornell_sphere,
     "cornell_bsdf": cornell_bsdf,
@@ -539,6 +592,8 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "fog_demo": fog_demo,
     "instanced_demo": instanced_demo,
     "principled_demo": principled_demo,
+    "spotlight_demo": spotlight_demo,
+    "screenlight_demo": screenlight_demo,
 }
 
 
