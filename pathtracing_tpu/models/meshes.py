@@ -1,4 +1,5 @@
-"""Mesh IO: Wavefront OBJ loading + mesh transforms (host-side, NumPy).
+"""Mesh IO: Wavefront OBJ + Stanford PLY loading + mesh transforms
+(host-side, NumPy).
 
 The reference has no asset pipeline at all (its one "asset" is a sphere
 hard-coded in the kernel, `Test.hlsl:12-13`); a real framework needs to
@@ -136,3 +137,138 @@ def transform(vertices: np.ndarray, scale=1.0, rotate_y_degrees=0.0,
     c, s = np.cos(th), np.sin(th)
     rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
     return v @ rot.T + np.asarray(translate, np.float64)
+
+
+_PLY_TYPES = {
+    "char": ("i1", 1), "int8": ("i1", 1),
+    "uchar": ("u1", 1), "uint8": ("u1", 1),
+    "short": ("i2", 2), "int16": ("i2", 2),
+    "ushort": ("u2", 2), "uint16": ("u2", 2),
+    "int": ("i4", 4), "int32": ("i4", 4),
+    "uint": ("u4", 4), "uint32": ("u4", 4),
+    "float": ("f4", 4), "float32": ("f4", 4),
+    "double": ("f8", 8), "float64": ("f8", 8),
+}
+
+
+def load_ply(path: str):
+    """Parse a PLY file (Stanford polygon format) — the other standard
+    scanned-asset container (bunny/dragon/buddha ship as .ply).
+
+    Supports ascii 1.0 and binary_little_endian 1.0, vertex properties
+    x/y/z (+ optional nx/ny/nz normals and u/v | s/t texcoords), and a
+    face vertex_indices list (fan-triangulated). Same return contract
+    as ``load_obj_full``: (vertices, faces, uvs, uv_faces, normals,
+    normal_faces) — PLY attributes are per-vertex, so the attribute
+    index buffers equal ``faces`` when present.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+
+    # ---- header ----
+    end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:end].decode("ascii").splitlines()
+    body = data[end:]
+    if header[0].strip() != "ply":
+        raise ValueError(f"{path!r} is not a PLY file")
+    fmt = None
+    elements = []  # (name, count, [(prop_name, type, list_index_type?)])
+    for line in header[1:]:
+        parts = line.split()
+        if not parts or parts[0] == "comment":
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            elements.append((parts[1], int(parts[2]), []))
+        elif parts[0] == "property":
+            if parts[1] == "list":
+                elements[-1][2].append((parts[4], parts[3], parts[2]))
+            else:
+                elements[-1][2].append((parts[2], parts[1], None))
+    if fmt not in ("ascii", "binary_little_endian"):
+        raise ValueError(f"unsupported PLY format {fmt!r} in {path!r}")
+
+    verts = norms = uvs = None
+    faces = []
+    if fmt == "ascii":
+        tokens = body.decode("ascii").split("\n")
+        rows = [t.split() for t in tokens if t.strip()]
+        at = 0
+        for name, count, props in elements:
+            if name == "vertex":
+                cols = [p for p, _, lt in props if lt is None]
+                arr = np.asarray(
+                    [r[:len(cols)] for r in rows[at:at + count]],
+                    np.float64,
+                )
+                vdict = {c: arr[:, i] for i, c in enumerate(cols)}
+                verts, norms, uvs = _ply_vertex_attrs(vdict)
+            elif name == "face":
+                for r in rows[at:at + count]:
+                    n = int(r[0])
+                    idx = [int(x) for x in r[1:1 + n]]
+                    for k in range(1, n - 1):
+                        faces.append((idx[0], idx[k], idx[k + 1]))
+            at += count
+    else:
+        off = 0
+        for name, count, props in elements:
+            if name == "vertex":
+                if any(lt is not None for _, _, lt in props):
+                    raise ValueError("list property on PLY vertices")
+                dt = np.dtype([(p, "<" + _PLY_TYPES[t][0])
+                               for p, t, _ in props])
+                arr = np.frombuffer(body, dt, count, off)
+                off += dt.itemsize * count
+                vdict = {p: arr[p].astype(np.float64)
+                         for p, _, _ in props}
+                verts, norms, uvs = _ply_vertex_attrs(vdict)
+            elif name == "face":
+                for _ in range(count):
+                    (pname, etype, ltype) = props[0]
+                    lsz = _PLY_TYPES[ltype][1]
+                    esz = _PLY_TYPES[etype][1]
+                    n = int(np.frombuffer(
+                        body, "<" + _PLY_TYPES[ltype][0], 1, off)[0])
+                    off += lsz
+                    idx = np.frombuffer(
+                        body, "<" + _PLY_TYPES[etype][0], n, off
+                    ).astype(np.int64)
+                    off += esz * n
+                    for k in range(1, n - 1):
+                        faces.append((idx[0], idx[k], idx[k + 1]))
+                    # Trailing non-list face properties are not
+                    # supported (rare); keep the parser honest.
+                    if len(props) > 1:
+                        raise ValueError(
+                            "extra PLY face properties unsupported"
+                        )
+            else:
+                if fmt == "binary_little_endian":
+                    raise ValueError(
+                        f"unknown binary PLY element {name!r}"
+                    )
+
+    if verts is None or not faces:
+        raise ValueError(f"PLY file {path!r} has no triangles")
+    faces_np = np.asarray(faces, np.int64)
+    return (
+        verts, faces_np,
+        uvs, faces_np if uvs is not None else None,
+        norms, faces_np if norms is not None else None,
+    )
+
+
+def _ply_vertex_attrs(vdict):
+    """Split a PLY vertex property dict into (verts, normals, uvs)."""
+    verts = np.stack([vdict["x"], vdict["y"], vdict["z"]], axis=1)
+    norms = None
+    if all(k in vdict for k in ("nx", "ny", "nz")):
+        norms = np.stack([vdict["nx"], vdict["ny"], vdict["nz"]], axis=1)
+    uvs = None
+    for ku, kv in (("u", "v"), ("s", "t")):
+        if ku in vdict and kv in vdict:
+            uvs = np.stack([vdict[ku], vdict[kv]], axis=1)
+            break
+    return verts, norms, uvs

@@ -32,6 +32,7 @@ Format (see ``tests/test_scene_io.py`` or ``examples/`` for a sample):
      "fit_box": {"center": [0,-0.5,0], "size": 1.0},
      "transform": {"scale": 1, "rotate_y_degrees": 0,
                    "translate": [0,0,0]}},
+    {"type": "mesh", "ply": "dragon.ply", "material": "white"},
     {"type": "icosphere", "subdivisions": 4, "radius": 0.5,
      "center": [0,0,0], "material": "white"},
     {"type": "instances", "material": "white",
@@ -216,12 +217,15 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             b.add_triangle(obj["v0"], obj["v1"], obj["v2"], mat(obj),
                            uv=obj.get("uv"))
         elif otype == "mesh":
-            mesh_path = obj["obj"]
+            mesh_path = obj.get("obj", obj.get("ply"))
+            if mesh_path is None:
+                raise ValueError("mesh object needs an 'obj' or 'ply' path")
             if not os.path.isabs(mesh_path):
                 mesh_path = os.path.join(base_dir, mesh_path)
-            verts, faces, uvs, uvf, norms, nrf = meshes.load_obj_full(
-                mesh_path
-            )
+            loader = (meshes.load_ply
+                      if mesh_path.lower().endswith(".ply")
+                      else meshes.load_obj_full)
+            verts, faces, uvs, uvf, norms, nrf = loader(mesh_path)
             if "fit_box" in obj:
                 fb = obj["fit_box"]
                 verts = meshes.fit_to_box(verts, fb["center"], fb["size"])
