@@ -196,7 +196,7 @@ class SceneBuilder:
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
         self._env = None        # ops.envmap.EnvMap (image-based light)
-        self._protos = []       # (v0, e1, e2, mats, [(3,4) transforms])
+        self._protos = []       # (v0, e1, e2, mats, [(3,4) xforms], [imat])
         self._delta = []        # delta-light spec dicts (ops.lights)
 
     def set_fog(self, sigma_s: float, sigma_a: float = 0.0,
@@ -469,7 +469,7 @@ class SceneBuilder:
         ))
 
     def add_instances(self, vertices: np.ndarray, faces: np.ndarray,
-                      mat_id, transforms) -> None:
+                      mat_id, transforms, materials=None) -> None:
         """Instance one prototype mesh many times by object→world affine
         transforms — TRUE shared geometry (``ops.clusters.InstanceSet``):
         the mesh's Woop/material tensors are stored ONCE; each transform
@@ -485,7 +485,12 @@ class SceneBuilder:
         attributes (UVs / smooth normals — hits fall back to the exact
         geometric normal), and the expanded cluster count must fit the
         flat DNF budget. The reference has no instancing at all (one
-        world-space triangle list, RayTracing/Graphics/Renderer.cs)."""
+        world-space triangle list, RayTracing/Graphics/Renderer.cs).
+
+        ``materials`` (optional): one material id (or None) PER
+        TRANSFORM, overriding ``mat_id`` for that instance — a forest of
+        shared-geometry trees in varied colors. Overrides cannot be
+        emissive either (same light-table reason)."""
         vertices = np.asarray(vertices, np.float64)
         faces = np.asarray(faces, np.int64)
         tri = vertices[faces]
@@ -506,13 +511,22 @@ class SceneBuilder:
             ts.append(m)
         if not ts:
             raise ValueError("add_instances needs at least one transform")
+        if materials is None:
+            imats = [-1] * len(ts)
+        else:
+            if len(materials) != len(ts):
+                raise ValueError(
+                    "add_instances materials must match transforms "
+                    f"({len(materials)} vs {len(ts)})"
+                )
+            imats = [int(m) if m is not None else -1 for m in materials]
         # Cast-then-subtract in f32 to match build()'s edge math exactly
         # (an identity-transform instance must trace bit-identically to
         # the same mesh added flat).
         v0f = v0.astype(np.float32)
         self._protos.append((
             v0f, v1.astype(np.float32) - v0f,
-            v2.astype(np.float32) - v0f, mats, ts,
+            v2.astype(np.float32) - v0f, mats, ts, imats,
         ))
 
     # -- finalize ----------------------------------------------------------
@@ -636,13 +650,19 @@ class SceneBuilder:
                 [np.eye(3), np.zeros((3, 1))], axis=1))]
             parts = [cl]
             offset = n_base
-            for pv0, pe1, pe2, pmats, ts in self._protos:
+            for pv0, pe1, pe2, pmats, ts, imats in self._protos:
                 if (mat_types[pmats] == materials.TYPE_EMISSIVE).any():
                     raise ValueError(
                         "instanced prototypes cannot use emissive "
                         "materials (the NEE light table indexes world-"
                         "space triangles); add emitters as base geometry"
                     )
+                for im in imats:
+                    if im >= 0 and mat_types[im] == materials.TYPE_EMISSIVE:
+                        raise ValueError(
+                            "per-instance material overrides cannot be "
+                            "emissive (same light-table reason)"
+                        )
                 pcl, _, _ = cluster_ops.build_clusters(
                     np.asarray(pv0, np.float32),
                     np.asarray(pe1, np.float32),
@@ -650,8 +670,8 @@ class SceneBuilder:
                 )
                 npc = pcl.aabb_min.shape[0]
                 parts.append(pcl)
-                for m in ts:
-                    placements.append((offset, npc, m))
+                for m, im in zip(ts, imats):
+                    placements.append((offset, npc, m, im))
                 offset += npc
             cl = cl._replace(
                 aabb_min=np.concatenate([p.aabb_min for p in parts]),

@@ -276,9 +276,19 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                 verts, faces = icosphere(
                     ico.get("subdivisions", 3), ico.get("radius", 1.0)
                 )
+            # Optional "materials": one material name (or null) per
+            # transform, overriding the prototype's material for that
+            # instance (per-instance colored copies).
+            overrides = None
+            if "materials" in obj:
+                overrides = [
+                    mat_ids[n] if n is not None else None
+                    for n in obj["materials"]
+                ]
             b.add_instances(
                 verts, faces, mat(obj),
                 [_affine(t) for t in obj["transforms"]],
+                materials=overrides,
             )
         else:
             raise ValueError(f"unknown object type {otype!r}")

@@ -1435,13 +1435,19 @@ def trace_jax_inst(clusters, inst, origin, direction, t_init):
     miss = best_slot < 0
     nw = jnp.where(miss[:, None], 0.0, nw)
     mat = jnp.where(miss, 0, mat)
+    if inst.imat is not None:
+        # Per-instance material override (same contract as the Pallas
+        # kernel's imat_ref path; -1 keeps prototype mats).
+        im = jnp.asarray(inst.imat, jnp.int32)[jnp.maximum(best_e, 0)]
+        mat = jnp.where(jnp.logical_not(miss) & (im >= 0), im, mat)
     return best_t, best_slot, nw, mat
 
 
 def _inst_eval_group(ids, cmap_ref, xf_ref, woop_ref, mat_ref,
                      o0, o1, o2, d0, d1, d2, ones, zeros, tile,
                      t_ref, slot_ref=None, normal_ref=None,
-                     hitmat_ref=None, cap=None, occ_ref=None):
+                     hitmat_ref=None, cap=None, occ_ref=None,
+                     imat_ref=None):
     """Dense instanced group evaluation. Each popped expanded cluster
     gets its own object-space ray tile (the per-cluster transform breaks
     the shared-ray widened eval of _pair_eval_wide, but the total VPU
@@ -1462,7 +1468,14 @@ def _inst_eval_group(ids, cmap_ref, xf_ref, woop_ref, mat_ref,
         tps.append(_pair_eval(o_e, d_e, w, best_t))
         if occ_ref is None:
             wbs.append(w[:, 2 * k:])
-            mats.append(mat_ref[p])
+            m = mat_ref[p]
+            if imat_ref is not None:
+                # Per-instance material override: one scalar SMEM read
+                # per popped cluster; -1 keeps the prototype's mats
+                # (identity bits, so override-free rows are unchanged).
+                im = imat_ref[0, e]
+                m = jnp.where(im >= 0, im, m)
+            mats.append(m)
             protos.append(p)
             xfs.append(xf)
     kp = k * len(ids)
@@ -1515,7 +1528,8 @@ def _inst_eval_group(ids, cmap_ref, xf_ref, woop_ref, mat_ref,
 
 def _tile_kernel_dnf_inst(o_ref, d_ref, t0_ref, cb_ref, cmap_ref, xf_ref,
                           woop_ref, mat_ref, t_ref, slot_ref, normal_ref,
-                          hitmat_ref, key_ref, dead_ref, *, n_exp: int,
+                          hitmat_ref, key_ref, dead_ref, imat_ref=None,
+                          *, n_exp: int,
                           tile: int, c_pad: int, idx_bits: int,
                           group: int, windowed: bool, occ: bool = False):
     """Instanced dense nearest-first kernel: the _tile_kernel_dnf loop
@@ -1575,6 +1589,7 @@ def _tile_kernel_dnf_inst(o_ref, d_ref, t0_ref, cb_ref, cmap_ref, xf_ref,
                 o0, o1, o2, d0, d1, d2, ones, zeros, tile, t_ref,
                 slot_ref, normal_ref, hitmat_ref,
                 cap=cap, occ_ref=t_ref if occ else None,
+                imat_ref=imat_ref,
             )
 
         return any_valid
@@ -1592,6 +1607,9 @@ def _inst_tables(inst, c_pad: int):
     ).astype(jnp.float32)
     cmap = jnp.asarray(inst.cmap, jnp.int32)[None, :]
     xf = jnp.asarray(inst.xform, jnp.float32).T
+    imat = None
+    if inst.imat is not None:
+        imat = jnp.asarray(inst.imat, jnp.int32)[None, :]
     pad = c_pad - ce
     if pad:
         fill = jnp.concatenate(
@@ -1601,7 +1619,9 @@ def _inst_tables(inst, c_pad: int):
         cb = jnp.concatenate([cb, fill], axis=1)
         cmap = jnp.pad(cmap, ((0, 0), (0, pad)))
         xf = jnp.pad(xf, ((0, 0), (0, pad)))
-    return cb, cmap, xf
+        if imat is not None:
+            imat = jnp.pad(imat, ((0, 0), (0, pad)), constant_values=-1)
+    return cb, cmap, xf, imat
 
 
 def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
@@ -1629,7 +1649,10 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
         )
         t_init = jnp.pad(t_init, (0, pad))
     o_aug, d_aug = _augment(origin, direction)
-    cb, cmap, xf = _inst_tables(inst, c_pad)
+    cb, cmap, xf, imat = _inst_tables(inst, c_pad)
+    # Any-hit never reads materials — keep the occlusion kernel's
+    # signature (and compiled graph) independent of the override column.
+    has_imat = imat is not None and not occ
     if windowed:
         nw = c_pad // 128
         col = jnp.arange(c_pad, dtype=jnp.int32)
@@ -1646,6 +1669,10 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # proto woop
         pl.BlockSpec(memory_space=pltpu.VMEM),   # proto mat
     ]
+    if has_imat:
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.SMEM)  # imat (1, c_pad)
+        )
     if occ:
         out_specs, out_shape = ray_spec(1), jax.ShapeDtypeStruct(
             (r_pad, 1), jnp.float32
@@ -1659,8 +1686,14 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
             jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
         )
 
-    def kernel(o, d, t0, cb_, cmap_, xf_, woop_, mat_, *outs, key_ref,
-               dead_ref):
+    n_in = len(in_specs)
+
+    def kernel_flat(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in:-2]
+        key_ref, dead_ref = refs[-2], refs[-1]
+        o, d, t0, cb_, cmap_, xf_, woop_, mat_ = ins[:8]
+        imat_ = ins[8] if has_imat else None
         if occ:
             t_ref, = outs
             slot_ref = normal_ref = hitmat_ref = None
@@ -1668,13 +1701,11 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
             t_ref, slot_ref, normal_ref, hitmat_ref = outs
         _tile_kernel_dnf_inst(
             o, d, t0, cb_, cmap_, xf_, woop_, mat_, t_ref, slot_ref,
-            normal_ref, hitmat_ref, key_ref, dead_ref, n_exp=ce,
+            normal_ref, hitmat_ref, key_ref, dead_ref, imat_ref=imat_,
+            n_exp=ce,
             tile=tile, c_pad=c_pad, idx_bits=idx_bits, group=group,
             windowed=windowed, occ=occ,
         )
-
-    def kernel_flat(*refs):
-        kernel(*refs[:-2], key_ref=refs[-2], dead_ref=refs[-1])
 
     out = pl.pallas_call(
         kernel_flat,
@@ -1691,7 +1722,8 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
         ),
         interpret=interpret,
     )(o_aug, d_aug, t_init[:, None], cb, cmap, xf, clusters.woop,
-      clusters.mat[:, None, :])
+      clusters.mat[:, None, :],
+      *((imat,) if has_imat else ()))
     if occ:
         return out[:r, 0] > 0.0
     t, slot, normal, mat = out

@@ -215,6 +215,10 @@ class InstanceSet(NamedTuple):
               the f32 corner-transform rounding).
     aabb_max: (Ce, 3) f32.
     inst_id:  (Ce,) i32 instance index (diagnostics; attrs later).
+    imat:     (Ce,) i32 per-instance MATERIAL OVERRIDE (-1 = keep the
+              prototype's per-triangle mats) — feature-gated: None when
+              no placement overrides, keeping override-free instanced
+              scenes' pytrees and jit graphs identical.
     """
 
     cmap: np.ndarray
@@ -222,19 +226,29 @@ class InstanceSet(NamedTuple):
     aabb_min: np.ndarray
     aabb_max: np.ndarray
     inst_id: np.ndarray
+    imat: np.ndarray = None
 
 
 def expand_instances(proto: ClusterSet, placements) -> InstanceSet:
     """Expand per-instance placements into an InstanceSet.
 
-    ``placements``: sequence of (first_cluster, n_clusters, M) where M is
-    the (3, 4) or (4, 4) OBJECT→WORLD affine transform of one instance
-    over the prototype cluster range [first_cluster, first_cluster +
-    n_clusters). Transforms may rotate, translate, and scale (uniform or
-    not — normals go through L^T which is exact for any invertible A).
+    ``placements``: sequence of (first_cluster, n_clusters, M[, imat])
+    where M is the (3, 4) or (4, 4) OBJECT→WORLD affine transform of one
+    instance over the prototype cluster range [first_cluster,
+    first_cluster + n_clusters). Transforms may rotate, translate, and
+    scale (uniform or not — normals go through L^T which is exact for
+    any invertible A). The optional 4th element is a per-instance
+    material-id override (-1/absent = keep the prototype's mats); the
+    ``imat`` column is attached only when some placement overrides.
     """
-    cmaps, xforms, mins, maxs, iids = [], [], [], [], []
-    for iid, (first, count, m) in enumerate(placements):
+    cmaps, xforms, mins, maxs, iids, imats = [], [], [], [], [], []
+    for iid, placement in enumerate(placements):
+        first, count, m = placement[:3]
+        imats.append(np.full(
+            count,
+            placement[3] if len(placement) > 3 else -1,
+            np.int32,
+        ))
         m = np.asarray(m, np.float64)
         if m.shape == (4, 4):
             m = m[:3]
@@ -264,12 +278,14 @@ def expand_instances(proto: ClusterSet, placements) -> InstanceSet:
         mins.append((wmin - margin).astype(np.float32))
         maxs.append((wmax + margin).astype(np.float32))
         iids.append(np.full(count, iid, np.int32))
+    imat_all = np.concatenate(imats)
     return InstanceSet(
         cmap=np.concatenate(cmaps),
         xform=np.concatenate(xforms),
         aabb_min=np.concatenate(mins),
         aabb_max=np.concatenate(maxs),
         inst_id=np.concatenate(iids),
+        imat=imat_all if (imat_all >= 0).any() else None,
     )
 
 

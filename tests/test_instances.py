@@ -224,3 +224,80 @@ def test_guards():
         intersect_batch(scene, o, d, traversal="bvh")
     with pytest.raises(ValueError, match="BVH"):
         occluded_batch(scene, o, d, jnp.full(8, 1.0), traversal="bvh")
+
+
+def test_per_instance_material_override_bitwise():
+    """Overridden instances report the override id from BOTH the oracle
+    and the Pallas kernel (bitwise vs each other, t/slot untouched);
+    un-overridden rays match a no-override run exactly."""
+    (v0, e1, e2, mat), cl = _proto()
+    nc = cl.aabb_min.shape[0]
+    pls = _placements(nc, 5)
+    pls_ov = [
+        p + ((10,) if i == 1 else (11,) if i == 3 else ())
+        for i, p in enumerate(pls)
+    ]
+    inst0 = cl_ops.expand_instances(cl, pls)
+    inst1 = cl_ops.expand_instances(cl, pls_ov)
+    assert inst0.imat is None and inst1.imat is not None
+    clj = jax.tree.map(jnp.asarray, cl)
+    i0 = jax.tree.map(jnp.asarray, inst0)
+    i1 = jax.tree.map(jnp.asarray, inst1)
+    o, d = _rays(256, seed=7)
+    t0 = jnp.full(256, 3.0e38, jnp.float32)
+
+    tj, sj, nj, mj = ct.trace_jax_inst(clj, i1, o, d, t0)
+    tp, sp, npk, mp = ct.trace_pallas_dnf_inst(
+        clj, i1, o, d, t0, interpret=True
+    )
+    assert jnp.all(tj == tp) and jnp.all(sj == sp)
+    assert jnp.all(mj == mp)
+    assert int(jnp.sum((mj == 10) | (mj == 11))) > 0  # overrides seen
+
+    # Geometry identical to the no-override run; mats differ ONLY by
+    # becoming 10/11 (base mats are 0..3).
+    tb, sb, _, mb = ct.trace_jax_inst(clj, i0, o, d, t0)
+    assert jnp.all(tb == tj) and jnp.all(sb == sj)
+    changed = mj != mb
+    assert jnp.all(jnp.where(changed, (mj == 10) | (mj == 11), True))
+
+
+def test_override_guards_and_builder():
+    b = SceneBuilder()
+    scenes_mod._cornell_walls(b)
+    metal = b.metal((0.8, 0.8, 0.9), 0.1)
+    red = b.lambertian((0.7, 0.1, 0.1))
+    verts, faces = scenes_mod.icosphere(1, 0.2)
+    eye = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    with pytest.raises(ValueError, match="materials must match"):
+        b.add_instances(verts, faces, metal, [eye, eye],
+                        materials=[red])
+
+    light = b.emissive((5.0, 5.0, 5.0))
+    b.add_instances(verts, faces, metal, [eye], materials=[light])
+    with pytest.raises(ValueError, match="emissive"):
+        b.build()
+
+
+def test_override_flows_to_hits_via_builder():
+    b = SceneBuilder()
+    scenes_mod._cornell_walls(b)
+    metal = b.metal((0.8, 0.8, 0.9), 0.1)
+    red = b.lambertian((0.7, 0.1, 0.1))
+    verts, faces = scenes_mod.icosphere(1, 0.2)
+    ts = []
+    for x in (-0.5, 0.5):
+        m = np.concatenate(
+            [np.eye(3), np.array([[x], [-0.6], [0.0]])], axis=1
+        )
+        ts.append(m)
+    b.add_instances(verts, faces, metal, ts, materials=[None, red])
+    scene = b.build()
+
+    # One ray at each ball: left keeps metal, right reports red.
+    o = jnp.asarray([[-0.5, -0.6, 3.0], [0.5, -0.6, 3.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 2, jnp.float32)
+    hit = intersect_batch(scene, o, d, traversal="cluster_interpret")
+    assert bool(hit.valid[0]) and bool(hit.valid[1])
+    assert int(hit.mat_id[0]) == metal
+    assert int(hit.mat_id[1]) == red
