@@ -470,7 +470,7 @@ def instanced_demo(grid: int = 12,
     ]
     verts, faces = icosphere(subdivisions, 0.45)
     rng = np.random.default_rng(7)
-    groups = [[] for _ in mats]
+    ts, overrides = [], []
     for i in range(grid):
         for j in range(grid):
             a = float(rng.uniform(0.0, 2.0 * np.pi))
@@ -484,10 +484,12 @@ def instanced_demo(grid: int = 12,
                 0.45 * sy,
                 -9.0 + 18.0 * j / (grid - 1) + float(rng.uniform(-0.3, 0.3)),
             ])
-            m = np.concatenate([rot @ scale, t[:, None]], axis=1)
-            groups[(i * grid + j) % len(mats)].append(m)
-    for mat, ts in zip(mats, groups):
-        b.add_instances(verts, faces, mat, ts)
+            ts.append(np.concatenate([rot @ scale, t[:, None]], axis=1))
+            overrides.append(mats[(i * grid + j) % len(mats)])
+    # ONE prototype, ONE add_instances call: the material variety comes
+    # from per-instance overrides, so the Woop tensors are stored once
+    # (the pre-override version duplicated the prototype per material).
+    b.add_instances(verts, faces, mats[0], ts, materials=overrides)
     cam = CameraConfig(position=(0.0, 5.5, 14.0),
                        look_at=(0.0, 0.6, 0.0), vfov_degrees=42.0)
     return b.build(), cam
