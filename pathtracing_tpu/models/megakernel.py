@@ -130,9 +130,33 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
             else:
                 ld_nee = ld_scatter = None
 
+            times = None
+            if scene_mod.has_motion(scene):
+                # Object motion blur: the per-path shutter time, drawn
+                # from the SAME stream camera_sample uses for camera
+                # motion — rigid camera+object motion stays consistent.
+                from pathtracing_tpu.ops import rng as rng_ops
+
+                if config.sampler == "ld":
+                    times = jax.vmap(
+                        lambda p: rng_ops.ld_scalar(
+                            seed, p, sample_idx, rng_ops.STREAM_TIME
+                        )
+                    )(pixel_index)
+                else:
+                    times = jax.vmap(
+                        lambda p: jax.random.uniform(
+                            rng_ops.stream_key(
+                                rng_ops.pixel_sample_key(
+                                    seed, p, sample_idx
+                                ), 0, rng_ops.STREAM_TIME,
+                            ), (), dtype=jnp.float32,
+                        )
+                    )(pixel_index)
+
             has_media = scene.mat_absorb is not None
 
-            def make_bounce(ks, ldn, lds):
+            def make_bounce(ks, ldn, lds, tm):
                 def bounce(depth, state):
                     # With media the state carries the per-path interior
                     # absorption coefficient as a trailing element
@@ -147,6 +171,7 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
                         traversal, nee=config.nee, prev_pdf=pdf,
                         prev_nee=pdiff, bin_rays=config.ray_sort,
                         ld_nee=ldn, ld_scatter=lds, medium=med,
+                        time=tm,
                     )
                 return bounce
 
@@ -173,11 +198,11 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
             depths = [d for d in sorted(COMPACT_DEPTHS)
                       if dnf_route and config.max_depth >= d + 2]
             state, ks, start = init, keys, 0
-            ldn, lds = ld_nee, ld_scatter
+            ldn, lds, tm = ld_nee, ld_scatter, times
             invs = []
             for d in depths:
                 state = jax.lax.fori_loop(start, d,
-                                          make_bounce(ks, ldn, lds),
+                                          make_bounce(ks, ldn, lds, tm),
                                           state)
                 perm, inv = binning.binning_perm(
                     jnp.where(state[4], 0, 1).astype(jnp.int32), 2
@@ -186,10 +211,13 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
                 ks = ks[perm]
                 if ldn is not None:
                     ldn, lds = ldn[perm], lds[perm]
+                if tm is not None:
+                    tm = tm[perm]
                 invs.append(inv)
                 start = d
             radiance, *_ = jax.lax.fori_loop(
-                start, config.max_depth, make_bounce(ks, ldn, lds), state
+                start, config.max_depth, make_bounce(ks, ldn, lds, tm),
+                state
             )
             for inv in reversed(invs):
                 radiance = radiance[inv]

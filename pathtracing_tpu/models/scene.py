@@ -469,7 +469,8 @@ class SceneBuilder:
         ))
 
     def add_instances(self, vertices: np.ndarray, faces: np.ndarray,
-                      mat_id, transforms, materials=None) -> None:
+                      mat_id, transforms, materials=None,
+                      motion_transforms=None) -> None:
         """Instance one prototype mesh many times by object→world affine
         transforms — TRUE shared geometry (``ops.clusters.InstanceSet``):
         the mesh's Woop/material tensors are stored ONCE; each transform
@@ -490,7 +491,14 @@ class SceneBuilder:
         ``materials`` (optional): one material id (or None) PER
         TRANSFORM, overriding ``mat_id`` for that instance — a forest of
         shared-geometry trees in varied colors. Overrides cannot be
-        emissive either (same light-table reason)."""
+        emissive either (same light-table reason).
+
+        ``motion_transforms`` (optional): one SHUTTER-CLOSE transform
+        (or None = static) per entry of ``transforms`` — object motion
+        blur. The motion path lerps the forward affine per-ray at the
+        path's shutter time (the same time that drives camera motion
+        blur), so rigid camera+object motion stays consistent; see
+        ops.cluster_trace._lerp_affine_inverse."""
         vertices = np.asarray(vertices, np.float64)
         faces = np.asarray(faces, np.int64)
         tri = vertices[faces]
@@ -511,6 +519,30 @@ class SceneBuilder:
             ts.append(m)
         if not ts:
             raise ValueError("add_instances needs at least one transform")
+        mts = []
+        if motion_transforms is not None:
+            if len(motion_transforms) != len(ts):
+                raise ValueError(
+                    "add_instances motion_transforms must match "
+                    f"transforms ({len(motion_transforms)} vs {len(ts)})"
+                )
+            for m1 in motion_transforms:
+                if m1 is None:
+                    mts.append(None)
+                    continue
+                m1 = np.asarray(m1, np.float64)
+                if m1.shape == (4, 4):
+                    m1 = m1[:3]
+                if m1.shape != (3, 4):
+                    raise ValueError(
+                        "motion transform must be (3,4) or (4,4); "
+                        f"got {m1.shape}"
+                    )
+                if abs(np.linalg.det(m1[:, :3])) < 1e-12:
+                    raise ValueError("motion transform is singular")
+                mts.append(m1)
+        else:
+            mts = [None] * len(ts)
         if materials is None:
             imats = [-1] * len(ts)
         else:
@@ -526,7 +558,7 @@ class SceneBuilder:
         v0f = v0.astype(np.float32)
         self._protos.append((
             v0f, v1.astype(np.float32) - v0f,
-            v2.astype(np.float32) - v0f, mats, ts, imats,
+            v2.astype(np.float32) - v0f, mats, ts, imats, mts,
         ))
 
     # -- finalize ----------------------------------------------------------
@@ -650,7 +682,7 @@ class SceneBuilder:
                 [np.eye(3), np.zeros((3, 1))], axis=1))]
             parts = [cl]
             offset = n_base
-            for pv0, pe1, pe2, pmats, ts, imats in self._protos:
+            for pv0, pe1, pe2, pmats, ts, imats, mts in self._protos:
                 if (mat_types[pmats] == materials.TYPE_EMISSIVE).any():
                     raise ValueError(
                         "instanced prototypes cannot use emissive "
@@ -670,8 +702,8 @@ class SceneBuilder:
                 )
                 npc = pcl.aabb_min.shape[0]
                 parts.append(pcl)
-                for m, im in zip(ts, imats):
-                    placements.append((offset, npc, m, im))
+                for m, im, m1 in zip(ts, imats, mts):
+                    placements.append((offset, npc, m, im, m1))
                 offset += npc
             cl = cl._replace(
                 aabb_min=np.concatenate([p.aabb_min for p in parts]),
@@ -886,6 +918,15 @@ def intersect_scene(scene: Scene, origin, direction) -> Hit:
 intersect_scene_batch = jax.vmap(intersect_scene, in_axes=(None, 0, 0))
 
 
+def has_motion(scene: Scene) -> bool:
+    """True when the scene carries motion-blurred instances — engines
+    then draw a per-path shutter time (the camera-motion stream) and
+    thread it through every traversal/occlusion query. Static predicate
+    (shapes only), like ``uses_dnf``."""
+    return (scene.instances is not None
+            and scene.instances.fw0 is not None)
+
+
 def uses_dnf(scene: Scene) -> bool:
     """True when ``intersect_batch``/``occluded_batch`` will route this
     scene's cluster queries to a dense nearest-first kernel — flat
@@ -1053,7 +1094,7 @@ def surface_attributes(scene: Scene, hit: Hit):
 
 def occluded_batch(scene: Scene, origin, direction, t_max,
                    traversal: str = "bvh", active=None,
-                   bin_rays: bool = False):
+                   bin_rays: bool = False, time=None):
     """Any-hit occlusion for a (R,3) ray batch: True where ANY primitive
     lies strictly inside (T_MIN, t_max). The shadow-ray fast path — a
     yes/no answer needs no closest-hit ordering, no normals, no material
@@ -1098,16 +1139,20 @@ def occluded_batch(scene: Scene, origin, direction, t_max,
         bins = binning.ray_bin(origin, direction, lo, hi, cap > 0.0)
         perm, inv = binning.binning_perm(bins, binning.N_BINS)
         origin, direction, cap = origin[perm], direction[perm], cap[perm]
+        if time is not None:
+            time = time[perm]
 
     if scene.instances is not None:
         if traversal == "cluster_jax":
             _, slot, _, _ = cluster_trace.trace_jax_inst(
-                scene.clusters, scene.instances, origin, direction, cap
+                scene.clusters, scene.instances, origin, direction, cap,
+                time=time,
             )
             occ_tri = slot >= 0
         else:
             occ_tri = cluster_trace.occluded_pallas_dnf_inst(
                 scene.clusters, scene.instances, origin, direction, cap,
+                time=time,
                 interpret=(traversal == "cluster_interpret"),
             )
     elif traversal == "cluster_jax":
@@ -1141,7 +1186,8 @@ def occluded_batch(scene: Scene, origin, direction, t_max,
 
 def intersect_batch(scene: Scene, origin, direction,
                     traversal: str = "bvh", active=None,
-                    t_max=None, bin_rays: bool = False) -> Hit:
+                    t_max=None, bin_rays: bool = False,
+                    time=None) -> Hit:
     """Closest hit for a whole (R,3) ray batch — the engine-facing API.
 
     ``traversal`` (static):
@@ -1199,6 +1245,8 @@ def intersect_batch(scene: Scene, origin, direction,
         origin_t, direction_t, t_init_t = (
             origin[perm], direction[perm], t_init[perm]
         )
+        if time is not None:
+            time = time[perm]
     else:
         origin_t, direction_t, t_init_t = origin, direction, t_init
 
@@ -1207,13 +1255,13 @@ def intersect_batch(scene: Scene, origin, direction,
         if traversal == "cluster_jax":
             tri_t, slot, n_tri, mat_tri = cluster_trace.trace_jax_inst(
                 scene.clusters, scene.instances, origin_t, direction_t,
-                t_init_t,
+                t_init_t, time=time,
             )
         else:
             tri_t, slot, n_tri, mat_tri = (
                 cluster_trace.trace_pallas_dnf_inst(
                     scene.clusters, scene.instances, origin_t,
-                    direction_t, t_init_t,
+                    direction_t, t_init_t, time=time,
                     interpret=(traversal == "cluster_interpret"),
                 )
             )

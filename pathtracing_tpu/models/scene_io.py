@@ -285,10 +285,20 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                     mat_ids[n] if n is not None else None
                     for n in obj["materials"]
                 ]
+            # Optional "motion_transforms": one shutter-close transform
+            # (or null = static) per entry of "transforms" — object
+            # motion blur (forward-affine lerp at the path's shutter
+            # time).
+            motion = None
+            if "motion_transforms" in obj:
+                motion = [
+                    None if t is None else _affine(t)
+                    for t in obj["motion_transforms"]
+                ]
             b.add_instances(
                 verts, faces, mat(obj),
                 [_affine(t) for t in obj["transforms"]],
-                materials=overrides,
+                materials=overrides, motion_transforms=motion,
             )
         else:
             raise ValueError(f"unknown object type {otype!r}")

@@ -54,7 +54,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                  rr_start_depth, background: str, traversal: str,
                  nee: bool = False, prev_pdf=None, prev_nee=None,
                  bin_rays: bool = False, return_shadow_count: bool = False,
-                 ld_nee=None, ld_scatter=None, medium=None):
+                 ld_nee=None, ld_scatter=None, medium=None, time=None):
     """One bounce for a whole (R,) ray batch — the production path.
 
     Identical math and RNG streams to the original per-ray form (the
@@ -126,7 +126,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     bin_rays = bin_rays and not scene_mod.uses_dnf(scene)
     with jax.named_scope("intersect"):
         hit = scene_mod.intersect_batch(
-            scene, o, d, traversal, active=active, bin_rays=bin_rays
+            scene, o, d, traversal, active=active, bin_rays=bin_rays,
+            time=time,
         )
 
     has_fog = scene.fog is not None
@@ -385,7 +386,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # kernel short-circuits occluded lanes (scene.occluded_batch).
         occluded = scene_mod.occluded_batch(
             scene, o_nee, wi, t_shadow, traversal, active=cand,
-            bin_rays=bin_rays,
+            bin_rays=bin_rays, time=time,
         )
         vis = cand & jnp.logical_not(occluded)
         n_shadow = jnp.sum(cand.astype(jnp.int32)).astype(jnp.float32)
@@ -467,7 +468,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         occ_e = scene_mod.occluded_batch(
             scene, hit.position, wi_e,
             jnp.full(r, 1.0e7, jnp.float32), traversal, active=cand_e,
-            bin_rays=bin_rays,
+            bin_rays=bin_rays, time=time,
         )
         vis_e = cand_e & jnp.logical_not(occ_e)
         n_shadow = n_shadow + jnp.sum(
@@ -532,7 +533,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             cand_d = cand_d | (med_event & (fog_albedo > 0.0))
         occ_d = scene_mod.occluded_batch(
             scene, o_dl, wi_d, t_sh_d, traversal, active=cand_d,
-            bin_rays=bin_rays,
+            bin_rays=bin_rays, time=time,
         )
         vis_d = cand_d & jnp.logical_not(occ_d)
         n_shadow = n_shadow + jnp.sum(

@@ -157,6 +157,28 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             ld_scatter = pairs(rng.STREAM_SCATTER)
         else:
             ld_nee = ld_scatter = None
+        times = None
+        from pathtracing_tpu.models import scene as scene_mod
+
+        if scene_mod.has_motion(scene):
+            # Per-path shutter time — a pure function of the slot's
+            # (pixel, sample) identity (the camera-motion stream), so
+            # the pool carries no extra state and refills stay cheap.
+            if config.sampler == "ld":
+                times = jax.vmap(
+                    lambda p, si: rng.ld_scalar(
+                        seed, p, si, rng.STREAM_TIME
+                    )
+                )(pool.pixel, pool.sample)
+            else:
+                times = jax.vmap(
+                    lambda p, si: jax.random.uniform(
+                        rng.stream_key(
+                            rng.pixel_sample_key(seed, p, si), 0,
+                            rng.STREAM_TIME,
+                        ), (), dtype=jnp.float32,
+                    )
+                )(pool.pixel, pool.sample)
         out = shading.bounce_batch(
             scene, pool.origin, pool.direction, keys, pool.depth,
             pool.radiance, pool.throughput, pool.active,
@@ -165,6 +187,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             prev_nee=pool.prev_nee, bin_rays=config.ray_sort,
             return_shadow_count=True, ld_nee=ld_nee,
             ld_scatter=ld_scatter, medium=pool.medium,
+            time=times,
         )
         radiance, throughput, o, d, active, pdf, pdiff = out[:7]
         medium = out[7] if scene.mat_absorb is not None else None

@@ -1359,6 +1359,42 @@ def occluded_pallas_dnf(clusters, origin, direction, t_max,
 # geometry in the first place.
 
 
+def _lerp_affine_inverse(fw0, fw1, tt):
+    """Per-ray world→object transform for MOTION-BLURRED instances.
+
+    fw0/fw1: 12 endpoint OBJECT→WORLD scalars/columns [A00..A22 row-
+    major, t0..t2]; tt: the per-ray shutter time. The FORWARD affine is
+    lerped (A(t) = fw0 + t·(fw1−fw0) — each prototype point travels a
+    straight world segment, so endpoint-union AABBs bound the whole
+    path exactly) and inverted by adjugate. Returns the 12
+    ``_ray_to_object`` entries [L00..L22, tr0..tr2] with L = A(t)^-1,
+    tr = −L·t(t). Shared VERBATIM by the Pallas kernel and the
+    ``trace_jax_inst`` oracle so motion hits stay bitwise-comparable.
+    ``fw0 + tt·(fw1−fw0)`` reproduces fw0's bits exactly at tt = 0.
+    """
+    a = [f0 + tt * (f1 - f0) for f0, f1 in zip(fw0, fw1)]
+    a00, a01, a02, a10, a11, a12, a20, a21, a22, t0, t1, t2 = a
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30,
+                          jnp.where(det < 0, -1e-30, 1e-30), det)
+    l_ = [c00 * inv, c01 * inv, c02 * inv,
+          c10 * inv, c11 * inv, c12 * inv,
+          c20 * inv, c21 * inv, c22 * inv]
+    tr0 = -(l_[0] * t0 + l_[1] * t1 + l_[2] * t2)
+    tr1 = -(l_[3] * t0 + l_[4] * t1 + l_[5] * t2)
+    tr2 = -(l_[6] * t0 + l_[7] * t1 + l_[8] * t2)
+    return l_ + [tr0, tr1, tr2]
+
+
 def _ray_to_object(xf, o0, o1, o2, d0, d1, d2, ones, zeros):
     """Transform a ray tile by 12 world→object scalars
     [L00..L22 row-major, tr0..tr2]. Formula order is load-bearing: the
@@ -1375,13 +1411,19 @@ def _ray_to_object(xf, o0, o1, o2, d0, d1, d2, ones, zeros):
     return o_aug, d_aug
 
 
-def trace_jax_inst(clusters, inst, origin, direction, t_init):
+def trace_jax_inst(clusters, inst, origin, direction, t_init, time=None):
     """Instanced reference sweep: every expanded cluster, masked. Same
     contract as trace_jax; ``slot`` indexes PROTOTYPE cluster slots (all
     instances of a prototype share slot ids — attribute rows are shared
-    by design), normals are world-space."""
+    by design), normals are world-space. ``time`` ((R,) in [0, 1]):
+    per-ray shutter time for motion-blurred instance sets (``inst.fw0``
+    present); ignored for static sets, defaults to mid-shutter."""
     ne = inst.cmap.shape[0]
     r = origin.shape[0]
+    has_motion = inst.fw0 is not None
+    if has_motion:
+        tt = (jnp.full((r, 1), 0.5, jnp.float32) if time is None
+              else jnp.asarray(time, jnp.float32)[:, None])
     o_aug, d_aug = _augment(origin, direction)
     inv_d = _safe_inv(direction)
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, CLUSTER_SIZE), 1)
@@ -1396,10 +1438,16 @@ def trace_jax_inst(clusters, inst, origin, direction, t_init):
         bt = best_t[:, None]
         b = tuple(inst.aabb_min[e]) + tuple(inst.aabb_max[e])
         hit = _slab6(o_aug, inv_d, b, bt)
-        xf = inst.xform[e]
+        if has_motion:
+            cols = _lerp_affine_inverse(
+                [inst.fw0[e][j] for j in range(12)],
+                [inst.fw1[e][j] for j in range(12)], tt,
+            )
+        else:
+            xf = inst.xform[e]
+            cols = [xf[j] for j in range(12)]
         o_e, d_e = _ray_to_object(
-            [xf[j] for j in range(12)], o0, o1, o2, d0, d1, d2,
-            ones, zeros,
+            cols, o0, o1, o2, d0, d1, d2, ones, zeros,
         )
         p = inst.cmap[e]
         t_pair = _pair_eval(o_e, d_e, clusters.woop[p], bt)
@@ -1419,7 +1467,16 @@ def trace_jax_inst(clusters, inst, origin, direction, t_init):
         (t_init, jnp.full(r, -1, jnp.int32), jnp.zeros(r, jnp.int32)),
     )
     n_obj, mat = lookup_hit(clusters, best_slot)
-    xfw = inst.xform[jnp.maximum(best_e, 0)]          # (R, 12)
+    if has_motion:
+        f0 = inst.fw0[jnp.maximum(best_e, 0)]         # (R, 12)
+        f1 = inst.fw1[jnp.maximum(best_e, 0)]
+        cols = _lerp_affine_inverse(
+            [f0[:, j:j + 1] for j in range(12)],
+            [f1[:, j:j + 1] for j in range(12)], tt,
+        )
+        xfw = jnp.concatenate(cols, axis=1)           # (R, 12)
+    else:
+        xfw = inst.xform[jnp.maximum(best_e, 0)]      # (R, 12)
     # World normal = L^T · n_obj (rows of L^T are COLUMNS of L).
     nw = jnp.stack([
         xfw[:, 0] * n_obj[:, 0] + xfw[:, 3] * n_obj[:, 1]
@@ -1447,7 +1504,8 @@ def _inst_eval_group(ids, cmap_ref, xf_ref, woop_ref, mat_ref,
                      o0, o1, o2, d0, d1, d2, ones, zeros, tile,
                      t_ref, slot_ref=None, normal_ref=None,
                      hitmat_ref=None, cap=None, occ_ref=None,
-                     imat_ref=None):
+                     imat_ref=None, fw0_ref=None, fw1_ref=None,
+                     tt=None):
     """Dense instanced group evaluation. Each popped expanded cluster
     gets its own object-space ray tile (the per-cluster transform breaks
     the shared-ray widened eval of _pair_eval_wide, but the total VPU
@@ -1462,7 +1520,17 @@ def _inst_eval_group(ids, cmap_ref, xf_ref, woop_ref, mat_ref,
     for e in ids:
         p = cmap_ref[0, e]
         w = woop_ref[p]
-        xf = [xf_ref[j, e] for j in range(12)]
+        if fw0_ref is not None:
+            # Motion-blurred instances: per-ray shutter-time transform
+            # (lerped forward affine, inverted in-register — ~40 flops
+            # per ray vs the (tile, 3k) Woop pass; see
+            # _lerp_affine_inverse).
+            xf = _lerp_affine_inverse(
+                [fw0_ref[j, e] for j in range(12)],
+                [fw1_ref[j, e] for j in range(12)], tt,
+            )
+        else:
+            xf = [xf_ref[j, e] for j in range(12)]
         o_e, d_e = _ray_to_object(xf, o0, o1, o2, d0, d1, d2,
                                   ones, zeros)
         tps.append(_pair_eval(o_e, d_e, w, best_t))
@@ -1529,6 +1597,7 @@ def _inst_eval_group(ids, cmap_ref, xf_ref, woop_ref, mat_ref,
 def _tile_kernel_dnf_inst(o_ref, d_ref, t0_ref, cb_ref, cmap_ref, xf_ref,
                           woop_ref, mat_ref, t_ref, slot_ref, normal_ref,
                           hitmat_ref, key_ref, dead_ref, imat_ref=None,
+                          fw0_ref=None, fw1_ref=None, time_ref=None,
                           *, n_exp: int,
                           tile: int, c_pad: int, idx_bits: int,
                           group: int, windowed: bool, occ: bool = False):
@@ -1557,6 +1626,7 @@ def _tile_kernel_dnf_inst(o_ref, d_ref, t0_ref, cb_ref, cmap_ref, xf_ref,
     zeros = jnp.zeros((tile, 1), jnp.float32)
     o0, o1, o2 = o_aug[:, 0:1], o_aug[:, 1:2], o_aug[:, 2:3]
     d0, d1, d2 = d_aug[:, 0:1], d_aug[:, 1:2], d_aug[:, 2:3]
+    tt = time_ref[:] if time_ref is not None else None
 
     def body(_):
         if occ:
@@ -1589,7 +1659,8 @@ def _tile_kernel_dnf_inst(o_ref, d_ref, t0_ref, cb_ref, cmap_ref, xf_ref,
                 o0, o1, o2, d0, d1, d2, ones, zeros, tile, t_ref,
                 slot_ref, normal_ref, hitmat_ref,
                 cap=cap, occ_ref=t_ref if occ else None,
-                imat_ref=imat_ref,
+                imat_ref=imat_ref, fw0_ref=fw0_ref, fw1_ref=fw1_ref,
+                tt=tt,
             )
 
         return any_valid
@@ -1610,6 +1681,10 @@ def _inst_tables(inst, c_pad: int):
     imat = None
     if inst.imat is not None:
         imat = jnp.asarray(inst.imat, jnp.int32)[None, :]
+    fw0 = fw1 = None
+    if inst.fw0 is not None:
+        fw0 = jnp.asarray(inst.fw0, jnp.float32).T
+        fw1 = jnp.asarray(inst.fw1, jnp.float32).T
     pad = c_pad - ce
     if pad:
         fill = jnp.concatenate(
@@ -1621,11 +1696,14 @@ def _inst_tables(inst, c_pad: int):
         xf = jnp.pad(xf, ((0, 0), (0, pad)))
         if imat is not None:
             imat = jnp.pad(imat, ((0, 0), (0, pad)), constant_values=-1)
-    return cb, cmap, xf, imat
+        if fw0 is not None:
+            fw0 = jnp.pad(fw0, ((0, 0), (0, pad)))
+            fw1 = jnp.pad(fw1, ((0, 0), (0, pad)))
+    return cb, cmap, xf, imat, fw0, fw1
 
 
 def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
-                   interpret, tile, group, windowed):
+                   interpret, tile, group, windowed, time=None):
     ce = inst.cmap.shape[0]
     r = origin.shape[0]
     if ce > DNF_MAX_CLUSTERS:
@@ -1640,6 +1718,11 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
         windowed = c_pad >= 512
     if group is None:
         group = min(6, c_pad // 128) if windowed else 4
+    has_motion = inst.fw0 is not None
+    if has_motion and time is None:
+        # Deterministic queries of a motion scene (AOVs, probes)
+        # default to mid-shutter.
+        time = jnp.full(r, 0.5, jnp.float32)
     r_pad = -(-r // tile) * tile
     pad = r_pad - r
     if pad:
@@ -1648,8 +1731,10 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
             direction, ((0, pad), (0, 0)), constant_values=1.0
         )
         t_init = jnp.pad(t_init, (0, pad))
+        if has_motion:
+            time = jnp.pad(time, (0, pad))
     o_aug, d_aug = _augment(origin, direction)
-    cb, cmap, xf, imat = _inst_tables(inst, c_pad)
+    cb, cmap, xf, imat, fw0, fw1 = _inst_tables(inst, c_pad)
     # Any-hit never reads materials — keep the occlusion kernel's
     # signature (and compiled graph) independent of the override column.
     has_imat = imat is not None and not occ
@@ -1673,6 +1758,14 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
         in_specs.append(
             pl.BlockSpec(memory_space=pltpu.SMEM)  # imat (1, c_pad)
         )
+    if has_motion:
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.SMEM)  # fw0 (12, c_pad)
+        )
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.SMEM)  # fw1 (12, c_pad)
+        )
+        in_specs.append(ray_spec(1))               # per-ray time
     if occ:
         out_specs, out_shape = ray_spec(1), jax.ShapeDtypeStruct(
             (r_pad, 1), jnp.float32
@@ -1693,7 +1786,13 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
         outs = refs[n_in:-2]
         key_ref, dead_ref = refs[-2], refs[-1]
         o, d, t0, cb_, cmap_, xf_, woop_, mat_ = ins[:8]
-        imat_ = ins[8] if has_imat else None
+        at = 8
+        imat_ = ins[at] if has_imat else None
+        at += 1 if has_imat else 0
+        if has_motion:
+            fw0_, fw1_, time_ = ins[at:at + 3]
+        else:
+            fw0_ = fw1_ = time_ = None
         if occ:
             t_ref, = outs
             slot_ref = normal_ref = hitmat_ref = None
@@ -1702,6 +1801,7 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
         _tile_kernel_dnf_inst(
             o, d, t0, cb_, cmap_, xf_, woop_, mat_, t_ref, slot_ref,
             normal_ref, hitmat_ref, key_ref, dead_ref, imat_ref=imat_,
+            fw0_ref=fw0_, fw1_ref=fw1_, time_ref=time_,
             n_exp=ce,
             tile=tile, c_pad=c_pad, idx_bits=idx_bits, group=group,
             windowed=windowed, occ=occ,
@@ -1723,7 +1823,8 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
         interpret=interpret,
     )(o_aug, d_aug, t_init[:, None], cb, cmap, xf, clusters.woop,
       clusters.mat[:, None, :],
-      *((imat,) if has_imat else ()))
+      *((imat,) if has_imat else ()),
+      *((fw0, fw1, time[:, None]) if has_motion else ()))
     if occ:
         return out[:r, 0] > 0.0
     t, slot, normal, mat = out
@@ -1733,30 +1834,36 @@ def _dnf_inst_call(clusters, inst, origin, direction, t_init, occ,
 @functools.partial(jax.jit, static_argnames=("interpret", "tile",
                                              "group", "windowed"))
 def trace_pallas_dnf_inst(clusters, inst, origin, direction, t_init,
+                          time=None,
                           interpret=False, tile=DNF_TILE, group=None,
                           windowed=None):
     """Instanced dense nearest-first closest hit; contract of
     trace_pallas with prototype-slot ids and world-space normals (see
-    trace_jax_inst)."""
+    trace_jax_inst). ``time``: per-ray shutter time for motion-blurred
+    instance sets (defaults to mid-shutter; ignored when static)."""
     r = origin.shape[0]
     if inst.cmap.shape[0] == 0:
         return (t_init, jnp.full(r, -1, jnp.int32),
                 jnp.zeros((r, 3), jnp.float32), jnp.zeros(r, jnp.int32))
     return _dnf_inst_call(clusters, inst, origin, direction, t_init,
-                          False, interpret, tile, group, windowed)
+                          False, interpret, tile, group, windowed,
+                          time=time)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile",
                                              "group", "windowed"))
 def occluded_pallas_dnf_inst(clusters, inst, origin, direction, t_max,
+                             time=None,
                              interpret=False, tile=DNF_TILE, group=None,
                              windowed=None):
     """Instanced dense nearest-first any-hit; contract of
-    occluded_pallas."""
+    occluded_pallas. ``time``: per-ray shutter time (shadow rays move
+    with the same scene time as their path)."""
     if inst.cmap.shape[0] == 0:
         return jnp.zeros(origin.shape[0], bool)
     return _dnf_inst_call(clusters, inst, origin, direction, t_max,
-                          True, interpret, tile, group, windowed)
+                          True, interpret, tile, group, windowed,
+                          time=time)
 
 
 def _tile_kernel_occ(o_ref, d_ref, t0_ref, oct_ref, nbox_ref, nmeta_ref,

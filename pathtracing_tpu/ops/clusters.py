@@ -219,6 +219,14 @@ class InstanceSet(NamedTuple):
               prototype's per-triangle mats) — feature-gated: None when
               no placement overrides, keeping override-free instanced
               scenes' pytrees and jit graphs identical.
+    fw0/fw1:  (Ce, 12) f32 OBJECT→WORLD endpoint affines
+              [A00..A22 row-major, t0..t2] for motion-blurred instances
+              (shutter open / close) — feature-gated: None for static
+              instance sets. The motion path lerps the FORWARD affine
+              (every prototype point then travels a straight world-space
+              segment, so the endpoint-corner union AABB is an exact
+              bound) and inverts per ray at eval time; static rows
+              simply carry fw0 == fw1.
     """
 
     cmap: np.ndarray
@@ -227,28 +235,30 @@ class InstanceSet(NamedTuple):
     aabb_max: np.ndarray
     inst_id: np.ndarray
     imat: np.ndarray = None
+    fw0: np.ndarray = None
+    fw1: np.ndarray = None
 
 
 def expand_instances(proto: ClusterSet, placements) -> InstanceSet:
     """Expand per-instance placements into an InstanceSet.
 
-    ``placements``: sequence of (first_cluster, n_clusters, M[, imat])
-    where M is the (3, 4) or (4, 4) OBJECT→WORLD affine transform of one
-    instance over the prototype cluster range [first_cluster,
+    ``placements``: sequence of (first_cluster, n_clusters, M[, imat[,
+    M1]]) where M is the (3, 4) or (4, 4) OBJECT→WORLD affine transform
+    of one instance over the prototype cluster range [first_cluster,
     first_cluster + n_clusters). Transforms may rotate, translate, and
     scale (uniform or not — normals go through L^T which is exact for
-    any invertible A). The optional 4th element is a per-instance
-    material-id override (-1/absent = keep the prototype's mats); the
-    ``imat`` column is attached only when some placement overrides.
+    any invertible A). Optional 4th element: a per-instance material-id
+    override (-1/absent = keep the prototype's mats); the ``imat``
+    column is attached only when some placement overrides. Optional 5th
+    element: the SHUTTER-CLOSE transform M1 (same shape; None/absent =
+    static) — any present M1 attaches the ``fw0``/``fw1`` endpoint
+    columns and union world bounds (see the class docstring).
     """
     cmaps, xforms, mins, maxs, iids, imats = [], [], [], [], [], []
-    for iid, placement in enumerate(placements):
-        first, count, m = placement[:3]
-        imats.append(np.full(
-            count,
-            placement[3] if len(placement) > 3 else -1,
-            np.int32,
-        ))
+    fw0s, fw1s = [], []
+    any_motion = any(len(p) > 4 and p[4] is not None for p in placements)
+
+    def norm_affine(m):
         m = np.asarray(m, np.float64)
         if m.shape == (4, 4):
             m = m[:3]
@@ -256,15 +266,10 @@ def expand_instances(proto: ClusterSet, placements) -> InstanceSet:
             raise ValueError(
                 f"instance transform must be (3,4) or (4,4); got {m.shape}"
             )
-        a, t = m[:, :3], m[:, 3]
-        li = np.linalg.inv(a)
-        tr = -li @ t
-        ids = np.arange(first, first + count)
-        cmaps.append(ids.astype(np.int32))
-        xf = np.concatenate([li.reshape(9), tr]).astype(np.float32)
-        xforms.append(np.tile(xf, (count, 1)))
-        # World bounds: transform the 8 corners of each proto AABB
-        # (exact for affine), then widen by a few ulp for the f32 cast.
+        return m
+
+    def corner_bounds(ids, a, t):
+        # Transform the 8 corners of each proto AABB (exact for affine).
         lo = proto.aabb_min[ids].astype(np.float64)
         hi = proto.aabb_max[ids].astype(np.float64)
         corners = np.stack([
@@ -273,7 +278,44 @@ def expand_instances(proto: ClusterSet, placements) -> InstanceSet:
                          (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1))
         ], axis=1)                                    # (count, 8, 3)
         wc = corners @ a.T + t                        # (count, 8, 3)
-        wmin, wmax = wc.min(axis=1), wc.max(axis=1)
+        return wc.min(axis=1), wc.max(axis=1)
+
+    for iid, placement in enumerate(placements):
+        first, count, m = placement[:3]
+        imats.append(np.full(
+            count,
+            placement[3] if len(placement) > 3 else -1,
+            np.int32,
+        ))
+        m = norm_affine(m)
+        a, t = m[:, :3], m[:, 3]
+        li = np.linalg.inv(a)
+        tr = -li @ t
+        ids = np.arange(first, first + count)
+        cmaps.append(ids.astype(np.int32))
+        xf = np.concatenate([li.reshape(9), tr]).astype(np.float32)
+        xforms.append(np.tile(xf, (count, 1)))
+        wmin, wmax = corner_bounds(ids, a, t)
+        if any_motion:
+            m1 = (norm_affine(placement[4])
+                  if len(placement) > 4 and placement[4] is not None
+                  else m)
+            if abs(np.linalg.det(m1[:, :3])) < 1e-12:
+                raise ValueError("motion transform is singular")
+            fw0 = np.concatenate(
+                [a.reshape(9), t]
+            ).astype(np.float32)
+            fw1 = np.concatenate(
+                [m1[:, :3].reshape(9), m1[:, 3]]
+            ).astype(np.float32)
+            fw0s.append(np.tile(fw0, (count, 1)))
+            fw1s.append(np.tile(fw1, (count, 1)))
+            # Forward-lerped motion: every prototype point travels a
+            # straight world segment, so the union of the ENDPOINT
+            # corner bounds is exact.
+            w1min, w1max = corner_bounds(ids, m1[:, :3], m1[:, 3])
+            wmin = np.minimum(wmin, w1min)
+            wmax = np.maximum(wmax, w1max)
         margin = (wmax - wmin) * 1e-6 + 1e-30
         mins.append((wmin - margin).astype(np.float32))
         maxs.append((wmax + margin).astype(np.float32))
@@ -286,6 +328,8 @@ def expand_instances(proto: ClusterSet, placements) -> InstanceSet:
         aabb_max=np.concatenate(maxs),
         inst_id=np.concatenate(iids),
         imat=imat_all if (imat_all >= 0).any() else None,
+        fw0=np.concatenate(fw0s) if any_motion else None,
+        fw1=np.concatenate(fw1s) if any_motion else None,
     )
 
 
