@@ -454,6 +454,10 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
         with metrics.Timer() as t:
             img = np.asarray(frame(scene, camera,
                                    jnp.uint32(args.seed + i)))
+        # Per-frame post-passes: orbit sequences get the same --denoise
+        # / --bloom treatment as single-frame renders.
+        img = _maybe_denoise(args, config, scene, camera, img,
+                             config.samples_per_pixel)
         path = f"{root}_{i:04d}{ext}"
         image.write_image(path, img, args.exposure, args.tonemap)
         ptlog.log_information(
