@@ -1,0 +1,216 @@
+"""Per-pixel variance-driven adaptive sampling (band-granular waves).
+
+With the raw ray rate structurally capped (PERF.md r3e roofline), the
+open performance axis is time-to-target-quality: spend the proven ray
+rate where the image variance actually is.  The reference renders every
+pixel every frame unconditionally (`Renderer.cs:1020` dispatches the
+full 1920x1080 grid; `Test.hlsl:39` overwrites each pixel) — this module
+is the capability it never had.
+
+Design (TPU-first):
+
+* The image is split into row bands (``band_rows`` rows each).  Bands —
+  not scattered pixels — are the scheduling unit so every traversal wave
+  stays a dense, image-ordered 128-ray-tile grid (scattered pixel
+  gathers would forfeit the unsorted image-order coherence the DNF
+  kernels rely on, PERF.md r2c).
+* State carries the usual radiance sum plus a per-pixel second moment
+  of sample luminance (``m2``) and a per-band sample counter.  The
+  per-pixel unbiased variance of the pixel MEAN is then
+  ``s²/n = (m2 - lum(accum)²/n) / (n-1) / n``.
+* One adaptive round = ONE jitted dispatch: score bands from (accum,
+  m2, spp) → ``lax.top_k`` the K highest → ``lax.map`` a 1-spp
+  ``megakernel.render_samples`` wave over each selected band →
+  scatter-add the K blocks back (index-depth-1 scatter over unique band
+  rows — the friendly scatter shape; per-element scatter-add is
+  pathological on TPU, PERF.md round-1 fact #1).
+* Greedy criterion: adding one sample to band b shrinks its expected
+  total squared error by ``sum_pixels s² · (1/n - 1/(n+1))``, so bands
+  are ranked by ``sum(s²) / (n (n+1))`` — steepest-descent on image MSE
+  per sample spent.
+
+Because the RNG is counter-based on GLOBAL (pixel, sample) ids — each
+band passes its own spp as ``sample_start`` — a pixel's k-th sample is
+bit-identical to the uniform engines' k-th sample.  Scheduling order
+changes WHERE samples go, never WHAT any sample computes; driving every
+band to equal spp reproduces ``progressive.render_step`` bitwise
+(locked by tests/test_adaptive.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracing_tpu.models import megakernel
+from pathtracing_tpu.utils.config import RenderConfig
+
+_LUM = (0.2126, 0.7152, 0.0722)
+
+
+class AdaptiveState(NamedTuple):
+    accum: jnp.ndarray      # (H, W, 3) f32 — radiance sum
+    m2: jnp.ndarray         # (H, W) f32 — sum of per-sample luminance²
+    band_spp: jnp.ndarray   # (B,) i32 — samples accumulated per band
+    seed: jnp.ndarray       # () u32
+
+
+def pick_band_rows(config: RenderConfig, band_rows: int = 0) -> int:
+    """Default band height: the largest divisor of H that is <= 8 rows
+    (fine-grained scheduling) — explicit ``band_rows`` must divide H."""
+    h = config.height
+    if band_rows:
+        if h % band_rows:
+            raise ValueError(
+                f"height {h} not divisible by band_rows {band_rows}"
+            )
+        return band_rows
+    return max(r for r in range(1, min(8, h) + 1) if h % r == 0)
+
+
+def init_state(config: RenderConfig, band_rows: int) -> AdaptiveState:
+    h, w = config.height, config.width
+    if h % band_rows:
+        raise ValueError(f"height {h} not divisible by band_rows {band_rows}")
+    return AdaptiveState(
+        accum=jnp.zeros((h, w, 3), jnp.float32),
+        m2=jnp.zeros((h, w), jnp.float32),
+        band_spp=jnp.zeros(h // band_rows, jnp.int32),
+        seed=jnp.uint32(config.seed),
+    )
+
+
+def _lum(rgb: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return _LUM[0] * r + _LUM[1] * g + _LUM[2] * b
+
+
+@functools.partial(jax.jit, static_argnames=("config", "band_rows"))
+def band_scores(state: AdaptiveState, config: RenderConfig,
+                band_rows: int) -> jnp.ndarray:
+    """(B,) expected-MSE-reduction-per-sample score (docstring formula).
+
+    Bands with fewer than 2 samples have no variance estimate and score
+    +inf minus their spp — breadth-first exploration before any greed.
+    """
+    h, w = config.height, config.width
+    b = h // band_rows
+    n = jnp.maximum(state.band_spp, 1).astype(jnp.float32)      # (B,)
+    n_px = jnp.repeat(n, band_rows)[:, None]                    # (H, 1)
+    lum_sum = _lum(state.accum)                                 # (H, W)
+    # Unbiased per-pixel sample variance s² = (m2 - n·mean²) / (n-1).
+    s2 = jnp.maximum(state.m2 - lum_sum * lum_sum / n_px, 0.0) / jnp.maximum(
+        n_px - 1.0, 1.0
+    )
+    band_s2 = jnp.sum(s2.reshape(b, band_rows * w), axis=1)
+    score = band_s2 / (n * (n + 1.0))
+    return jnp.where(
+        state.band_spp < 2,
+        jnp.float32(3.0e38) - state.band_spp.astype(jnp.float32),
+        score,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "band_rows"),
+    donate_argnames=("state",),
+)
+def adaptive_step(state: AdaptiveState, scene, camera,
+                  config: RenderConfig, band_rows: int,
+                  band_ids: jnp.ndarray) -> AdaptiveState:
+    """Add ONE sample to each band in ``band_ids`` ((K,) i32, unique).
+
+    One dispatch: lax.map over the selected bands (each a dense
+    image-ordered wave through the flagship megakernel path), then an
+    index-depth-1 scatter-add of whole band blocks.
+    """
+    h, w = config.height, config.width
+    n_bands = h // band_rows
+
+    def render_one(band):
+        return megakernel.render_samples(
+            scene, camera, config,
+            sample_start=state.band_spp[band],
+            n_samples=1,
+            seed=state.seed,
+            row_start=band * band_rows,
+            block_rows=band_rows,
+        )
+
+    blocks = jax.lax.map(render_one, band_ids)    # (K, rows, W, 3)
+    accum_b = state.accum.reshape(n_bands, band_rows, w, 3)
+    accum = accum_b.at[band_ids].add(blocks, unique_indices=True)
+    m2_b = state.m2.reshape(n_bands, band_rows, w)
+    lum = _lum(blocks)
+    m2 = m2_b.at[band_ids].add(lum * lum, unique_indices=True)
+    return AdaptiveState(
+        accum=accum.reshape(h, w, 3),
+        m2=m2.reshape(h, w),
+        band_spp=state.band_spp.at[band_ids].add(1, unique_indices=True),
+        seed=state.seed,
+    )
+
+
+def resolve(state: AdaptiveState, band_rows: int) -> jnp.ndarray:
+    """Per-pixel mean radiance with PER-BAND normalization."""
+    h, w, _ = state.accum.shape
+    n = jnp.maximum(state.band_spp, 1).astype(jnp.float32)
+    return state.accum / jnp.repeat(n, band_rows)[:, None, None]
+
+
+def render_adaptive(scene, camera, config: RenderConfig,
+                    band_rows: int = 0, bands_per_round: int = 0,
+                    warmup_spp: int = 2, progress=None,
+                    budget_spp: Optional[int] = None,
+                    ) -> Tuple[AdaptiveState, int]:
+    """Drive adaptive sampling to a total budget of
+    ``config.samples_per_pixel`` average spp (uniform-equivalent sample
+    count: B · rows · W · spp samples overall).
+
+    ``warmup_spp`` rounds cover every band uniformly first (the variance
+    estimate needs 2 samples).  Each subsequent round re-scores and
+    renders the ``bands_per_round`` current-highest-variance bands.
+    Returns (state, rounds_run).
+    """
+    band_rows = pick_band_rows(config, band_rows)
+    n_bands = config.height // band_rows
+    k = bands_per_round or max(1, n_bands // 8)
+    k = min(k, n_bands)
+    state = init_state(config, band_rows)
+
+    target = budget_spp if budget_spp is not None else (
+        config.samples_per_pixel
+    )
+    budget = n_bands * target            # total band-samples to spend
+    spent = 0
+    rounds = 0
+
+    # Uniform warmup: every band to warmup_spp (chunks of k bands).
+    all_bands = np.arange(n_bands, dtype=np.int32)
+    for s in range(min(warmup_spp, target)):
+        for i in range(0, n_bands, k):
+            # A short tail chunk re-jits on its own shape (padding with
+            # duplicate ids would double-sample those bands).
+            chunk = all_bands[i:i + k]
+            state = adaptive_step(state, scene, camera, config,
+                                  band_rows, jnp.asarray(chunk))
+            spent += len(chunk)
+            rounds += 1
+        if progress is not None:
+            progress(state, spent, budget)
+
+    while spent + k <= budget:
+        scores = band_scores(state, config, band_rows)
+        _, ids = jax.lax.top_k(scores, k)
+        state = adaptive_step(state, scene, camera, config, band_rows,
+                              ids)
+        spent += k
+        rounds += 1
+        if progress is not None and rounds % 16 == 0:
+            progress(state, spent, budget)
+    return state, rounds

@@ -132,8 +132,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="debug: drop band N mid-render to exercise the "
                         "tile recovery path (requires --tiles)")
     p.add_argument("--adaptive", action="store_true",
-                   help="with --tiles: variance-driven sample allocation "
-                        "(noisy bands get more of the spp budget)")
+                   help="variance-driven sample allocation: per-pixel "
+                        "variance scores schedule each round's rays onto "
+                        "the noisiest row bands (models/adaptive.py; the "
+                        "spp budget is the uniform-equivalent total). "
+                        "With --tiles: the coarser host-driven per-tile "
+                        "scheduler instead")
+    p.add_argument("--adaptive-band-rows", type=int, default=0,
+                   help="rows per adaptive scheduling band (0 = auto, "
+                        "largest divisor of height <= 8)")
+    p.add_argument("--adaptive-k", type=int, default=0,
+                   help="bands re-sampled per adaptive round (0 = auto, "
+                        "1/8 of the bands)")
     p.add_argument("--checkpoint-every", type=int, default=8,
                    help="checkpoint every N steps")
     p.add_argument("--metrics-jsonl", default=None)
@@ -288,6 +298,14 @@ def main(argv=None) -> int:
                 "--engine wavefront is ignored for tiled renders"
             )
         return _tiled_main(args, config, scene, camera)
+
+    if args.adaptive:
+        if args.engine == "wavefront":
+            ptlog.log_warning(
+                "--adaptive renders band waves via the megakernel "
+                "engine; --engine wavefront is ignored"
+            )
+        return _adaptive_main(args, config, scene, camera)
 
     state = progressive.init_state(config)
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -493,6 +511,49 @@ def _maybe_denoise(args, config, scene, camera, img, spp):
             args.bloom, args.bloom_threshold,
         )
     return img
+
+
+def _adaptive_main(args, config, scene, camera) -> int:
+    """Per-pixel adaptive render driver: on-device variance scoring
+    schedules every round's rays onto the noisiest row bands
+    (models/adaptive.py docstring has the estimator/scheduling design).
+    Budget = the uniform render's total sample count, spent unevenly."""
+    from pathtracing_tpu.models import adaptive
+
+    band_rows = adaptive.pick_band_rows(config, args.adaptive_band_rows)
+    n_bands = config.height // band_rows
+    ptlog.log_information(
+        "adaptive: %d bands of %d rows, %d bands/round",
+        n_bands, band_rows,
+        args.adaptive_k or max(1, n_bands // 8),
+    )
+
+    def progress(state, spent, budget):
+        spp = np.asarray(state.band_spp)
+        ptlog.log_information(
+            "adaptive: %d/%d band-samples spent (band spp min %d / "
+            "mean %.1f / max %d)", spent, budget, int(spp.min()),
+            float(spp.mean()), int(spp.max()),
+        )
+
+    with metrics.Timer() as t:
+        state, rounds = adaptive.render_adaptive(
+            scene, camera, config, band_rows=band_rows,
+            bands_per_round=args.adaptive_k, progress=progress,
+        )
+        img = np.asarray(adaptive.resolve(state, band_rows))
+    spp = np.asarray(state.band_spp)
+    if args.out_hdr:
+        np.savez(args.out_hdr, radiance=img, spp=int(spp.min()))
+    final = _maybe_denoise(args, config, scene, camera, img,
+                           float(spp.mean()))
+    image.write_image(args.out, final, args.exposure, args.tonemap)
+    ptlog.log_information(
+        "wrote %s (adaptive: %d rounds in %.1fs; band spp min %d / "
+        "mean %.1f / max %d)", args.out, rounds, t.seconds,
+        int(spp.min()), float(spp.mean()), int(spp.max()),
+    )
+    return 0
 
 
 def _tiled_main(args, config, scene, camera) -> int:

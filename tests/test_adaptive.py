@@ -1,0 +1,174 @@
+"""Per-pixel adaptive sampling (models/adaptive.py).
+
+The load-bearing property: scheduling only changes WHERE samples go —
+the counter-based RNG makes each pixel's k-th sample identical across
+engines — so uniform scheduling through the adaptive machinery must be
+BITWISE equal to the progressive engine, and greedy scheduling must
+beat uniform on time-to-RMSE for concentrated-variance scenes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracing_tpu.models import adaptive, progressive, scenes
+from pathtracing_tpu.ops.camera import build_camera
+from pathtracing_tpu.utils.config import RenderConfig
+
+CFG = RenderConfig(width=16, height=16, samples_per_pixel=4,
+                   max_depth=3, seed=11, samples_per_step=1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene, cam_cfg = scenes.cornell_sphere()
+    cam = build_camera(cam_cfg, 1.0)
+    return scene, cam
+
+
+def test_uniform_schedule_matches_progressive_bitwise(setup):
+    scene, cam = setup
+    band_rows = 2
+    n_bands = CFG.height // band_rows
+    state = adaptive.init_state(CFG, band_rows)
+    all_bands = jnp.arange(n_bands, dtype=jnp.int32)
+    for _ in range(3):
+        state = adaptive.adaptive_step(state, scene, cam, CFG,
+                                       band_rows, all_bands)
+
+    ref = progressive.init_state(CFG)
+    for _ in range(3):
+        ref = progressive.render_step(ref, scene, cam, CFG)
+
+    np.testing.assert_array_equal(np.asarray(state.accum),
+                                  np.asarray(ref.accum))
+    assert int(state.band_spp.min()) == int(state.band_spp.max()) == 3
+    # resolve: per-band normalization reduces to the plain mean here.
+    np.testing.assert_allclose(
+        np.asarray(adaptive.resolve(state, band_rows)),
+        np.asarray(progressive.resolve(ref)), rtol=1e-6,
+    )
+
+
+def test_partial_schedule_is_per_band_consistent(setup):
+    """Bands advanced to different spp still hold exactly the uniform
+    engine's first-n-samples sums (global pixel/sample counters)."""
+    scene, cam = setup
+    band_rows = 4
+    state = adaptive.init_state(CFG, band_rows)
+    # Band 0 gets 2 samples, band 2 gets 1, others none.
+    state = adaptive.adaptive_step(state, scene, cam, CFG, band_rows,
+                                   jnp.asarray([0, 2], jnp.int32))
+    state = adaptive.adaptive_step(state, scene, cam, CFG, band_rows,
+                                   jnp.asarray([0], jnp.int32))
+
+    ref = progressive.init_state(CFG)
+    ref1 = progressive.render_step(ref, scene, cam, CFG)
+    accum1 = np.asarray(ref1.accum)     # fetch before donation
+    ref2 = progressive.render_step(ref1, scene, cam, CFG)
+    accum = np.asarray(state.accum)
+    np.testing.assert_array_equal(accum[0:4], np.asarray(ref2.accum)[0:4])
+    np.testing.assert_array_equal(accum[8:12], accum1[8:12])
+    assert accum[4:8].max() == 0.0 and accum[12:].max() == 0.0
+    assert list(np.asarray(state.band_spp)) == [2, 0, 1, 0]
+
+
+def test_scores_explore_then_exploit(setup):
+    scene, cam = setup
+    band_rows = 2
+    n_bands = CFG.height // band_rows
+    state = adaptive.init_state(CFG, band_rows)
+    s0 = np.asarray(adaptive.band_scores(state, CFG, band_rows))
+    assert np.all(s0 > 1e30)          # unexplored: breadth-first
+    all_bands = jnp.arange(n_bands, dtype=jnp.int32)
+    for _ in range(2):
+        state = adaptive.adaptive_step(state, scene, cam, CFG,
+                                       band_rows, all_bands)
+    s2 = np.asarray(adaptive.band_scores(state, CFG, band_rows))
+    assert np.all(np.isfinite(s2)) and np.all(s2 < 1e30)
+    assert s2.max() > 0.0             # some band has visible variance
+
+
+def test_variance_estimate_zero_on_constant_pixels(setup):
+    """Background-only pixels return the same radiance every sample, so
+    their per-pixel variance estimate must be exactly zero."""
+    scene, cam_cfg = scenes.sphere_demo()
+    cam = build_camera(cam_cfg, 1.0)
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=4,
+                       max_depth=2, seed=3, samples_per_step=1,
+                       background="black", sampler="uniform")
+    band_rows = 2
+    state = adaptive.init_state(cfg, band_rows)
+    all_bands = jnp.arange(cfg.height // band_rows, dtype=jnp.int32)
+    for _ in range(3):
+        state = adaptive.adaptive_step(state, scene, cam, cfg,
+                                       band_rows, all_bands)
+    lum = np.asarray(adaptive._lum(state.accum))
+    m2 = np.asarray(state.m2)
+    # black-background miss pixels: sum==0 and m2==0
+    miss = lum == 0.0
+    assert miss.any()
+    np.testing.assert_array_equal(m2[miss], 0.0)
+
+
+def test_render_adaptive_budget_and_quality(setup):
+    """End-to-end driver: budget accounting holds, and the greedy
+    schedule's image error at equal sample budget is no worse than
+    uniform (it concentrates on the noisy emitter/penumbra bands)."""
+    scene, cam = setup
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=8,
+                       max_depth=3, seed=11, samples_per_step=1)
+    state, rounds = adaptive.render_adaptive(
+        scene, cam, cfg, band_rows=2, bands_per_round=2
+    )
+    spp = np.asarray(state.band_spp)
+    n_bands = cfg.height // 2
+    assert spp.sum() <= n_bands * cfg.samples_per_pixel
+    assert spp.sum() > n_bands * (cfg.samples_per_pixel - 2)
+    assert spp.min() >= 2                      # warmup covered everyone
+    img = np.asarray(adaptive.resolve(state, 2))
+    assert np.isfinite(img).all()
+
+    # Quality at equal budget vs uniform, against a converged reference.
+    ref_cfg = RenderConfig(width=16, height=16, samples_per_pixel=256,
+                           max_depth=3, seed=999, samples_per_step=8)
+    ref_state = progressive.init_state(ref_cfg)
+    for _ in range(256 // 8):
+        ref_state = progressive.render_step(ref_state, scene, cam,
+                                            ref_cfg)
+    ref = np.asarray(progressive.resolve(ref_state))
+
+    uni_state = progressive.init_state(cfg)
+    for _ in range(cfg.samples_per_pixel):
+        uni_state = progressive.render_step(uni_state, scene, cam, cfg)
+    uni = np.asarray(progressive.resolve(uni_state))
+
+    rmse_adaptive = float(np.sqrt(np.mean((img - ref) ** 2)))
+    rmse_uniform = float(np.sqrt(np.mean((uni - ref) ** 2)))
+    # At 16x16 the margin is small; the real 2x+ win is measured on the
+    # TPU suite (benchmarks/). Here: no regression beyond noise.
+    assert rmse_adaptive <= rmse_uniform * 1.15, (
+        rmse_adaptive, rmse_uniform
+    )
+
+
+def test_cli_adaptive(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "a.png")
+    r = subprocess.run(
+        [sys.executable, "-m", "pathtracing_tpu.render",
+         "--scene", "cornell_sphere", "--width", "16", "--height", "16",
+         "--spp", "4", "--adaptive", "--adaptive-band-rows", "2",
+         "--adaptive-k", "2", "--out", out],
+        cwd=repo, env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
+                       "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+    assert "adaptive:" in r.stderr + r.stdout
