@@ -51,6 +51,13 @@ from pathtracing_tpu.utils.config import RenderConfig
 
 _LUM = (0.2126, 0.7152, 0.0722)
 
+# Pixel-samples per fused greedy dispatch (adaptive_rounds): ~4.2M
+# samples ≈ 24M path segments ≈ 10 s of device time at the measured
+# flagship rate — far under the tunneled worker's ~2-minute dispatch
+# crash threshold, while amortizing the ~18 ms/dispatch tunnel floor
+# over hundreds of rounds.
+MAX_DISPATCH_SAMPLES = 1 << 22
+
 
 class AdaptiveState(NamedTuple):
     accum: jnp.ndarray      # (H, W, 3) f32 — radiance sum
@@ -89,9 +96,8 @@ def _lum(rgb: jnp.ndarray) -> jnp.ndarray:
     return _LUM[0] * r + _LUM[1] * g + _LUM[2] * b
 
 
-@functools.partial(jax.jit, static_argnames=("config", "band_rows"))
-def band_scores(state: AdaptiveState, config: RenderConfig,
-                band_rows: int) -> jnp.ndarray:
+def _band_scores(state: AdaptiveState, config: RenderConfig,
+                 band_rows: int) -> jnp.ndarray:
     """(B,) expected-MSE-reduction-per-sample score (docstring formula).
 
     Bands with fewer than 2 samples have no variance estimate and score
@@ -115,20 +121,15 @@ def band_scores(state: AdaptiveState, config: RenderConfig,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "band_rows"),
-    donate_argnames=("state",),
-)
-def adaptive_step(state: AdaptiveState, scene, camera,
-                  config: RenderConfig, band_rows: int,
-                  band_ids: jnp.ndarray) -> AdaptiveState:
-    """Add ONE sample to each band in ``band_ids`` ((K,) i32, unique).
+band_scores = jax.jit(_band_scores, static_argnames=("config", "band_rows"))
 
-    One dispatch: lax.map over the selected bands (each a dense
-    image-ordered wave through the flagship megakernel path), then an
-    index-depth-1 scatter-add of whole band blocks.
-    """
+
+def _step_body(state: AdaptiveState, scene, camera, config: RenderConfig,
+               band_rows: int, band_ids: jnp.ndarray) -> AdaptiveState:
+    """Add ONE sample to each band in ``band_ids`` ((K,) i32, unique):
+    lax.map over the selected bands (each a dense image-ordered wave
+    through the flagship megakernel path), then an index-depth-1
+    scatter-add of whole band blocks."""
     h, w = config.height, config.width
     n_bands = h // band_rows
 
@@ -154,6 +155,37 @@ def adaptive_step(state: AdaptiveState, scene, camera,
         band_spp=state.band_spp.at[band_ids].add(1, unique_indices=True),
         seed=state.seed,
     )
+
+
+adaptive_step = jax.jit(
+    _step_body, static_argnames=("config", "band_rows"),
+    donate_argnames=("state",),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "band_rows", "k", "n_rounds"),
+    donate_argnames=("state",),
+)
+def adaptive_rounds(state: AdaptiveState, scene, camera,
+                    config: RenderConfig, band_rows: int, k: int,
+                    n_rounds: int) -> AdaptiveState:
+    """``n_rounds`` greedy rounds fused into ONE dispatch.
+
+    Each ``lax.scan`` iteration re-scores on device, top-k's the K
+    noisiest bands, and renders them — no host round trip per round.
+    Through the axon tunnel a dispatch costs ~18 ms (PERF.md round-1
+    table), so per-round host scheduling would tax small rounds ~2
+    dispatches each; fused, the whole greedy phase pays one."""
+
+    def body(st, _):
+        scores = _band_scores(st, config, band_rows)
+        _, ids = jax.lax.top_k(scores, k)
+        return _step_body(st, scene, camera, config, band_rows, ids), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_rounds)
+    return state
 
 
 def resolve(state: AdaptiveState, band_rows: int) -> jnp.ndarray:
@@ -204,13 +236,17 @@ def render_adaptive(scene, camera, config: RenderConfig,
         if progress is not None:
             progress(state, spent, budget)
 
+    # Greedy phase: fuse rounds into few dispatches, bounded so one
+    # dispatch stays well under the tunnel's ~2-minute device-time crash
+    # threshold (CLAUDE.md hard rules).
+    samples_per_round = k * band_rows * config.width
+    rounds_per_dispatch = max(1, MAX_DISPATCH_SAMPLES // samples_per_round)
     while spent + k <= budget:
-        scores = band_scores(state, config, band_rows)
-        _, ids = jax.lax.top_k(scores, k)
-        state = adaptive_step(state, scene, camera, config, band_rows,
-                              ids)
-        spent += k
-        rounds += 1
-        if progress is not None and rounds % 16 == 0:
+        n_r = min(rounds_per_dispatch, (budget - spent) // k)
+        state = adaptive_rounds(state, scene, camera, config, band_rows,
+                                k, n_r)
+        spent += n_r * k
+        rounds += n_r
+        if progress is not None:
             progress(state, spent, budget)
     return state, rounds

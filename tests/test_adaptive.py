@@ -112,6 +112,38 @@ def test_variance_estimate_zero_on_constant_pixels(setup):
     np.testing.assert_array_equal(m2[miss], 0.0)
 
 
+def test_fused_rounds_match_stepwise(setup):
+    """adaptive_rounds (scan-fused greedy rounds, one dispatch) must
+    reproduce the per-round host loop bitwise — same scores, same
+    top_k picks, same renders."""
+    scene, cam = setup
+    band_rows = 2
+    n_bands = CFG.height // band_rows
+    k = 2
+    state = adaptive.init_state(CFG, band_rows)
+    all_bands = jnp.arange(n_bands, dtype=jnp.int32)
+    for _ in range(2):       # warmup so scores are finite
+        state = adaptive.adaptive_step(state, scene, cam, CFG,
+                                       band_rows, all_bands)
+    snap = jax.tree_util.tree_map(np.asarray, state)
+    state_b = adaptive.AdaptiveState(
+        *(jnp.asarray(x) for x in snap)
+    )
+
+    for _ in range(3):
+        scores = adaptive.band_scores(state, CFG, band_rows)
+        _, ids = jax.lax.top_k(scores, k)
+        state = adaptive.adaptive_step(state, scene, cam, CFG,
+                                       band_rows, ids)
+
+    fused = adaptive.adaptive_rounds(state_b, scene, cam, CFG,
+                                     band_rows, k, 3)
+    np.testing.assert_array_equal(np.asarray(fused.accum),
+                                  np.asarray(state.accum))
+    np.testing.assert_array_equal(np.asarray(fused.band_spp),
+                                  np.asarray(state.band_spp))
+
+
 def test_render_adaptive_budget_and_quality(setup):
     """End-to-end driver: budget accounting holds, and the greedy
     schedule's image error at equal sample budget is no worse than
