@@ -61,7 +61,13 @@ class LightTable(NamedTuple):
     e2: jnp.ndarray       # (L, 3) f32 edge 2 / zeros
     normal: jnp.ndarray   # (L, 3) f32 unit geometric normal (tri only)
     emit: jnp.ndarray     # (L, 3) f32 radiance
-    kind: jnp.ndarray     # (L,)  i32 KIND_TRI | KIND_SPHERE
+    # Feature gate (r4a): ``kind`` is None when the table holds no sphere
+    # emitters, and BOTH samplers then trace a pure-triangle graph — no
+    # cone/area-sphere math at all. The round-3 cone sampler ungated cost
+    # +596 jaxpr equations (trig + orthonormal basis per NEE vertex per
+    # bounce) on sphere-less scenes like the flagship cornell_mesh; see
+    # PERF.md r4a for the bisect table.
+    kind: jnp.ndarray     # (L,)  i32 KIND_TRI | KIND_SPHERE, or None
     cum: jnp.ndarray      # (L,)  f32 inclusive cumulative POWER fraction
     total_area: jnp.ndarray  # () f32 — 0.0 means "no lights" (NEE no-op)
     total_power: jnp.ndarray  # () f32 Σ luminance·area; the per-area pdf
@@ -123,6 +129,7 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
         ltex = ltex[keep]
     normal = (n / np.maximum(norm[:, None], 1e-20)).astype(np.float32)
     kind = np.zeros(lv0.shape[0], np.int32)
+    has_sphere = False
 
     if sph_center is not None and len(sph_center):
         sc = np.asarray(sph_center, np.float32)
@@ -130,6 +137,7 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
         sm = np.asarray(sph_mat)
         ssel = (types[sm] == emissive_type) & (sr > 1e-12)
         if ssel.any():
+            has_sphere = True
             k = int(ssel.sum())
             lv0 = np.concatenate([lv0, sc[ssel]])
             se1 = np.zeros((k, 3), np.float32)
@@ -167,7 +175,7 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
             v0=jnp.asarray(zero3), e1=jnp.asarray(zero3),
             e2=jnp.asarray(zero3), normal=jnp.asarray(zero3),
             emit=jnp.asarray(zero3),
-            kind=jnp.zeros(1, jnp.int32),
+            kind=None,
             cum=jnp.ones(1, jnp.float32),
             total_area=jnp.float32(0.0),
             total_power=jnp.float32(0.0),
@@ -189,7 +197,7 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
         v0=jnp.asarray(lv0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
         normal=jnp.asarray(normal),
         emit=jnp.asarray(lemit),
-        kind=jnp.asarray(kind),
+        kind=jnp.asarray(kind) if has_sphere else None,
         cum=jnp.asarray(cum.astype(np.float32)),
         total_area=jnp.float32(total),
         total_power=jnp.float32(total_power),
@@ -228,15 +236,19 @@ def sample(lights: LightTable, u):
     e2 = select(lights.e2)
     normal = select(lights.normal)
     emit = select(lights.emit)
-    is_sph = jnp.sum(
-        jnp.where(onehot, lights.kind[None, :], 0), axis=1
-    ) == KIND_SPHERE
 
     # Triangle: sqrt-warped uniform barycentrics.
     su = jnp.sqrt(jnp.maximum(u[:, 1:2], 1e-12))
     a = 1.0 - su
     b = su * u[:, 2:3]
     p_tri = v0 + a * e1 + b * e2
+
+    if lights.kind is None:  # r4a gate: no sphere emitters in the table
+        return p_tri, normal, emit
+
+    is_sph = jnp.sum(
+        jnp.where(onehot, lights.kind[None, :], 0), axis=1
+    ) == KIND_SPHERE
 
     # Sphere: area-uniform surface point (v0 = center, e1.x = radius).
     z = 1.0 - 2.0 * u[:, 1]
@@ -296,15 +308,36 @@ def sample_solid_angle(lights: LightTable, u, origin,
     e2 = select(lights.e2)
     normal = select(lights.normal)
     emit = select(lights.emit)
-    is_sph = jnp.sum(
-        jnp.where(onehot, lights.kind[None, :], 0), axis=1
-    ) == KIND_SPHERE
 
     # Triangle: sqrt-warped uniform barycentrics (same draws as sample).
     su = jnp.sqrt(jnp.maximum(u[:, 1:2], 1e-12))
     a = 1.0 - su
     b = su * u[:, 2:3]
     p_tri = v0 + a * e1 + b * e2
+
+    if lights.kind is None:
+        # r4a gate: no sphere emitters — pure-triangle graph. Same
+        # values as the general path (cone mask is all-False there), so
+        # triangle-only scenes keep identical draws and pdfs.
+        point = p_tri
+        lum = linalg.luminance(emit)
+        wi_vec = point - origin
+        dist2 = jnp.sum(wi_vec * wi_vec, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+        cos_l = jnp.abs(linalg.dot(normal, wi_vec / dist[:, None]))
+        pdf_sa = dist2 * lum / (cos_l * lights.total_power + 1e-20)
+        if with_uv:
+            uv = (select(lights.uv0) + a * select(lights.uv_e1)
+                  + b * select(lights.uv_e2))
+            tex = jnp.sum(
+                jnp.where(onehot, lights.tex[None, :], 0), axis=1
+            )
+            return point, normal, emit, pdf_sa, uv, tex
+        return point, normal, emit, pdf_sa
+
+    is_sph = jnp.sum(
+        jnp.where(onehot, lights.kind[None, :], 0), axis=1
+    ) == KIND_SPHERE
 
     # Sphere, area-uniform (inside-the-sphere fallback only).
     z = 1.0 - 2.0 * u[:, 1]
