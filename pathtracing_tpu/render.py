@@ -200,6 +200,18 @@ def main(argv=None) -> int:
         except (OSError, ValueError, KeyError) as e:
             ptlog.log_critical("failed to load scene %s: %s", args.scene, e)
             return 2
+    elif args.scene.endswith((".gltf", ".glb")):
+        from pathtracing_tpu.models import gltf as gltf_io
+
+        try:
+            scene, cam_cfg = gltf_io.load_gltf(args.scene)
+        except (OSError, ValueError, KeyError) as e:
+            ptlog.log_critical("failed to load scene %s: %s", args.scene, e)
+            return 2
+        # Assets with no emitter of any kind need a sky to be visible.
+        has_light = (float(scene.lights.total_power) > 0.0
+                     or scene.delta is not None or scene.env is not None)
+        scene_bg = "black" if has_light else "gradient"
     else:
         try:
             scene, cam_cfg = scenes.get_scene(args.scene)
