@@ -155,23 +155,30 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
                     )(pixel_index)
 
             has_media = scene.mat_absorb is not None
+            has_mips = scene_mod.uses_mips(scene)
+            spread = (shading.cone_spread_of(camera, config)
+                      if has_mips else None)
 
             def make_bounce(ks, ldn, lds, tm):
                 def bounce(depth, state):
                     # With media the state carries the per-path interior
                     # absorption coefficient as a trailing element
                     # (absorption-free scenes keep the 7-tuple and the
-                    # exact pre-media jit graph).
+                    # exact pre-media jit graph); with mips, the ray
+                    # cone's accumulated distance follows it.
                     radiance, throughput, o, d, active, pdf, pdiff = \
                         state[:7]
-                    med = state[7] if has_media else None
+                    rest = 7
+                    med = state[rest] if has_media else None
+                    rest += 1 if has_media else 0
+                    cn = state[rest] if has_mips else None
                     return shading.bounce_batch(
                         scene, o, d, ks, depth, radiance, throughput,
                         active, config.rr_start_depth, config.background,
                         traversal, nee=config.nee, prev_pdf=pdf,
                         prev_nee=pdiff, bin_rays=config.ray_sort,
                         ld_nee=ldn, ld_scatter=lds, medium=med,
-                        time=tm,
+                        time=tm, cone=cn, cone_spread=spread,
                     )
                 return bounce
 
@@ -186,6 +193,8 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
             )
             if has_media:
                 init = init + (jnp.zeros((n_rays, 3), jnp.float32),)
+            if has_mips:
+                init = init + (jnp.zeros(n_rays, jnp.float32),)
             # Live-first compaction pays only when several deep waves
             # follow it AND the waves actually run through a DNF kernel
             # (the tree kernels' octant sort already groups dead rays;

@@ -195,6 +195,7 @@ class SceneBuilder:
         self._mat_aniso = []    # per-material GGX anisotropy [0, 1)
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
         self._tex = []          # host texture images (H, W, 3) f32
+        self._mipmaps = False   # build a mip pyramid into the atlas
         self._env = None        # ops.envmap.EnvMap (image-based light)
         self._protos = []       # (v0, e1, e2, mats, [(3,4) xforms], [imat])
         self._delta = []        # delta-light spec dicts (ops.lights)
@@ -256,6 +257,13 @@ class SceneBuilder:
             self._env = envmap_ops.build_envmap(texels_or_envmap)
 
     # -- textures ----------------------------------------------------------
+    def set_mipmaps(self, enabled: bool = True) -> None:
+        """Build a box-filtered mip pyramid into the texture atlas and
+        render with ray-cone LOD selection (``ops.texture`` mip docs).
+        Off by default: the mip-free atlas keeps the exact pre-mip array
+        shapes, jit graphs, and fixed-seed images (the feature gate)."""
+        self._mipmaps = bool(enabled)
+
     def add_texture(self, image, srgb: bool = True) -> int:
         """Register a texture: an (H, W, 3) linear float array, or a path
         (PNG/JPEG converted from sRGB; .hdr/.npy pass through). Returns
@@ -760,7 +768,8 @@ class SceneBuilder:
         if self._tex and (any_tex or any_ntex or any_mrtex):
             from pathtracing_tpu.ops import texture as texture_ops
 
-            textures = texture_ops.build_atlas(self._tex)
+            textures = texture_ops.build_atlas(self._tex,
+                                               mips=self._mipmaps)
             if any_tex:
                 mat_tex = jnp.asarray(mat_tex_np)
             if any_ntex:
@@ -927,6 +936,15 @@ def has_motion(scene: Scene) -> bool:
             and scene.instances.fw0 is not None)
 
 
+def uses_mips(scene: Scene) -> bool:
+    """True when the texture atlas carries a mip pyramid — engines then
+    carry a per-path accumulated distance (the ray cone) and shading
+    selects texture LOD from it. Static predicate (shapes only), like
+    ``uses_dnf``; mip-free scenes keep their exact pre-mip jit graphs."""
+    return (scene.textures is not None
+            and scene.textures.mip_table is not None)
+
+
 def uses_dnf(scene: Scene) -> bool:
     """True when ``intersect_batch``/``occluded_batch`` will route this
     scene's cluster queries to a dense nearest-first kernel — flat
@@ -944,10 +962,17 @@ def uses_dnf(scene: Scene) -> bool:
     )
 
 
-def surface_attributes(scene: Scene, hit: Hit):
+def surface_attributes(scene: Scene, hit: Hit, cone_width=None):
     """Interpolated shading normal + texture coordinates at a hit batch.
 
-    Returns (normal (R, 3), uv (R, 2)). Triangle hits recover
+    Returns (normal (R, 3), uv (R, 2)); with ``cone_width`` ((R,) f32,
+    the ray cone's world-space footprint width at the hit — the mip/LOD
+    path, ``ops.texture`` mip docs) an extra (R,) UV-per-world density
+    ``sqrt(|det_uv| / |e1 x e2|)`` is appended, and normal-map lookups
+    go through ``sample_trilinear`` at the matching LOD (zero density on
+    sphere/UV-less hits clamps their LOD to 0 = plain bilinear).
+
+    Triangle hits recover
     barycentrics from the hit point against the stored (v0, e1, e2)
     rows — the kernels stay attribute-free and return only the slot id;
     one slot→row gather resolves everything (PERF.md round-1 fact #1:
@@ -1025,6 +1050,25 @@ def surface_attributes(scene: Scene, hit: Hit):
     sv = 0.5 + jnp.arcsin(jnp.clip(n[:, 1], -1.0, 1.0)) * (1.0 / jnp.pi)
     uv = jnp.where(tri[:, None], uv_tri, jnp.stack([su, sv], axis=-1))
 
+    dens = lod_base = None
+    if cone_width is not None:
+        # UV-per-world density for mip selection: the ratio of the
+        # triangle's UV-space to world-space area, sqrt'd back to a
+        # length scale (isotropic footprint approximation; no ray
+        # differentials). Sphere and UV-less hits get 0 -> their LOD
+        # clamps to level 0 (bilinear), documented in ops.texture.
+        if uvs is not None:
+            duv1d = uvs[:, 1] - uvs[:, 0]
+            duv2d = uvs[:, 2] - uvs[:, 0]
+            det_d = jnp.abs(duv1d[:, 0] * duv2d[:, 1]
+                            - duv2d[:, 0] * duv1d[:, 1])
+            area_w = jnp.sqrt(jnp.maximum(
+                jnp.sum(linalg.cross(e1, e2) ** 2, axis=-1), 1e-30))
+            dens = jnp.where(tri, jnp.sqrt(det_d / area_w), 0.0)
+        else:
+            dens = jnp.zeros(r, jnp.float32)
+        lod_base = jnp.log2(jnp.maximum(cone_width * dens, 1e-20))
+
     if scene.mat_ntex is not None and scene.textures is not None:
         # Tangent-space normal mapping. The UV-aligned tangent frame
         # solves [e1 e2] = [T B]·[[du1 du2],[dv1 dv2]] per triangle ROW
@@ -1069,9 +1113,14 @@ def surface_attributes(scene: Scene, hit: Hit):
         handed = jnp.where(linalg.dot(b_cross, b_raw) < 0.0, -1.0, 1.0)
         b_hat = b_cross * handed[:, None]
 
-        texel = texture_ops.sample_bilinear(
-            scene.textures, ntex_id, uv
-        )
+        if lod_base is not None and scene.textures.mip_table is not None:
+            texel = texture_ops.sample_trilinear(
+                scene.textures, ntex_id, uv, lod_base
+            )
+        else:
+            texel = texture_ops.sample_bilinear(
+                scene.textures, ntex_id, uv
+            )
         tn = 2.0 * texel - 1.0
         n_map = (tn[:, 0:1] * t_hat + tn[:, 1:2] * b_hat
                  + tn[:, 2:3] * normal)
@@ -1089,6 +1138,8 @@ def surface_attributes(scene: Scene, hit: Hit):
         )
         normal = jnp.where(mapped[:, None], n_map * flip[:, None], normal)
 
+    if cone_width is not None:
+        return normal, uv, dens
     return normal, uv
 
 

@@ -316,6 +316,9 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                   float(f.get("sigma_a", 0.0)),
                   float(f.get("g", 0.0)))
 
+    if spec.get("mipmaps"):
+        b.set_mipmaps(True)
+
     for dl in spec.get("delta_lights", []):
         t = dl.get("type")
         if t == "point":

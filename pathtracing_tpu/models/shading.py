@@ -54,7 +54,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                  rr_start_depth, background: str, traversal: str,
                  nee: bool = False, prev_pdf=None, prev_nee=None,
                  bin_rays: bool = False, return_shadow_count: bool = False,
-                 ld_nee=None, ld_scatter=None, medium=None, time=None):
+                 ld_nee=None, ld_scatter=None, medium=None, time=None,
+                 cone=None, cone_spread=None):
     """One bounce for a whole (R,) ray batch — the production path.
 
     Identical math and RNG streams to the original per-ray form (the
@@ -102,6 +103,20 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     simplification: NEE shadow rays ignore transmittance through
     absorbing media (a diffuse vertex seen through colored glass keeps
     full direct light) — matching the any-hit occlusion model.
+
+    ``cone`` ((R,), required iff ``scene_mod.uses_mips(scene)``): the
+    per-path distance accumulated from the camera, carried across
+    bounces like ``medium``. With it the pixel's ray cone (angular
+    spread ``cone_spread``, ``cone_spread_of``) gives a world-space
+    footprint at each hit, and texture lookups become trilinear
+    mip-interpolated (``ops.texture.sample_trilinear``) — the
+    minification-antialiasing path. Adds no random draws; mip-free
+    scenes (``cone=None``) keep identical graphs/streams bit-for-bit.
+    When active the return tuple gains ``cone`` after ``medium``.
+    Known simplifications: the cone's spread stays the pixel angle
+    across bounces (no curvature/roughness growth), and the NEE
+    emission-texture lookup at the sampled light point stays bilinear
+    (no footprint exists there; the residual aliasing is MC-averaged).
     """
     from pathtracing_tpu.models import scene as scene_mod
     from pathtracing_tpu.ops import lights as lights_ops
@@ -232,21 +247,43 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 jnp.clip(hit.mat_id, 0, scene.mat_clearcoat.shape[0] - 1)
             ]
 
+    use_mips = scene_mod.uses_mips(scene) and cone is not None
     if scene.attr_shn is not None or scene.textures is not None:
         # Surface attributes (smooth shading normals / UV textures) —
         # feature-gated: attribute-free scenes skip every gather here
         # and stay bitwise identical to the pre-attribute renderer.
         with jax.named_scope("surface_attrs"):
-            s_normal, uv = scene_mod.surface_attributes(scene, hit)
+            lod_base = None
+            if use_mips:
+                # Ray-cone LOD: footprint = spread x distance-from-
+                # camera, stretched by the grazing angle (clamped — the
+                # isotropic footprint can't follow extreme anisotropy).
+                cos_g = jnp.abs(linalg.dot(d, hit.normal))
+                dist_c = cone + jnp.where(hit.valid, hit.t, 0.0)
+                width_c = (dist_c * cone_spread
+                           / jnp.maximum(cos_g, 0.1))
+                s_normal, uv, dens = scene_mod.surface_attributes(
+                    scene, hit, cone_width=width_c
+                )
+                lod_base = jnp.log2(
+                    jnp.maximum(width_c * dens, 1e-20)
+                )
+            else:
+                s_normal, uv = scene_mod.surface_attributes(scene, hit)
             if scene.mat_tex is not None:
                 from pathtracing_tpu.ops import texture as texture_ops
 
                 tex_id = scene.mat_tex[
                     jnp.clip(hit.mat_id, 0, scene.mat_tex.shape[0] - 1)
                 ]
-                tex_rgb = texture_ops.sample_bilinear(
-                    scene.textures, tex_id, uv
-                )
+                if use_mips:
+                    tex_rgb = texture_ops.sample_trilinear(
+                        scene.textures, tex_id, uv, lod_base
+                    )
+                else:
+                    tex_rgb = texture_ops.sample_bilinear(
+                        scene.textures, tex_id, uv
+                    )
                 textured = (tex_id >= 0) & hit.valid
                 alb = jnp.where(textured[:, None], alb * tex_rgb, alb)
                 # Textured emission (TV screens, stained glass): the
@@ -266,9 +303,14 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 mr_id = scene.mat_mrtex[
                     jnp.clip(hit.mat_id, 0, scene.mat_mrtex.shape[0] - 1)
                 ]
-                mr = texture_ops.sample_bilinear(
-                    scene.textures, mr_id, uv
-                )
+                if use_mips:
+                    mr = texture_ops.sample_trilinear(
+                        scene.textures, mr_id, uv, lod_base
+                    )
+                else:
+                    mr = texture_ops.sample_bilinear(
+                        scene.textures, mr_id, uv
+                    )
                 mr_on = (mr_id >= 0) & hit.valid
                 par = jnp.where(mr_on, par * mr[:, 1], par)
                 if metal_col is not None:
@@ -668,7 +710,24 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             ),
         )
         out = out + (medium,)
+    if use_mips:
+        # The cone grows by the segment actually traveled (hit distance,
+        # or the fog event's free-flight distance when one preempts the
+        # hit); escaped/dead lanes keep their value (never read again).
+        seg_c = jnp.where(hit.valid, hit.t, 0.0)
+        if has_fog:
+            seg_c = jnp.where(med_event, t_fog, seg_c)
+        out = out + (cone + seg_c,)
     return out + (n_shadow,) if return_shadow_count else out
+
+
+def cone_spread_of(camera, config):
+    """Per-pixel angular spread of the primary ray cone (the mip/LOD
+    footprint driver): the vertical FOV split over the image rows — a
+    traced scalar, so it never forces a recompile. Motion pairs use the
+    opening pose (the FOV is rigid across the shutter)."""
+    cam = camera[0] if isinstance(camera, tuple) else camera
+    return 2.0 * cam.half_fov / jnp.float32(config.height)
 
 
 def camera_sample(camera, config, seed, pixel_index, sample_index):

@@ -58,9 +58,13 @@ class PathPool(NamedTuple):
     # None (an empty pytree leaf) for absorption-free scenes so their
     # pool pytree — and therefore every compiled graph — is unchanged.
     medium: jnp.ndarray = None
+    # (N,) f32 ray-cone accumulated distance (texture mip/LOD selection,
+    # shading.bounce_batch cone docs); None for mip-free scenes.
+    cone: jnp.ndarray = None
 
 
-def _empty_pool(n: int, has_media: bool = False) -> PathPool:
+def _empty_pool(n: int, has_media: bool = False,
+                has_mips: bool = False) -> PathPool:
     return PathPool(
         origin=jnp.zeros((n, 3), jnp.float32),
         direction=jnp.zeros((n, 3), jnp.float32),
@@ -73,6 +77,7 @@ def _empty_pool(n: int, has_media: bool = False) -> PathPool:
         prev_pdf=jnp.zeros(n, jnp.float32),
         prev_nee=jnp.zeros(n, jnp.bool_),
         medium=jnp.zeros((n, 3), jnp.float32) if has_media else None,
+        cone=jnp.zeros(n, jnp.float32) if has_mips else None,
     )
 
 
@@ -127,6 +132,8 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             prev_nee=jnp.where(take, False, pool.prev_nee),
             medium=(None if pool.medium is None
                     else jnp.where(take3, 0.0, pool.medium)),
+            cone=(None if pool.cone is None
+                  else jnp.where(take, 0.0, pool.cone)),
         ), jnp.minimum(next_path + jnp.sum(dead.astype(jnp.int32)), total)
 
     traversal = config.resolve_traversal(scene)
@@ -179,6 +186,8 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
                         ), (), dtype=jnp.float32,
                     )
                 )(pool.pixel, pool.sample)
+        spread = (shading.cone_spread_of(camera, config)
+                  if pool.cone is not None else None)
         out = shading.bounce_batch(
             scene, pool.origin, pool.direction, keys, pool.depth,
             pool.radiance, pool.throughput, pool.active,
@@ -187,10 +196,13 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             prev_nee=pool.prev_nee, bin_rays=config.ray_sort,
             return_shadow_count=True, ld_nee=ld_nee,
             ld_scatter=ld_scatter, medium=pool.medium,
-            time=times,
+            time=times, cone=pool.cone, cone_spread=spread,
         )
         radiance, throughput, o, d, active, pdf, pdiff = out[:7]
-        medium = out[7] if scene.mat_absorb is not None else None
+        rest = 7
+        medium = out[rest] if scene.mat_absorb is not None else None
+        rest += 1 if scene.mat_absorb is not None else 0
+        cone = out[rest] if pool.cone is not None else None
         n_shadow = out[-1]
         depth = pool.depth + 1
         active = active & (depth < config.max_depth)
@@ -198,7 +210,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             origin=o, direction=d, radiance=radiance,
             throughput=throughput, pixel=pool.pixel, sample=pool.sample,
             depth=depth, active=active, prev_pdf=pdf, prev_nee=pdiff,
-            medium=medium,
+            medium=medium, cone=cone,
         ), n_shadow
 
     def body(carry):
@@ -238,7 +250,10 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         pool, _, next_path, _ = carry
         return (next_path < total) | jnp.any(pool.active)
 
-    pool0 = _empty_pool(n, has_media=scene.mat_absorb is not None)
+    from pathtracing_tpu.models import scene as scene_mod2
+
+    pool0 = _empty_pool(n, has_media=scene.mat_absorb is not None,
+                        has_mips=scene_mod2.uses_mips(scene))
     accum_flat, segments = jax.lax.while_loop(
         cond, body, (pool0, accum_flat, jnp.int32(0), jnp.float32(0))
     )[1::2]

@@ -198,6 +198,66 @@ def generate_ray(camera: Camera, s, t, lens_u1, lens_u2):
     raise ValueError(f"unknown camera projection {proj!r}")
 
 
+def cam_depth(camera: Camera, p):
+    """Scalar occlusion-compare depth of world points ``p`` (..., 3) for
+    this camera: z-depth along the view axis for the planar projections
+    (pinhole/ortho — what their reprojection parallax preserves),
+    radial distance for the angular ones (fisheye/equirect)."""
+    rel = p - camera.origin
+    if camera.projection in ("pinhole", "ortho"):
+        return linalg.dot(rel, -camera.w)
+    return jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-20))
+
+
+def project(camera: Camera, p):
+    """Inverse of ``generate_ray`` for the lens-center ray: world points
+    ``p`` (..., 3) -> film coords (s, t) in [0,1]² plus a validity mask
+    (in front of the camera / inside the angular range). The temporal
+    reprojection primitive: where the PREVIOUS frame saw a world point.
+    Thin-lens defocus is ignored (reprojection wants the sharp pinhole
+    mapping); round-trip with ``generate_ray`` is test-pinned for every
+    projection.
+    """
+    rel = p - camera.origin
+    x = linalg.dot(rel, camera.u)
+    y = linalg.dot(rel, camera.v)
+    z = linalg.dot(rel, -camera.w)
+    proj = camera.projection
+    if proj == "pinhole":
+        focus = linalg.dot(camera.origin - camera.lower_left, camera.w)
+        hw = jnp.sqrt(jnp.sum(camera.horizontal ** 2))
+        hv = jnp.sqrt(jnp.sum(camera.vertical ** 2))
+        valid = z > 1e-6
+        zs = jnp.where(valid, z, 1.0)
+        s = 0.5 + focus * x / (zs * hw)
+        t = 0.5 + focus * y / (zs * hv)
+        return s, t, valid
+    if proj == "ortho":
+        hw = jnp.sqrt(jnp.sum(camera.horizontal ** 2))
+        hv = jnp.sqrt(jnp.sum(camera.vertical ** 2))
+        return 0.5 + x / hw, 0.5 + y / hv, z > 1e-6
+    if proj == "fisheye":
+        rn = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-20))
+        theta = jnp.arccos(jnp.clip(z / rn, -1.0, 1.0))
+        r_ndc = theta / camera.half_fov
+        phi = jnp.arctan2(y, jnp.where(jnp.abs(x) + jnp.abs(y) > 0.0,
+                                       x, 1.0))
+        s = 0.5 * (r_ndc * jnp.cos(phi) / camera.aspect + 1.0)
+        t = 0.5 * (r_ndc * jnp.sin(phi) + 1.0)
+        return s, t, theta < camera.half_fov * jnp.minimum(
+            camera.aspect, 1.0
+        )
+    if proj == "equirect":
+        rn = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-20))
+        theta = jnp.arccos(jnp.clip(y / rn, -1.0, 1.0))
+        # Full atan2 over (x, z): azimuth about v measured from -w.
+        lam = jnp.arctan2(x, z)
+        s = lam / np.float32(2.0 * np.pi) + 0.5
+        t = 1.0 - theta / np.float32(np.pi)
+        return s, t, rn > 1e-6
+    raise ValueError(f"unknown camera projection {proj!r}")
+
+
 def reference_ray(pixel_x, pixel_y, resolution_x, resolution_y):
     """Exact reference ray-gen (`Test.hlsl:6-10`) for the parity model.
 

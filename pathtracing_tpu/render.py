@@ -120,6 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="à-trous iterations (dilations 1,2,4,...)")
     p.add_argument("--denoise-sigma-color", type=float, default=None,
                    help="color range sigma (default: 2.8/sqrt(spp))")
+    p.add_argument("--mips", action="store_true",
+                   help="rebuild the scene's texture atlas with a mip "
+                        "pyramid and sample trilinearly at ray-cone LOD "
+                        "(ops/texture.py; fixes minification aliasing "
+                        "on textured geometry at distance)")
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="write the PNG every N steps (0 = only at end)")
     p.add_argument("--checkpoint", default=None,
@@ -219,6 +224,12 @@ def main(argv=None) -> int:
         except KeyError as e:
             ptlog.log_critical("%s", e.args[0])
             return 2
+    if args.mips and scene.textures is not None:
+        from pathtracing_tpu.ops import texture as texture_ops
+
+        scene = scene._replace(
+            textures=texture_ops.add_mips(scene.textures)
+        )
     background = scene_bg if args.background == "auto" else args.background
     config = RenderConfig(
         width=args.width, height=args.height,
