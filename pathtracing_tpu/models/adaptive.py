@@ -127,23 +127,28 @@ band_scores = jax.jit(_band_scores, static_argnames=("config", "band_rows"))
 def _step_body(state: AdaptiveState, scene, camera, config: RenderConfig,
                band_rows: int, band_ids: jnp.ndarray) -> AdaptiveState:
     """Add ONE sample to each band in ``band_ids`` ((K,) i32, unique):
-    lax.map over the selected bands (each a dense image-ordered wave
-    through the flagship megakernel path), then an index-depth-1
-    scatter-add of whole band blocks."""
+    ONE fused scattered-rows megakernel wave over all K bands (each ray
+    at its band's own sample counter — ``render_samples(rows=...)``),
+    then an index-depth-1 scatter-add of whole band blocks. One K-band
+    wave instead of K small serialized waves: the lax.map formulation
+    measured 1.7x per-sample overhead at 256² (k=8 bands of 4 rows =
+    1,024-ray waves under-fill the VPU and pay the per-wave fixed costs
+    8x); the fused wave renders the same (pixel, sample) ids, so every
+    path estimate is bitwise unchanged."""
     h, w = config.height, config.width
     n_bands = h // band_rows
 
-    def render_one(band):
-        return megakernel.render_samples(
-            scene, camera, config,
-            sample_start=state.band_spp[band],
-            n_samples=1,
-            seed=state.seed,
-            row_start=band * band_rows,
-            block_rows=band_rows,
-        )
-
-    blocks = jax.lax.map(render_one, band_ids)    # (K, rows, W, 3)
+    rows = (band_ids[:, None] * band_rows
+            + jnp.arange(band_rows, dtype=jnp.int32)[None, :]).reshape(-1)
+    blocks = megakernel.render_samples(
+        scene, camera, config,
+        sample_start=jnp.int32(0),      # unused in rows mode
+        n_samples=1,
+        seed=state.seed,
+        rows=rows,
+        rows_sample_start=jnp.repeat(state.band_spp[band_ids],
+                                     band_rows),
+    ).reshape(band_ids.shape[0], band_rows, w, 3)
     accum_b = state.accum.reshape(n_bands, band_rows, w, 3)
     accum = accum_b.at[band_ids].add(blocks, unique_indices=True)
     m2_b = state.m2.reshape(n_bands, band_rows, w)

@@ -53,7 +53,8 @@ COMPACT_DEPTHS = (3,)
 
 def render_samples(scene, camera, config: RenderConfig, sample_start,
                    n_samples: int, seed, row_start=0, block_rows=None,
-                   sample_stride: int = 1):
+                   sample_stride: int = 1, rows=None,
+                   rows_sample_start=None):
     """Sum of ``n_samples`` radiance samples per pixel over an image block.
 
     Returns shape (block_rows, W, 3) — by default the full (H, W, 3) image.
@@ -68,8 +69,24 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
     instance compute global sample indices ``sample_start + i*stride`` —
     pixel ids and sample ids stay *global*, so any (tiles × samples)
     sharding reproduces the single-chip image bit for bit.
+
+    Scattered-rows mode (the adaptive scheduler's fused wave): ``rows``
+    ((R,) i32, traced) names arbitrary image rows and
+    ``rows_sample_start`` ((R,) i32) gives each row its OWN sample
+    counter; the return is (len(rows), W, 3) in ``rows`` order. Pixel
+    and sample ids stay global per ray, so a pixel's k-th sample is
+    bit-identical to every other engine's k-th sample regardless of the
+    schedule that requested it — K scheduler-picked bands render as ONE
+    dense wave (each 128-ray traversal tile still sits inside a single
+    image row, so DNF tile coherence is unchanged) instead of K small
+    serialized waves. The contiguous-block args are ignored in this
+    mode; the default mode's jit graph is untouched (Python branch).
     """
     h, w = config.height, config.width
+    if rows is not None:
+        return _render_rows(scene, camera, config, rows,
+                            rows_sample_start, n_samples, seed,
+                            sample_stride)
     block_rows = h if block_rows is None else block_rows
     # Row chunking: largest divisor of block_rows whose wave fits
     # MAX_WAVE_RAYS (full block when it already fits). When block_rows
@@ -97,139 +114,9 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
         sample_idx = sample_start + sample_ofs * sample_stride
 
         def chunk_radiance(row0):
-            from pathtracing_tpu.models import scene as scene_mod
-            from pathtracing_tpu.ops import binning
-
             pixel_index = ((dys + row0) * w + xs).reshape(-1)
-            keys, origin, direction = jax.vmap(
-                lambda p: shading.camera_sample(camera, config, seed, p,
-                                                sample_idx)
-            )(pixel_index)
-            if config.sampler == "ld":
-                # First-vertex stratified pairs, computed ONCE per
-                # sample (the Halton radical inverses are loop-invariant
-                # — computing them inside the bounce loop measured ~6%
-                # of a step).
-                from pathtracing_tpu.ops import rng as rng_ops
-
-                def pairs(tag):
-                    a, b = jax.vmap(
-                        lambda p: rng_ops.ld_pair(seed, p, sample_idx,
-                                                  tag)
-                    )(pixel_index)
-                    return jnp.stack([a, b], axis=-1)
-
-                pick = jax.vmap(
-                    lambda p: rng_ops.ld_scalar(seed, p, sample_idx,
-                                                rng_ops.STREAM_NEE)
-                )(pixel_index)[:, None]
-                ld_nee = jnp.concatenate(
-                    [pick, pairs(rng_ops.STREAM_NEE)], axis=1
-                )
-                ld_scatter = pairs(rng_ops.STREAM_SCATTER)
-            else:
-                ld_nee = ld_scatter = None
-
-            times = None
-            if scene_mod.has_motion(scene):
-                # Object motion blur: the per-path shutter time, drawn
-                # from the SAME stream camera_sample uses for camera
-                # motion — rigid camera+object motion stays consistent.
-                from pathtracing_tpu.ops import rng as rng_ops
-
-                if config.sampler == "ld":
-                    times = jax.vmap(
-                        lambda p: rng_ops.ld_scalar(
-                            seed, p, sample_idx, rng_ops.STREAM_TIME
-                        )
-                    )(pixel_index)
-                else:
-                    times = jax.vmap(
-                        lambda p: jax.random.uniform(
-                            rng_ops.stream_key(
-                                rng_ops.pixel_sample_key(
-                                    seed, p, sample_idx
-                                ), 0, rng_ops.STREAM_TIME,
-                            ), (), dtype=jnp.float32,
-                        )
-                    )(pixel_index)
-
-            has_media = scene.mat_absorb is not None
-            has_mips = scene_mod.uses_mips(scene)
-            spread = (shading.cone_spread_of(camera, config)
-                      if has_mips else None)
-
-            def make_bounce(ks, ldn, lds, tm):
-                def bounce(depth, state):
-                    # With media the state carries the per-path interior
-                    # absorption coefficient as a trailing element
-                    # (absorption-free scenes keep the 7-tuple and the
-                    # exact pre-media jit graph); with mips, the ray
-                    # cone's accumulated distance follows it.
-                    radiance, throughput, o, d, active, pdf, pdiff = \
-                        state[:7]
-                    rest = 7
-                    med = state[rest] if has_media else None
-                    rest += 1 if has_media else 0
-                    cn = state[rest] if has_mips else None
-                    return shading.bounce_batch(
-                        scene, o, d, ks, depth, radiance, throughput,
-                        active, config.rr_start_depth, config.background,
-                        traversal, nee=config.nee, prev_pdf=pdf,
-                        prev_nee=pdiff, bin_rays=config.ray_sort,
-                        ld_nee=ldn, ld_scatter=lds, medium=med,
-                        time=tm, cone=cn, cone_spread=spread,
-                    )
-                return bounce
-
-            init = (
-                jnp.zeros((n_rays, 3), jnp.float32),
-                jnp.ones((n_rays, 3), jnp.float32),
-                origin,
-                direction,
-                jnp.ones(n_rays, jnp.bool_),
-                jnp.zeros(n_rays, jnp.float32),
-                jnp.zeros(n_rays, jnp.bool_),
-            )
-            if has_media:
-                init = init + (jnp.zeros((n_rays, 3), jnp.float32),)
-            if has_mips:
-                init = init + (jnp.zeros(n_rays, jnp.float32),)
-            # Live-first compaction pays only when several deep waves
-            # follow it AND the waves actually run through a DNF kernel
-            # (the tree kernels' octant sort already groups dead rays;
-            # the vmapped BVH walk has no tile footprint to help) — so
-            # gate on the resolved traversal, not just the scene shape.
-            # Each listed depth gets its own permutation; the inverse
-            # takes compose (innermost-last) to restore pixel order.
-            dnf_route = (scene_mod.uses_dnf(scene) and traversal in
-                         ("cluster_pallas", "cluster_interpret"))
-            depths = [d for d in sorted(COMPACT_DEPTHS)
-                      if dnf_route and config.max_depth >= d + 2]
-            state, ks, start = init, keys, 0
-            ldn, lds, tm = ld_nee, ld_scatter, times
-            invs = []
-            for d in depths:
-                state = jax.lax.fori_loop(start, d,
-                                          make_bounce(ks, ldn, lds, tm),
-                                          state)
-                perm, inv = binning.binning_perm(
-                    jnp.where(state[4], 0, 1).astype(jnp.int32), 2
-                )
-                state = tuple(a[perm] for a in state)
-                ks = ks[perm]
-                if ldn is not None:
-                    ldn, lds = ldn[perm], lds[perm]
-                if tm is not None:
-                    tm = tm[perm]
-                invs.append(inv)
-                start = d
-            radiance, *_ = jax.lax.fori_loop(
-                start, config.max_depth, make_bounce(ks, ldn, lds, tm),
-                state
-            )
-            for inv in reversed(invs):
-                radiance = radiance[inv]
+            radiance = _trace_pixels(scene, camera, config, traversal,
+                                     pixel_index, sample_idx, seed)
             return radiance.reshape(chunk_rows, w, 3)
 
         if n_chunks == 1:
@@ -246,6 +133,219 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
         return accum + radiance, None
 
     accum0 = jnp.zeros((block_rows, w, 3), jnp.float32)
+    accum, _ = jax.lax.scan(
+        one_sample, accum0, jnp.arange(n_samples, dtype=jnp.int32)
+    )
+    return accum
+
+
+def _trace_pixels(scene, camera, config: RenderConfig, traversal: str,
+                  pixel_index, sample_idx, seed):
+    """Per-path radiance ((R, 3)) for one wave of global pixel ids —
+    the shared RNG-identity core of every ``render_samples`` mode.
+    ``sample_idx`` is a traced scalar (uniform block waves) or an (R,)
+    i32 array (the scattered-rows mode, each ray at its own global
+    sample counter); both forms draw identical per-(pixel, sample)
+    streams, so every schedule computes bit-identical path estimates.
+    """
+    from pathtracing_tpu.models import scene as scene_mod
+    from pathtracing_tpu.ops import binning
+
+    n_rays = pixel_index.shape[0]
+    per_ray = getattr(sample_idx, "ndim", 0) == 1
+
+    def vm(f):
+        if per_ray:
+            return jax.vmap(f)(pixel_index, sample_idx)
+        return jax.vmap(lambda p: f(p, sample_idx))(pixel_index)
+
+    keys, origin, direction = vm(
+        lambda p, s: shading.camera_sample(camera, config, seed, p, s)
+    )
+    if config.sampler == "ld":
+        # First-vertex stratified pairs, computed ONCE per
+        # sample (the Halton radical inverses are loop-invariant
+        # — computing them inside the bounce loop measured ~6%
+        # of a step).
+        from pathtracing_tpu.ops import rng as rng_ops
+
+        def pairs(tag):
+            a, b = vm(lambda p, s: rng_ops.ld_pair(seed, p, s, tag))
+            return jnp.stack([a, b], axis=-1)
+
+        pick = vm(
+            lambda p, s: rng_ops.ld_scalar(seed, p, s,
+                                           rng_ops.STREAM_NEE)
+        )[:, None]
+        ld_nee = jnp.concatenate(
+            [pick, pairs(rng_ops.STREAM_NEE)], axis=1
+        )
+        ld_scatter = pairs(rng_ops.STREAM_SCATTER)
+    else:
+        ld_nee = ld_scatter = None
+
+    times = None
+    if scene_mod.has_motion(scene):
+        # Object motion blur: the per-path shutter time, drawn
+        # from the SAME stream camera_sample uses for camera
+        # motion — rigid camera+object motion stays consistent.
+        from pathtracing_tpu.ops import rng as rng_ops
+
+        if config.sampler == "ld":
+            times = vm(
+                lambda p, s: rng_ops.ld_scalar(
+                    seed, p, s, rng_ops.STREAM_TIME
+                )
+            )
+        else:
+            times = vm(
+                lambda p, s: jax.random.uniform(
+                    rng_ops.stream_key(
+                        rng_ops.pixel_sample_key(seed, p, s),
+                        0, rng_ops.STREAM_TIME,
+                    ), (), dtype=jnp.float32,
+                )
+            )
+
+    has_media = scene.mat_absorb is not None
+    has_mips = scene_mod.uses_mips(scene)
+    spread = (shading.cone_spread_of(camera, config)
+              if has_mips else None)
+
+    def make_bounce(ks, ldn, lds, tm):
+        def bounce(depth, state):
+            # With media the state carries the per-path interior
+            # absorption coefficient as a trailing element
+            # (absorption-free scenes keep the 7-tuple and the
+            # exact pre-media jit graph); with mips, the ray
+            # cone's accumulated distance follows it.
+            radiance, throughput, o, d, active, pdf, pdiff = \
+                state[:7]
+            rest = 7
+            med = state[rest] if has_media else None
+            rest += 1 if has_media else 0
+            cn = state[rest] if has_mips else None
+            return shading.bounce_batch(
+                scene, o, d, ks, depth, radiance, throughput,
+                active, config.rr_start_depth, config.background,
+                traversal, nee=config.nee, prev_pdf=pdf,
+                prev_nee=pdiff, bin_rays=config.ray_sort,
+                ld_nee=ldn, ld_scatter=lds, medium=med,
+                time=tm, cone=cn, cone_spread=spread,
+            )
+        return bounce
+
+    init = (
+        jnp.zeros((n_rays, 3), jnp.float32),
+        jnp.ones((n_rays, 3), jnp.float32),
+        origin,
+        direction,
+        jnp.ones(n_rays, jnp.bool_),
+        jnp.zeros(n_rays, jnp.float32),
+        jnp.zeros(n_rays, jnp.bool_),
+    )
+    if has_media:
+        init = init + (jnp.zeros((n_rays, 3), jnp.float32),)
+    if has_mips:
+        init = init + (jnp.zeros(n_rays, jnp.float32),)
+    # Live-first compaction pays only when several deep waves
+    # follow it AND the waves actually run through a DNF kernel
+    # (the tree kernels' octant sort already groups dead rays;
+    # the vmapped BVH walk has no tile footprint to help) — so
+    # gate on the resolved traversal, not just the scene shape.
+    # Each listed depth gets its own permutation; the inverse
+    # takes compose (innermost-last) to restore pixel order.
+    dnf_route = (scene_mod.uses_dnf(scene) and traversal in
+                 ("cluster_pallas", "cluster_interpret"))
+    depths = [d for d in sorted(COMPACT_DEPTHS)
+              if dnf_route and config.max_depth >= d + 2]
+    state, ks, start = init, keys, 0
+    ldn, lds, tm = ld_nee, ld_scatter, times
+    invs = []
+    for d in depths:
+        state = jax.lax.fori_loop(start, d,
+                                  make_bounce(ks, ldn, lds, tm),
+                                  state)
+        perm, inv = binning.binning_perm(
+            jnp.where(state[4], 0, 1).astype(jnp.int32), 2
+        )
+        state = tuple(a[perm] for a in state)
+        ks = ks[perm]
+        if ldn is not None:
+            ldn, lds = ldn[perm], lds[perm]
+        if tm is not None:
+            tm = tm[perm]
+        invs.append(inv)
+        start = d
+    radiance, *_ = jax.lax.fori_loop(
+        start, config.max_depth, make_bounce(ks, ldn, lds, tm),
+        state
+    )
+    for inv in reversed(invs):
+        radiance = radiance[inv]
+    return radiance
+
+
+def _render_rows(scene, camera, config: RenderConfig, rows,
+                 rows_sample_start, n_samples: int, seed,
+                 sample_stride: int):
+    """Scattered-rows wave (``render_samples(rows=...)`` docs): K
+    scheduler-picked image rows render as ONE dense wave with per-row
+    sample counters. Oversized waves chunk at MAX_WAVE_RAYS like the
+    block mode (tail chunks pad with row 0 at sample 0; the padded
+    results are sliced off, so real-row results are bitwise unchanged).
+    """
+    w = config.width
+    n_rows = rows.shape[0]
+    if rows_sample_start is None:
+        raise ValueError("rows mode needs rows_sample_start")
+    traversal = config.resolve_traversal(scene)
+
+    chunk_rows = n_rows
+    n_chunks, tail_pad = 1, 0
+    if n_rows * w > MAX_WAVE_RAYS:
+        cap = max(1, MAX_WAVE_RAYS // w)
+        divisor = max(c for c in range(1, cap + 1) if n_rows % c == 0)
+        chunk_rows = divisor if 2 * divisor >= cap else cap
+        n_chunks = -(-n_rows // chunk_rows)
+        tail_pad = n_chunks * chunk_rows - n_rows
+        if tail_pad:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros(tail_pad, jnp.int32)]
+            )
+            rows_sample_start = jnp.concatenate(
+                [rows_sample_start, jnp.zeros(tail_pad, jnp.int32)]
+            )
+    xs = jnp.arange(w, dtype=jnp.int32)
+
+    def one_sample(carry, sample_ofs):
+        accum = carry
+
+        def chunk_radiance(chunk):
+            row_c, ss_c = chunk
+            pixel_index = (row_c[:, None] * w + xs[None, :]).reshape(-1)
+            sample_idx = jnp.repeat(
+                ss_c + sample_ofs * sample_stride, w
+            )
+            radiance = _trace_pixels(scene, camera, config, traversal,
+                                     pixel_index, sample_idx, seed)
+            return radiance.reshape(chunk_rows, w, 3)
+
+        if n_chunks == 1:
+            radiance = chunk_radiance((rows, rows_sample_start))
+        else:
+            radiance = jax.lax.map(
+                chunk_radiance,
+                (rows.reshape(n_chunks, chunk_rows),
+                 rows_sample_start.reshape(n_chunks, chunk_rows)),
+            ).reshape(n_chunks * chunk_rows, w, 3)
+            if tail_pad:
+                radiance = radiance[:n_rows]
+        if config.clamp > 0.0:
+            radiance = jnp.minimum(radiance, config.clamp)
+        return accum + radiance, None
+
+    accum0 = jnp.zeros((n_rows, w, 3), jnp.float32)
     accum, _ = jax.lax.scan(
         one_sample, accum0, jnp.arange(n_samples, dtype=jnp.int32)
     )
