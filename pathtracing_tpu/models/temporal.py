@@ -1,0 +1,207 @@
+"""Temporal reuse across frames: reprojection + history accumulation.
+
+The reference renders every frame of its continuous windowed loop from
+scratch (`/root/reference/RayTracing/App.cs:39-42` → one full dispatch
+per frame, `Renderer.cs:1006-1040`) — frame-to-frame coherence is the
+performance opportunity it never took. This module takes it for orbit /
+animation sequences: each new low-spp frame is blended with the
+previous frames' accumulated history, REPROJECTED through the camera
+motion, giving converged-looking sequences at a fraction of the
+per-frame sample budget (the temporal half of the SVGF family; the
+spatial half is the guided à-trous denoiser in ``ops/denoise.py`` and
+composes downstream of this blend).
+
+TPU-native shape: the whole step is one jitted function of pure array
+math — a feature pass (one batched closest-hit query for primary
+depth/normal), one ``ops.camera.project`` of the hit points into the
+PREVIOUS camera, a bilinear gather of the history buffers (XLA gathers
+are fine, PERF.md round-1 fact #1), a branchless disocclusion test
+(depth + normal + bounds consistency), and a running-mean blend with a
+per-pixel history length. No host round trips; the state is a small
+donated pytree like ``progressive.RenderState``.
+
+Estimator note: temporal blending is BIASED during motion (history
+samples come from slightly different shading points); the history cap
+bounds that staleness, and rejected pixels fall back to the unbiased
+current frame. This is the industry-standard TAA/SVGF trade, applied
+to offline sequences for wall-clock, not to single converged stills.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtracing_tpu.models import scene as scene_mod
+from pathtracing_tpu.ops import camera as camera_ops
+from pathtracing_tpu.utils.config import RenderConfig
+
+# Default history cap: at most this many frames of history blend into a
+# pixel (effective spp = cap × per-frame spp). Higher = smoother but
+# more motion staleness; 16 is the common TAA operating point.
+HISTORY_CAP = 16.0
+
+
+class TemporalState(NamedTuple):
+    """History buffers carried across frames (all (H, W[, ...]) f32)."""
+
+    history: jnp.ndarray   # (H, W, 3) — mean radiance of blended frames
+    hist_len: jnp.ndarray  # (H, W) — effective frames accumulated
+    depth: jnp.ndarray     # (H, W) — cam_depth of the primary hit
+    normal: jnp.ndarray    # (H, W, 3) — primary shading normal
+    valid: jnp.ndarray     # (H, W) bool — primary hit exists
+
+
+def init_state(config: RenderConfig) -> TemporalState:
+    h, w = config.height, config.width
+    return TemporalState(
+        history=jnp.zeros((h, w, 3), jnp.float32),
+        hist_len=jnp.zeros((h, w), jnp.float32),
+        depth=jnp.zeros((h, w), jnp.float32),
+        normal=jnp.zeros((h, w, 3), jnp.float32),
+        valid=jnp.zeros((h, w), jnp.bool_),
+    )
+
+
+def _center_rays(camera, config: RenderConfig):
+    """Deterministic pixel-center primary rays (no jitter, no lens) —
+    the feature-pass geometry, matching ``shading.camera_sample``'s
+    film mapping (x left→right, film t bottom→top, row 0 at top)."""
+    h, w = config.height, config.width
+    pix = jnp.arange(h * w, dtype=jnp.int32)
+    x = (pix % w).astype(jnp.float32)
+    y = (h - 1 - pix // w).astype(jnp.float32)
+    s = (x + 0.5) / w
+    t = (y + 0.5) / h
+    import dataclasses
+
+    zeros = jnp.zeros_like(s)
+    cam = camera_ops.resolve(camera)
+    # Lens-center rays: the sharp pinhole mapping project() inverts.
+    cam = dataclasses.replace(cam, lens_radius=jnp.float32(0.0))
+    o, d = camera_ops.generate_ray(cam, s, t, zeros, zeros)
+    return o, d
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def features(scene, camera, config: RenderConfig):
+    """Primary-visibility feature buffers for reprojection: world
+    position, camera depth, shading normal, and hit validity — one
+    batched closest-hit query (the AOV machinery's shape)."""
+    h, w = config.height, config.width
+    o, d = _center_rays(camera, config)
+    hit = scene_mod.intersect_batch(
+        scene, o, d, config.resolve_traversal(scene)
+    )
+    normal = hit.normal
+    if scene.attr_shn is not None:
+        s_normal, _ = scene_mod.surface_attributes(scene, hit)
+        normal = s_normal
+    # Misses can carry inf/NaN sentinels in the hit record; zero them so
+    # a bilinear history gather adjacent to a miss stays finite.
+    normal = jnp.where(hit.valid[:, None], normal, 0.0)
+    # Misses park at the camera origin with depth 0 (never accepted —
+    # the validity mask gates them) so no 3e38 sentinel can overflow
+    # into the depth compares or bilinear gathers.
+    pos = jnp.where(hit.valid[:, None], o + hit.t[:, None] * d, o)
+    cam = camera_ops.resolve(camera)
+    depth = jnp.where(hit.valid, camera_ops.cam_depth(cam, pos), 0.0)
+    return (pos.reshape(h, w, 3), depth.reshape(h, w),
+            normal.reshape(h, w, 3), hit.valid.reshape(h, w))
+
+
+def _gather_bilinear(img, xf, yf):
+    """Bilinear gather of (H, W, C) at fractional pixel coords (clamped;
+    callers mask out-of-bounds separately)."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    fx = (xf - x0)[..., None]
+    fy = (yf - y0)[..., None]
+
+    def at(yi, xi):
+        yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        return img[yc, xc]
+
+    top = at(y0, x0) * (1.0 - fx) + at(y0, x0 + 1.0) * fx
+    bot = at(y0 + 1.0, x0) * (1.0 - fx) + at(y0 + 1.0, x0 + 1.0) * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config",),
+    donate_argnames=("state",),
+)
+def advance(state: TemporalState, cur_img, scene, camera, cam_prev,
+            config: RenderConfig, depth_tol: float = 0.05,
+            normal_tol: float = 0.7,
+            cap: float = HISTORY_CAP) -> Tuple[jnp.ndarray, TemporalState]:
+    """Blend one new frame into the reprojected history.
+
+    ``cur_img`` ((H, W, 3), mean radiance of this frame's spp) was
+    rendered with ``camera``; ``cam_prev`` is the PREVIOUS frame's pose
+    (pass the current one for frame 0 — empty history blends to the
+    current frame regardless). Returns (display image, new state).
+
+    Acceptance per pixel: the current primary hit, projected into the
+    previous camera, must land in-frame, on a previously-valid pixel,
+    at a consistent depth (relative ``depth_tol`` against the previous
+    frame's stored depth) and normal (cosine >= ``normal_tol``).
+    Rejected pixels restart history at the current frame — disocclusions
+    and silhouettes stay crisp while smooth regions accumulate to
+    ``cap`` frames of effective history.
+    """
+    h, w = config.height, config.width
+    pos, depth_c, normal_c, valid_c = features(scene, camera, config)
+
+    prev = camera_ops.resolve(cam_prev)
+    s, t, in_front = camera_ops.project(prev, pos.reshape(-1, 3))
+    s = s.reshape(h, w)
+    t = t.reshape(h, w)
+    in_front = in_front.reshape(h, w)
+    # Film -> pixel coords (the _center_rays mapping inverted).
+    xf = s * w - 0.5
+    yf = (h - 0.5) - t * h
+    # Full film extent (pixel centers sit at integers; the film edge is
+    # half a pixel beyond) — edge pixels self-reproject to exactly 0.0
+    # minus fp eps, which a [0, n-1] test would spuriously reject.
+    in_bounds = (
+        (xf > -0.5) & (xf < w - 0.5) & (yf > -0.5) & (yf < h - 0.5)
+    )
+
+    hist = _gather_bilinear(state.history, xf, yf)
+    n_prev = _gather_bilinear(state.hist_len[..., None], xf, yf)[..., 0]
+    d_prev = _gather_bilinear(state.depth[..., None], xf, yf)[..., 0]
+    nrm_prev = _gather_bilinear(state.normal, xf, yf)
+    v_prev = _gather_bilinear(
+        state.valid.astype(jnp.float32)[..., None], xf, yf
+    )[..., 0]
+
+    # Depth consistency: the point's distance in the PREVIOUS camera vs
+    # what the previous frame stored there.
+    d_expect = camera_ops.cam_depth(prev, pos.reshape(-1, 3)).reshape(h, w)
+    nl = nrm_prev / jnp.sqrt(jnp.maximum(
+        jnp.sum(nrm_prev * nrm_prev, axis=-1, keepdims=True), 1e-12))
+    accept = (
+        valid_c & in_front & in_bounds & (v_prev > 0.999)
+        & (jnp.abs(d_prev - d_expect)
+           < depth_tol * jnp.maximum(d_expect, 1e-3))
+        & (jnp.sum(nl * normal_c, axis=-1) > normal_tol)
+    )
+
+    n_eff = jnp.where(accept, n_prev, 0.0)
+    out = (hist * n_eff[..., None] + cur_img) / (n_eff[..., None] + 1.0)
+    new_len = jnp.minimum(n_eff + 1.0, cap)
+
+    return out, TemporalState(
+        history=out,
+        hist_len=new_len,
+        depth=depth_c,
+        normal=normal_c,
+        valid=valid_c,
+    )

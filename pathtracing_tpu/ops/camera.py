@@ -244,9 +244,9 @@ def project(camera: Camera, p):
                                        x, 1.0))
         s = 0.5 * (r_ndc * jnp.cos(phi) / camera.aspect + 1.0)
         t = 0.5 * (r_ndc * jnp.sin(phi) + 1.0)
-        return s, t, theta < camera.half_fov * jnp.minimum(
-            camera.aspect, 1.0
-        )
+        # On-film is the caller's (s, t) in [0,1] test; only the exact
+        # backward pole (phi undefined, r saturated) is invalid here.
+        return s, t, theta < np.float32(np.pi * 0.999)
     if proj == "equirect":
         rn = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-20))
         theta = jnp.arccos(jnp.clip(y / rn, -1.0, 1.0))

@@ -120,6 +120,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="à-trous iterations (dilations 1,2,4,...)")
     p.add_argument("--denoise-sigma-color", type=float, default=None,
                    help="color range sigma (default: 2.8/sqrt(spp))")
+    p.add_argument("--temporal", action="store_true",
+                   help="orbit sequences only: reproject and blend the "
+                        "previous frames' accumulated history into each "
+                        "new frame (models/temporal.py) — converged-"
+                        "looking sequences at a fraction of the per-"
+                        "frame spp (compose with --denoise for the "
+                        "full SVGF-style pipeline)")
+    p.add_argument("--temporal-cap", type=float, default=16.0,
+                   help="max effective frames of blended history "
+                        "(higher = smoother, more motion staleness)")
     p.add_argument("--mips", action="store_true",
                    help="rebuild the scene's texture atlas with a mip "
                         "pyramid and sample trilinearly at ray-cone LOD "
@@ -475,6 +485,11 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
     n = args.orbit
     arc = _math.radians(args.orbit_degrees)
     full_turn = abs(args.orbit_degrees) >= 360.0 - 1e-9
+    tstate = cam_prev = None
+    if args.temporal:
+        from pathtracing_tpu.models import temporal
+
+        tstate = temporal.init_state(config)
     for i in range(n):
         # Full turns space frames over [0, arc) (frame n would repeat
         # frame 0); partial arcs sweep [-arc/2, +arc/2] inclusive,
@@ -493,8 +508,22 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
         cc = dataclasses.replace(cam_cfg, position=tuple(map(float, pos)))
         camera = build_camera(cc, args.width / args.height)
         with metrics.Timer() as t:
-            img = np.asarray(frame(scene, camera,
-                                   jnp.uint32(args.seed + i)))
+            if tstate is not None:
+                # Temporal reuse: blend the reprojected history into
+                # this frame ON DEVICE, then fetch the blended image.
+                from pathtracing_tpu.models import temporal
+
+                cur = frame(scene, camera, jnp.uint32(args.seed + i))
+                out_dev, tstate = temporal.advance(
+                    tstate, cur, scene, camera,
+                    camera if cam_prev is None else cam_prev,
+                    config, cap=args.temporal_cap,
+                )
+                cam_prev = camera
+                img = np.asarray(out_dev)
+            else:
+                img = np.asarray(frame(scene, camera,
+                                       jnp.uint32(args.seed + i)))
         # Per-frame post-passes: orbit sequences get the same --denoise
         # / --bloom treatment as single-frame renders.
         img = _maybe_denoise(args, config, scene, camera, img,
