@@ -144,6 +144,13 @@ class Scene(NamedTuple):
     # their estimator carries MIS weight 1). None for scenes without
     # them — identical pytrees, jit keys, and RNG streams.
     delta: lights.DeltaLights = None
+    # Heterogeneous voxel-grid medium (ops.volume.VolumeGrid):
+    # delta-tracking free flights + ratio-tracked NEE transmittance
+    # against a dense density grid in a world AABB. None disables —
+    # grid-free scenes never fold STREAM_VOL/STREAM_VOLT in, keeping
+    # graphs and streams bit-identical. Mutually exclusive with ``fog``
+    # (the builder raises; the combined estimator is untested).
+    vol: "object" = None
 
     @property
     def material_table(self):
@@ -194,6 +201,7 @@ class SceneBuilder:
         self._mat_cc = []       # per-material (clearcoat, cc roughness)
         self._mat_aniso = []    # per-material GGX anisotropy [0, 1)
         self._fog = None        # (sigma_s, sigma_a, g) scattering fog
+        self._vol = None        # ops.volume.VolumeGrid (heterogeneous)
         self._tex = []          # host texture images (H, W, 3) f32
         self._mipmaps = False   # build a mip pyramid into the atlas
         self._env = None        # ops.envmap.EnvMap (image-based light)
@@ -211,6 +219,29 @@ class SceneBuilder:
         if not -1.0 < g < 1.0:
             raise ValueError("HG anisotropy g must be in (-1, 1)")
         self._fog = (float(sigma_s), float(sigma_a), float(g))
+        if self._vol is not None:
+            raise ValueError("fog and a volume grid are mutually "
+                             "exclusive (untested combined estimator)")
+
+    def set_volume(self, density, bbox_min, bbox_max, sigma_s: float,
+                   sigma_a: float = 0.0, g: float = 0.0,
+                   n_steps=None) -> None:
+        """Place a heterogeneous voxel-grid medium (``ops.volume``):
+        ``density`` is a (Nz, Ny, Nx) non-negative array filling the
+        world AABB [bbox_min, bbox_max]; extinction at a point is
+        ``trilinear(density) * (sigma_s + sigma_a)`` and scattering uses
+        the Henyey–Greenstein phase with anisotropy ``g``."""
+        if self._fog is not None:
+            raise ValueError("fog and a volume grid are mutually "
+                             "exclusive (untested combined estimator)")
+        if not -1.0 < g < 1.0:
+            raise ValueError("HG anisotropy g must be in (-1, 1)")
+        from pathtracing_tpu.ops import volume as volume_ops
+
+        self._vol = volume_ops.build_grid(
+            density, bbox_min, bbox_max, sigma_s, sigma_a=sigma_a, g=g,
+            n_steps=n_steps,
+        )
 
     # -- delta lights --------------------------------------------------
     def point_light(self, position, intensity) -> None:
@@ -866,6 +897,7 @@ class SceneBuilder:
             instances=(jax.tree.map(jnp.asarray, instances)
                        if instances is not None else None),
             delta=lights.build_delta_lights(self._delta),
+            vol=self._vol,
         )
 
 

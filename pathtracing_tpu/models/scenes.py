@@ -311,6 +311,52 @@ def fog_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), CORNELL_CAMERA
 
 
+def smoke_density(res: int = 48, blobs: int = 160,
+                  seed: int = 7) -> np.ndarray:
+    """Procedural smoke-plume density grid (res, res, res): Gaussian
+    puffs scattered along a rising, swirling axis, fading and widening
+    with height — a recognisable plume with strong heterogeneity
+    (zero-egress volume asset; fixed numpy seed, so the suite caches
+    stay reproducible). Values normalised to max 1."""
+    rng_np = np.random.default_rng(seed)
+    t = np.linspace(0.0, 1.0, blobs, dtype=np.float32)
+    swirl = 0.22 * (1.0 - t)
+    cx = 0.5 + swirl * np.cos(9.0 * t) + 0.03 * rng_np.standard_normal(blobs)
+    cy = 0.08 + 0.84 * t + 0.02 * rng_np.standard_normal(blobs)
+    cz = 0.5 + swirl * np.sin(9.0 * t) + 0.03 * rng_np.standard_normal(blobs)
+    radius = (0.05 + 0.16 * t).astype(np.float32)
+    weight = (1.0 - 0.65 * t).astype(np.float32)
+
+    g = (np.arange(res, dtype=np.float32) + 0.5) / res
+    gz, gy, gx = np.meshgrid(g, g, g, indexing="ij")
+    dens = np.zeros((res, res, res), np.float32)
+    for i in range(blobs):
+        d2 = ((gx - cx[i]) ** 2 + (gy - cy[i]) ** 2
+              + (gz - cz[i]) ** 2) / (radius[i] ** 2)
+        dens += weight[i] * np.exp(-3.0 * d2, dtype=np.float32)
+    dens -= 0.08 * dens.max()           # carve wispy zero-density edges
+    np.maximum(dens, 0.0, out=dens)
+    return dens / max(float(dens.max()), 1e-9)
+
+
+def smoke_demo() -> Tuple[Scene, CameraConfig]:
+    """Heterogeneous-media showcase: a procedural smoke plume
+    (ops.volume voxel grid, delta tracking) rising through the Cornell
+    box under the ceiling light, with a metal sphere behind it —
+    exercises free-flight sampling through empty and dense regions,
+    in-medium NEE with ratio-tracked shadow transmittance, and the
+    grid occluding SURFACE NEE (the sphere dims behind the plume)."""
+    b = SceneBuilder()
+    _cornell_walls(b)
+    metal = b.metal((0.85, 0.85, 0.9), 0.02)
+    b.add_sphere((0.55, -0.6, -0.35), 0.35, metal)
+    b.set_volume(
+        smoke_density(), bbox_min=(-0.62, -1.0, -0.52),
+        bbox_max=(0.38, 0.7, 0.48), sigma_s=14.0, sigma_a=1.2, g=0.25,
+    )
+    return b.build(), CORNELL_CAMERA
+
+
 def grid_texture(res: int = 256, cells: int = 8,
                  line: float = 0.06) -> np.ndarray:
     """Procedural UV-grid test texture (res, res, 3): warm cells under
@@ -592,6 +638,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "glass_demo": glass_demo,
     "frosted_demo": frosted_demo,
     "fog_demo": fog_demo,
+    "smoke_demo": smoke_demo,
     "instanced_demo": instanced_demo,
     "principled_demo": principled_demo,
     "spotlight_demo": spotlight_demo,

@@ -178,6 +178,33 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         )
         p_phase = sampling_ops.hg_phase(fog_g, cos_hg)
 
+    has_vol = scene.vol is not None
+    vol_event = None
+    if has_vol:
+        # Heterogeneous voxel-grid medium (ops.volume): delta-tracking
+        # free-flight sampling against the grid-max majorant — the
+        # homogeneous-fog estimator with a spatially varying collision
+        # density. An in-grid event preempts the surface hit; event
+        # lanes carry the CONSTANT single-scattering albedo
+        # sigma_s/sigma_t and continue by HG phase sampling. NEE shadow
+        # arms pay ratio-tracked transmittance through the grid.
+        # Feature-gated like fog: grid-free scenes never fold
+        # STREAM_VOL/STREAM_VOLT in (SceneBuilder forbids fog+vol
+        # together — the combined estimator is untested).
+        from pathtracing_tpu.ops import sampling as sampling_ops
+        from pathtracing_tpu.ops import volume as volume_ops
+
+        t_eff_v = jnp.where(hit.valid, hit.t, 3.0e38)
+        vol_event, t_vol, u_ph = volume_ops.sample_distance(
+            scene.vol, keys, depth, o, d, t_eff_v, active
+        )
+        o_vol = o + t_vol[:, None] * d
+        d_phase_v, cos_v = sampling_ops.hg_sample(
+            d, scene.vol.g, u_ph[:, 0], u_ph[:, 1]
+        )
+        p_phase_v = sampling_ops.hg_phase(scene.vol.g, cos_v)
+        vol_albedo = scene.vol.albedo
+
     has_media = scene.mat_absorb is not None
     if has_media:
         # Beer–Lambert absorption over the segment ACTUALLY traveled
@@ -187,6 +214,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         seg = jnp.where(hit.valid, hit.t, 0.0)
         if has_fog:
             seg = jnp.where(med_event, t_fog, seg)
+        if has_vol:
+            seg = jnp.where(vol_event, t_vol, seg)
         transmit = jnp.exp(-medium * seg[:, None])
         throughput = throughput * jnp.where(
             active[:, None], transmit, 1.0
@@ -218,6 +247,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # fog an escape means "no event before 3e38" — effectively
         # never; the env shows only through RR/depth truncation).
         escaped = escaped & jnp.logical_not(med_event)
+    if has_vol:
+        # A grid event preempts the escape; rays that traverse the
+        # bounded grid without an event keep their escape radiance
+        # (weight-1 pass-through — the delta-tracking estimator).
+        escaped = escaped & jnp.logical_not(vol_event)
     radiance = radiance + jnp.where(escaped[:, None], throughput * env, 0.0)
 
     mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
@@ -326,6 +360,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     live = active & hit.valid
     if has_fog:
         live = live & jnp.logical_not(med_event)
+    if has_vol:
+        live = live & jnp.logical_not(vol_event)
 
     nee_on = nee and scene.lights is not None
     emit_w = jnp.ones(r, jnp.float32)
@@ -378,6 +414,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         o_nee = hit.position
         if has_fog:
             o_nee = jnp.where(med_event[:, None], o_med, hit.position)
+        if has_vol:
+            o_nee = jnp.where(vol_event[:, None], o_vol, o_nee)
         # Visible-cap cone sampling for sphere lights (area-uniform for
         # triangles) — pdf_sa is the TRUE per-solid-angle density, the
         # estimator denominator. Triangle-only scenes draw identical
@@ -422,6 +460,12 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 & (total_power > 0.0) & (fog_albedo > 0.0)
             )
             cand = cand | cand_med
+        if has_vol:
+            cand_vol = (
+                vol_event & (cos_l > 1e-6) & (dist2 > 1e-8)
+                & (total_power > 0.0) & (vol_albedo > 0.0)
+            )
+            cand = cand | cand_vol
         t_shadow = dist * (1.0 - 1e-3)
         # Any-hit occlusion query — not a full closest-hit intersect:
         # shadow rays need a yes/no answer only, and the dedicated
@@ -473,6 +517,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             # MIS weights stay a partition of unity either way.
             p_phase_l = sampling_ops.hg_phase(fog_g, linalg.dot(d, wi))
             pdf_b = jnp.where(med_event, p_phase_l, pdf_b)
+        if has_vol:
+            p_phase_lv = sampling_ops.hg_phase(
+                scene.vol.g, linalg.dot(d, wi)
+            )
+            pdf_b = jnp.where(vol_event, p_phase_lv, pdf_b)
         w = pdf_l**2 / (pdf_l**2 + pdf_b**2 + 1e-30)
         scale = cos_s / jnp.maximum(pdf_sa, 1e-20) * w
         contrib = throughput * f_lobe * lemit_mod * scale[:, None]
@@ -485,6 +534,24 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             contrib = jnp.where(
                 med_event[:, None], contrib_med, contrib
             ) * jnp.exp(-fog_sigma_t * dist)[:, None]
+        if has_vol:
+            # Medium vertices swap (BSDF · cosθ) for (albedo · phase)
+            # exactly like fog; EVERY arm additionally pays the
+            # ratio-tracked grid transmittance over the shadow segment
+            # (surface arms too — the grid occludes surface NEE).
+            scale_med_v = w / jnp.maximum(pdf_sa, 1e-20)
+            contrib_med_v = (
+                throughput * lemit_mod
+                * (vol_albedo * p_phase_lv * scale_med_v)[:, None]
+            )
+            contrib = jnp.where(
+                vol_event[:, None], contrib_med_v, contrib
+            )
+            t_vnee = volume_ops.transmittance(
+                scene.vol, keys, depth, o_nee, wi, t_shadow,
+                volume_ops.SALT_NEE,
+            )
+            contrib = contrib * t_vnee[:, None]
         radiance = radiance + jnp.where(vis[:, None], contrib, 0.0)
 
     if nee and has_env:
@@ -507,8 +574,18 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
 
         cos_e = linalg.dot(hit.normal, wi_e)
         cand_e = live & nee_lobe & (cos_e > 1e-6) & (pdf_e > 1e-12)
+        o_env = hit.position
+        if has_vol:
+            # Medium vertices ALSO env-NEE (unlike infinite homogeneous
+            # fog, a bounded grid sees the sky): phase swaps for the
+            # BSDF·cos, and the escape-arm MIS (prev_nee includes
+            # vol_event below) stays a partition of unity.
+            cand_e = cand_e | (
+                vol_event & (pdf_e > 1e-12) & (vol_albedo > 0.0)
+            )
+            o_env = jnp.where(vol_event[:, None], o_vol, o_env)
         occ_e = scene_mod.occluded_batch(
-            scene, hit.position, wi_e,
+            scene, o_env, wi_e,
             jnp.full(r, 1.0e7, jnp.float32), traversal, active=cand_e,
             bin_rays=bin_rays, time=time,
         )
@@ -539,6 +616,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             f_lobe_e = jnp.where(is_pr_e[:, None], f_pe, f_lobe_e)
             pdf_b_e = jnp.where(is_pr_e, pdf_pe, pdf_b_e)
 
+        if has_vol:
+            p_ph_e = sampling_ops.hg_phase(
+                scene.vol.g, linalg.dot(d, wi_e)
+            )
+            pdf_b_e = jnp.where(vol_event, p_ph_e, pdf_b_e)
         w_e = pdf_e**2 / (pdf_e**2 + pdf_b_e**2 + 1e-30)
         scale_e = cos_e / jnp.maximum(pdf_e, 1e-20) * w_e
         contrib_e = throughput * f_lobe_e * le * scale_e[:, None]
@@ -546,6 +628,20 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             # Environment light sits at infinity — under homogeneous
             # fog its NEE transmittance is exp(-sigma_t·1e7) == 0.
             contrib_e = contrib_e * jnp.exp(-fog_sigma_t * 1.0e7)
+        if has_vol:
+            contrib_med_e = (
+                throughput * le
+                * (vol_albedo * p_ph_e * w_e
+                   / jnp.maximum(pdf_e, 1e-20))[:, None]
+            )
+            contrib_e = jnp.where(
+                vol_event[:, None], contrib_med_e, contrib_e
+            )
+            t_venv = volume_ops.transmittance(
+                scene.vol, keys, depth, o_env, wi_e,
+                jnp.full(r, 1.0e7, jnp.float32), volume_ops.SALT_ENV,
+            )
+            contrib_e = contrib_e * t_venv[:, None]
         radiance = radiance + jnp.where(vis_e[:, None], contrib_e, 0.0)
 
     if nee and scene.delta is not None:
@@ -566,6 +662,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         o_dl = hit.position
         if has_fog:
             o_dl = jnp.where(med_event[:, None], o_med, hit.position)
+        if has_vol:
+            o_dl = jnp.where(vol_event[:, None], o_vol, o_dl)
         wi_d, t_sh_d, le_d = lights_ops.sample_delta(
             scene.delta, ud, o_dl
         )
@@ -573,6 +671,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         cand_d = live & nee_lobe & (cos_d > 1e-6)
         if has_fog:
             cand_d = cand_d | (med_event & (fog_albedo > 0.0))
+        if has_vol:
+            cand_d = cand_d | (vol_event & (vol_albedo > 0.0))
         occ_d = scene_mod.occluded_batch(
             scene, o_dl, wi_d, t_sh_d, traversal, active=cand_d,
             bin_rays=bin_rays, time=time,
@@ -612,6 +712,25 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             contrib_d = jnp.where(
                 med_event[:, None], contrib_med_d, contrib_d
             ) * jnp.exp(-fog_sigma_t * t_sh_d)[:, None]
+        if has_vol:
+            # Same swap for grid-medium vertices; every arm pays the
+            # ratio-tracked transmittance over the (finite or 1e7
+            # directional) shadow segment — the _ray_box clip makes the
+            # directional case a walk across the grid only.
+            p_ph_dv = sampling_ops.hg_phase(
+                scene.vol.g, linalg.dot(d, wi_d)
+            )
+            contrib_med_dv = (
+                throughput * le_d * (vol_albedo * p_ph_dv)[:, None]
+            )
+            contrib_d = jnp.where(
+                vol_event[:, None], contrib_med_dv, contrib_d
+            )
+            t_vdl = volume_ops.transmittance(
+                scene.vol, keys, depth, o_dl, wi_d, t_sh_d,
+                volume_ops.SALT_DELTA,
+            )
+            contrib_d = contrib_d * t_vdl[:, None]
         radiance = radiance + jnp.where(vis_d[:, None], contrib_d, 0.0)
 
     u = jax.vmap(
@@ -658,6 +777,14 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             med_event[:, None], fog_albedo, 1.0
         )
         active = active | (med_event & (fog_albedo > 0.0))
+    if has_vol:
+        # Grid-medium vertices: constant single-scattering albedo
+        # (density cancels — sigma_s(x)/sigma_t(x) = sigma_s/sigma_t),
+        # path continues along the phase-sampled direction.
+        throughput = throughput * jnp.where(
+            vol_event[:, None], vol_albedo, 1.0
+        )
+        active = active | (vol_event & (vol_albedo > 0.0))
 
     tp_max = jnp.max(throughput, axis=-1)
     rr_u = jax.vmap(
@@ -679,6 +806,10 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         o = jnp.where(med_event[:, None], o_med, o)
         d_out = jnp.where(med_event[:, None], d_phase, d_out)
         scatter_pdf = jnp.where(med_event, p_phase, scatter_pdf)
+    if has_vol:
+        o = jnp.where(vol_event[:, None], o_vol, o)
+        d_out = jnp.where(vol_event[:, None], d_phase_v, d_out)
+        scatter_pdf = jnp.where(vol_event, p_phase_v, scatter_pdf)
     d = jnp.where(active[:, None], d_out, d)
     # The lobe's actual sampling pdf (cosine for diffuse, GGX NDF for
     # glossy, phase for fog vertices, 0 for delta lobes) feeds the next
@@ -689,6 +820,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # Phase sampling is a finite-pdf lobe — emissive hits on the
         # next segment MIS against it exactly like a diffuse bounce.
         prev_nee = prev_nee | med_event
+    if has_vol:
+        prev_nee = prev_nee | vol_event
     out = (radiance, throughput, o, d, active, prev_pdf, prev_nee)
     if has_media:
         # Medium handoff at dielectric boundaries: a scattered direction
@@ -717,6 +850,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         seg_c = jnp.where(hit.valid, hit.t, 0.0)
         if has_fog:
             seg_c = jnp.where(med_event, t_fog, seg_c)
+        if has_vol:
+            seg_c = jnp.where(vol_event, t_vol, seg_c)
         out = out + (cone + seg_c,)
     return out + (n_shadow,) if return_shadow_count else out
 

@@ -26,6 +26,11 @@ STREAM_FOG = 0x3C6F   # medium distance + phase-direction draws (fog
                       # in, so their streams are untouched)
 STREAM_DELTA = 0x51A3  # delta-light pick (scenes without point/spot/
                        # directional lights never fold this in)
+STREAM_VOL = 0x6B43    # heterogeneous-volume delta-tracking draws
+                       # (per-step distance + accept; grid-free scenes
+                       # never fold this in)
+STREAM_VOLT = 0x1F83   # heterogeneous-volume ratio-tracking draws
+                       # (NEE shadow-arm transmittance; one salt per arm)
 # Extra fold_in salt for ld_scalar so its rotation stream is disjoint
 # from every ld_pair stream BY CONSTRUCTION (a former ``stream_tag + 1``
 # derivation would silently correlate if a future tag ever equaled an

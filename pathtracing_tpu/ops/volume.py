@@ -1,0 +1,282 @@
+"""Heterogeneous participating media: dense voxel grids + delta tracking.
+
+The reference has no volumetrics of any kind (its one kernel is a
+0-bounce sphere caster, `Test.hlsl:4-32`); this is north-star framework
+capability completing the media stack (homogeneous fog: STREAM_FOG in
+`models/shading.py`; interior Beer-Lambert: `Scene.mat_absorb`).
+
+TPU-native shape: ONE dense (Nz, Ny, Nx) f32 density grid on the scene
+pytree — pure trilinear gathers, no trees, no ragged shapes (PERF.md
+round-1 fact #1: XLA gathers are fine). Extinction at a point is
+``density(x) * (sigma_s + sigma_a)``, so the single-scattering albedo is
+the CONSTANT ``sigma_s / (sigma_s + sigma_a)`` — events multiply
+throughput by the albedo (analog absorption folded into the weight, no
+extra RNG draw) and continue by Henyey-Greenstein phase sampling,
+exactly the homogeneous-fog estimator with a spatially varying
+collision density.
+
+Free-flight sampling is delta (Woodcock) tracking against the grid-max
+majorant: exponential flights at the majorant rate, each collision real
+with probability ``sigma_t(x) / majorant`` else null — unbiased for any
+``majorant >= sigma_t`` everywhere, and the grid maximum bounds every
+trilinear interpolant (a convex combination of voxel values). Shadow-ray
+transmittance uses ratio tracking (the product-form estimator
+``prod(1 - sigma_t(x_i)/majorant)`` at the same flight distribution),
+which is the unbiased expectation of Beer-Lambert through the grid.
+
+Both walks are batch `lax.while_loop`s over (R,) lanes — data-dependent
+trip counts are fine in plain XLA (this is bounce-level code, not a
+Pallas kernel), and the loop exits when every lane has resolved. A hard
+step cap ``n_steps`` (static pytree aux) bounds compilation and the
+pathological tail: it is sized at build time to ``lambda + 8*sqrt(lambda)``
+flights for ``lambda = majorant * bbox_diagonal`` (a Poisson tail beyond
+that is < 1e-12), so the truncation bias (capped lanes pass through /
+keep their partial product) is far below Monte Carlo noise.
+
+RNG is counter-based like every other stream: per-step draws fold the
+step index into STREAM_VOL / STREAM_VOLT sub-keys, so engines,
+shardings, and resume points reproduce bit-exactly and grid-free scenes
+never fold the streams in at all (the feature-gating contract).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracing_tpu.ops import rng
+
+# fold_in salts keeping the three per-bounce ratio-tracking walks
+# (area-light NEE, environment NEE, delta-light NEE) on disjoint
+# sub-streams of STREAM_VOLT.
+SALT_NEE = 1
+SALT_ENV = 2
+SALT_DELTA = 3
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class VolumeGrid:
+    """Dense voxel-grid medium bound to a world-space AABB.
+
+    ``density`` is (Nz, Ny, Nx) f32 >= 0 in arbitrary units;
+    ``sigma_s`` / ``sigma_a`` scale it to scattering / absorption
+    coefficients (world units^-1) at density 1. ``majorant`` is the
+    precomputed grid-max extinction; ``n_steps`` (static aux) caps the
+    tracking walks (see module docstring for the sizing argument).
+    Voxel values sit at cell CENTERS; lookups outside the box clamp to
+    the boundary cells (the walks only evaluate inside the box).
+    """
+
+    density: jnp.ndarray    # (Nz, Ny, Nx) f32
+    sigma_s: jnp.ndarray    # ()  f32
+    sigma_a: jnp.ndarray    # ()  f32
+    g: jnp.ndarray          # ()  f32 Henyey-Greenstein anisotropy
+    bbox_min: jnp.ndarray   # (3,) f32
+    bbox_max: jnp.ndarray   # (3,) f32
+    majorant: jnp.ndarray   # ()  f32 = max(density) * (sigma_s + sigma_a)
+    n_steps: int = 64       # static: tracking step cap
+
+    def tree_flatten(self):
+        leaves = (self.density, self.sigma_s, self.sigma_a, self.g,
+                  self.bbox_min, self.bbox_max, self.majorant)
+        return leaves, self.n_steps
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, n_steps=aux)
+
+    @property
+    def albedo(self):
+        """Constant single-scattering albedo sigma_s / sigma_t."""
+        return self.sigma_s / jnp.maximum(self.sigma_s + self.sigma_a,
+                                          1e-20)
+
+
+def build_grid(density, bbox_min, bbox_max, sigma_s, sigma_a=0.0,
+               g=0.0, n_steps=None) -> VolumeGrid:
+    """Host-side constructor (numpy in, device pytree out)."""
+    density = np.ascontiguousarray(np.asarray(density, np.float32))
+    if density.ndim != 3:
+        raise ValueError("density grid must be (Nz, Ny, Nx)")
+    if float(density.min()) < 0.0:
+        raise ValueError("density grid must be non-negative")
+    sigma_s = float(sigma_s)
+    sigma_a = float(sigma_a)
+    if sigma_s + sigma_a <= 0.0:
+        raise ValueError("volume needs sigma_s + sigma_a > 0")
+    bmin = np.asarray(bbox_min, np.float32)
+    bmax = np.asarray(bbox_max, np.float32)
+    if not np.all(bmax > bmin):
+        raise ValueError("volume bbox must have positive extent")
+    majorant = float(density.max()) * (sigma_s + sigma_a)
+    if n_steps is None:
+        lam = majorant * float(np.linalg.norm(bmax - bmin))
+        n_steps = int(min(max(lam + 8.0 * math.sqrt(lam + 1.0) + 8.0,
+                              32.0), 512.0))
+    return VolumeGrid(
+        density=jnp.asarray(density),
+        sigma_s=jnp.float32(sigma_s),
+        sigma_a=jnp.float32(sigma_a),
+        g=jnp.float32(g),
+        bbox_min=jnp.asarray(bmin),
+        bbox_max=jnp.asarray(bmax),
+        majorant=jnp.float32(majorant),
+        n_steps=int(n_steps),
+    )
+
+
+def density_at(vol: VolumeGrid, x):
+    """Trilinear density lookup at world points ``x`` (R, 3) -> (R,)."""
+    nz, ny, nx = vol.density.shape
+    res = jnp.asarray([nx, ny, nz], jnp.float32)
+    hi = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
+    u = (x - vol.bbox_min) / (vol.bbox_max - vol.bbox_min) * res - 0.5
+    i0f = jnp.floor(u)
+    f = u - i0f
+    i0 = jnp.clip(i0f.astype(jnp.int32), 0, hi)
+    i1 = jnp.clip(i0 + 1, 0, hi)
+    flat = vol.density.reshape(-1)
+
+    def fetch(ix, iy, iz):
+        return flat[(iz * ny + iy) * nx + ix]
+
+    x0, y0, z0 = i0[:, 0], i0[:, 1], i0[:, 2]
+    x1, y1, z1 = i1[:, 0], i1[:, 1], i1[:, 2]
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    c00 = fetch(x0, y0, z0) * (1 - fx) + fetch(x1, y0, z0) * fx
+    c10 = fetch(x0, y1, z0) * (1 - fx) + fetch(x1, y1, z0) * fx
+    c01 = fetch(x0, y0, z1) * (1 - fx) + fetch(x1, y0, z1) * fx
+    c11 = fetch(x0, y1, z1) * (1 - fx) + fetch(x1, y1, z1) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def _ray_box(o, d, bmin, bmax):
+    """Slab test: per-ray (t_enter, t_exit); t_enter > t_exit = miss."""
+    safe_d = jnp.where(jnp.abs(d) > 1e-12, d,
+                       jnp.where(d >= 0.0, 1e-12, -1e-12))
+    inv = 1.0 / safe_d
+    ta = (bmin - o) * inv
+    tb = (bmax - o) * inv
+    t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    return t0, t1
+
+
+def _flight(u, inv_maj):
+    """Exponential free-flight length at the majorant rate."""
+    return -jnp.log1p(-jnp.minimum(u, 1.0 - 1e-7)) * inv_maj
+
+
+def sample_distance(vol: VolumeGrid, keys, depth, o, d, t_max, active):
+    """Delta-tracking free-flight sampling inside the grid.
+
+    Returns ``(event, t_event, u_phase)``: a bool (R,) marking lanes
+    whose next vertex is an in-medium scatter event (before any surface
+    hit at ``t_max``), the event distance, and two phase-sampling
+    uniforms drawn from the same per-(ray, bounce) stream (step index
+    ``n_steps``, disjoint from every in-walk draw by construction).
+    The standard delta-tracking estimator: event lanes carry weight
+    ``albedo`` (analog absorption folded in), pass-through lanes weight
+    1 — both exact, matching the homogeneous-fog distance sampler.
+    """
+    t0, t1 = _ray_box(o, d, vol.bbox_min, vol.bbox_max)
+    t0 = jnp.maximum(t0, 0.0)
+    t1 = jnp.minimum(t1, t_max)
+    sig_scale = vol.sigma_s + vol.sigma_a
+    inv_maj = 1.0 / jnp.maximum(vol.majorant, 1e-20)
+    k_vol = jax.vmap(
+        lambda k, dp: rng.stream_key(k, dp, rng.STREAM_VOL)
+    )(keys, depth)
+
+    r = o.shape[0]
+    done0 = jnp.logical_not(active) | (t0 >= t1)
+    event0 = jnp.zeros(r, bool)
+
+    def cond(carry):
+        i, _, done, _ = carry
+        return (i < vol.n_steps) & jnp.logical_not(jnp.all(done))
+
+    def body(carry):
+        i, t, done, event = carry
+        u = jax.vmap(
+            lambda k: jax.random.uniform(jax.random.fold_in(k, i), (2,),
+                                         dtype=jnp.float32)
+        )(k_vol)
+        t_new = t + _flight(u[:, 0], inv_maj)
+        esc = t_new >= t1
+        x = o + t_new[:, None] * d
+        p_real = density_at(vol, x) * sig_scale * inv_maj
+        real = u[:, 1] < p_real
+        event = event | (jnp.logical_not(done) & jnp.logical_not(esc)
+                         & real)
+        t = jnp.where(done, t, t_new)
+        done = done | esc | real
+        return i + 1, t, done, event
+
+    _, t, _, event = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, done0, event0)
+    )
+    u_phase = jax.vmap(
+        lambda k: jax.random.uniform(
+            jax.random.fold_in(k, vol.n_steps), (2,), dtype=jnp.float32
+        )
+    )(k_vol)
+    return event, t, u_phase
+
+
+def transmittance(vol: VolumeGrid, keys, depth, o, d, t_max, salt):
+    """Ratio-tracking transmittance along (o, d) up to ``t_max`` -> (R,).
+
+    Unbiased estimator of exp(-integral sigma_t): exponential flights at
+    the majorant rate, multiplying ``1 - sigma_t(x)/majorant`` per
+    collision until the walk exits the clipped segment. ``salt`` keeps
+    the per-bounce NEE arms (area / env / delta) on disjoint streams.
+    """
+    t0, t1 = _ray_box(o, d, vol.bbox_min, vol.bbox_max)
+    t0 = jnp.maximum(t0, 0.0)
+    t1 = jnp.minimum(t1, t_max)
+    sig_scale = vol.sigma_s + vol.sigma_a
+    inv_maj = 1.0 / jnp.maximum(vol.majorant, 1e-20)
+    k_t = jax.vmap(
+        lambda k, dp: jax.random.fold_in(
+            rng.stream_key(k, dp, rng.STREAM_VOLT), salt
+        )
+    )(keys, depth)
+
+    r = o.shape[0]
+    done0 = t0 >= t1
+    trans0 = jnp.ones(r, jnp.float32)
+
+    def cond(carry):
+        i, _, _, done = carry
+        return (i < vol.n_steps) & jnp.logical_not(jnp.all(done))
+
+    def body(carry):
+        i, t, trans, done = carry
+        u = jax.vmap(
+            lambda k: jax.random.uniform(jax.random.fold_in(k, i), (),
+                                         dtype=jnp.float32)
+        )(k_t)
+        t_new = t + _flight(u, inv_maj)
+        esc = t_new >= t1
+        x = o + t_new[:, None] * d
+        ratio = jnp.maximum(
+            1.0 - density_at(vol, x) * sig_scale * inv_maj, 0.0
+        )
+        trans = jnp.where(jnp.logical_not(done) & jnp.logical_not(esc),
+                          trans * ratio, trans)
+        t = jnp.where(done, t, t_new)
+        done = done | esc
+        return i + 1, t, trans, done
+
+    _, _, trans, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, trans0, done0)
+    )
+    return trans
