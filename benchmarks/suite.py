@@ -283,7 +283,8 @@ def main() -> int:
                                    ("6d-principled", "principled_demo", 5),
                                    ("6e-spotlight", "spotlight_demo", 4),
                                    ("6f-screenlight",
-                                    "screenlight_demo", 4)):
+                                    "screenlight_demo", 4),
+                                   ("6g-smoke", "smoke_demo", 8)):
         scene6, cam6 = scenes.get_scene(scene_name)
         w6, h6 = 160, 120
         cfg6 = RenderConfig(width=w6, height=h6, samples_per_pixel=4,

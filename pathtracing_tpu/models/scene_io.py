@@ -316,6 +316,29 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                   float(f.get("sigma_a", 0.0)),
                   float(f.get("g", 0.0)))
 
+    if "volume" in spec:
+        # Heterogeneous voxel-grid medium (ops.volume): the density is
+        # either an (Nz, Ny, Nx) .npy path (relative to the scene file)
+        # or the name of a built-in procedural grid ("smoke").
+        v = spec["volume"]
+        dens_spec = v["density"]
+        if dens_spec == "smoke":
+            from pathtracing_tpu.models import scenes as scenes_mod
+
+            dens = scenes_mod.smoke_density(
+                res=int(v.get("resolution", 48)),
+                seed=int(v.get("seed", 7)),
+            )
+        else:
+            dens = np.load(os.path.join(base_dir, dens_spec))
+        b.set_volume(
+            dens, bbox_min=tuple(v["bbox_min"]),
+            bbox_max=tuple(v["bbox_max"]),
+            sigma_s=float(v.get("sigma_s", 0.0)),
+            sigma_a=float(v.get("sigma_a", 0.0)),
+            g=float(v.get("g", 0.0)),
+        )
+
     if spec.get("mipmaps"):
         b.set_mipmaps(True)
 

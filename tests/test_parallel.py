@@ -77,12 +77,12 @@ def test_two_steps_match(setup):
 
 @pytest.mark.parametrize(
     "scene_name", ["textured_demo", "glass_demo", "fog_demo",
-                   "spotlight_demo", "screenlight_demo"]
+                   "spotlight_demo", "screenlight_demo", "smoke_demo"]
 )
 def test_feature_scenes_match_single_chip(scene_name):
-    """The round-3 feature subsystems (surface attributes + textures,
+    """The round-3/4 feature subsystems (surface attributes + textures,
     absorbing media state, scattering fog, delta lights, textured
-    emission) must survive tile sharding:
+    emission, heterogeneous voxel-grid media) must survive tile sharding:
     an 8-way row-sharded render reproduces the single-chip image
     bitwise (disjoint pixels, per-pixel counters — same argument as the
     base test, now covering the per-path medium state and the attribute

@@ -155,3 +155,40 @@ class TestJsonScene:
     def test_instances_matrix_shape_rejected(self, tmp_path):
         with pytest.raises(ValueError, match="matrix"):
             scene_io._affine({"matrix": [[1, 0], [0, 1]]})
+
+
+class TestJsonVolume:
+    def test_volume_from_npy_and_builtin(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        dens = np.zeros((4, 4, 4), np.float32)
+        dens[1:3, 1:3, 1:3] = 1.0
+        np.save(str(tmp_path / "dens.npy"), dens)
+        spec = {
+            "materials": {"gray": {"type": "lambertian",
+                                   "albedo": [0.5, 0.5, 0.5]}},
+            "objects": [{"type": "sphere", "center": [0, 0, 0],
+                         "radius": 1.0, "material": "gray"}],
+            "volume": {"density": "dens.npy", "bbox_min": [-1, -1, -1],
+                       "bbox_max": [1, 1, 1], "sigma_s": 2.0,
+                       "sigma_a": 0.5, "g": 0.3},
+        }
+        p = str(tmp_path / "vol.json")
+        with open(p, "w") as f:
+            json.dump(spec, f)
+        scene, _ = scene_io.load_scene(p)
+        assert scene.vol is not None
+        np.testing.assert_allclose(float(scene.vol.majorant), 2.5)
+        np.testing.assert_allclose(float(scene.vol.g), 0.3)
+        assert scene.vol.density.shape == (4, 4, 4)
+
+        spec["volume"] = {"density": "smoke", "resolution": 12,
+                          "bbox_min": [-1, -1, -1],
+                          "bbox_max": [1, 1, 1], "sigma_s": 5.0}
+        with open(p, "w") as f:
+            json.dump(spec, f)
+        scene, _ = scene_io.load_scene(p)
+        assert scene.vol is not None
+        assert scene.vol.density.shape == (12, 12, 12)
