@@ -94,17 +94,19 @@ def run_adaptive(scene, cam, config, budget: int, band_rows: int,
 
     from pathtracing_tpu.models import adaptive
 
+    spr = int(os.environ.get("ADQ_SPR", 1))
     cfg = dataclasses.replace(config, samples_per_pixel=budget,
                               samples_per_step=1)
     # Warm with the FULL budget: the fused-round graphs are static in
     # n_rounds, so a smaller warm run would leave the timed run paying
     # compiles (measured on the CPU smoke: 0.3 s -> 8 s).
     adaptive.render_adaptive(scene, cam, cfg, band_rows=band_rows,
-                             bands_per_round=k)
+                             bands_per_round=k, spp_per_round=spr)
     t0 = time.perf_counter()
     state, _ = adaptive.render_adaptive(scene, cam, cfg,
                                         band_rows=band_rows,
-                                        bands_per_round=k)
+                                        bands_per_round=k,
+                                        spp_per_round=spr)
     sync(state.accum)
     dt = time.perf_counter() - t0
     return np.asarray(adaptive.resolve(state, band_rows)), dt

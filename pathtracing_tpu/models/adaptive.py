@@ -125,57 +125,68 @@ band_scores = jax.jit(_band_scores, static_argnames=("config", "band_rows"))
 
 
 def _step_body(state: AdaptiveState, scene, camera, config: RenderConfig,
-               band_rows: int, band_ids: jnp.ndarray) -> AdaptiveState:
-    """Add ONE sample to each band in ``band_ids`` ((K,) i32, unique):
-    ONE fused scattered-rows megakernel wave over all K bands (each ray
-    at its band's own sample counter — ``render_samples(rows=...)``),
-    then an index-depth-1 scatter-add of whole band blocks. One K-band
-    wave instead of K small serialized waves: the lax.map formulation
-    measured 1.7x per-sample overhead at 256² (k=8 bands of 4 rows =
-    1,024-ray waves under-fill the VPU and pay the per-wave fixed costs
-    8x); the fused wave renders the same (pixel, sample) ids, so every
-    path estimate is bitwise unchanged."""
+               band_rows: int, band_ids: jnp.ndarray,
+               spp_per_round: int = 1) -> AdaptiveState:
+    """Add ``spp_per_round`` samples to each band in ``band_ids``
+    ((K,) i32, unique): ONE fused scattered-rows megakernel wave per
+    sample over all K bands (each ray at its band's own sample counter —
+    ``render_samples(rows=...)``), then an index-depth-1 scatter-add of
+    whole band blocks. One K-band wave instead of K small serialized
+    waves: the lax.map formulation measured 1.7x per-sample overhead at
+    256² (k=8 bands of 4 rows = 1,024-ray waves under-fill the VPU and
+    pay the per-wave fixed costs 8x); the fused wave renders the same
+    (pixel, sample) ids, so every path estimate is bitwise unchanged.
+    ``spp_per_round > 1`` renders consecutive per-band sample counters
+    before re-scoring — identical sample ids again (scheduling
+    granularity coarsens, WHAT each sample computes never changes),
+    amortizing the score/top_k/gather/scatter machinery per sample."""
     h, w = config.height, config.width
     n_bands = h // band_rows
 
     rows = (band_ids[:, None] * band_rows
             + jnp.arange(band_rows, dtype=jnp.int32)[None, :]).reshape(-1)
-    blocks = megakernel.render_samples(
-        scene, camera, config,
-        sample_start=jnp.int32(0),      # unused in rows mode
-        n_samples=1,
-        seed=state.seed,
-        rows=rows,
-        rows_sample_start=jnp.repeat(state.band_spp[band_ids],
-                                     band_rows),
-    ).reshape(band_ids.shape[0], band_rows, w, 3)
     accum_b = state.accum.reshape(n_bands, band_rows, w, 3)
-    accum = accum_b.at[band_ids].add(blocks, unique_indices=True)
     m2_b = state.m2.reshape(n_bands, band_rows, w)
-    lum = _lum(blocks)
-    m2 = m2_b.at[band_ids].add(lum * lum, unique_indices=True)
+    band_spp = state.band_spp
+    for s in range(spp_per_round):
+        blocks = megakernel.render_samples(
+            scene, camera, config,
+            sample_start=jnp.int32(0),      # unused in rows mode
+            n_samples=1,
+            seed=state.seed,
+            rows=rows,
+            rows_sample_start=jnp.repeat(band_spp[band_ids] + s,
+                                         band_rows),
+        ).reshape(band_ids.shape[0], band_rows, w, 3)
+        accum_b = accum_b.at[band_ids].add(blocks, unique_indices=True)
+        lum = _lum(blocks)
+        m2_b = m2_b.at[band_ids].add(lum * lum, unique_indices=True)
+    band_spp = band_spp.at[band_ids].add(spp_per_round,
+                                         unique_indices=True)
     return AdaptiveState(
-        accum=accum.reshape(h, w, 3),
-        m2=m2.reshape(h, w),
-        band_spp=state.band_spp.at[band_ids].add(1, unique_indices=True),
+        accum=accum_b.reshape(h, w, 3),
+        m2=m2_b.reshape(h, w),
+        band_spp=band_spp,
         seed=state.seed,
     )
 
 
 adaptive_step = jax.jit(
-    _step_body, static_argnames=("config", "band_rows"),
+    _step_body, static_argnames=("config", "band_rows", "spp_per_round"),
     donate_argnames=("state",),
 )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "band_rows", "k", "n_rounds"),
+    static_argnames=("config", "band_rows", "k", "n_rounds",
+                     "spp_per_round"),
     donate_argnames=("state",),
 )
 def adaptive_rounds(state: AdaptiveState, scene, camera,
                     config: RenderConfig, band_rows: int, k: int,
-                    n_rounds: int) -> AdaptiveState:
+                    n_rounds: int,
+                    spp_per_round: int = 1) -> AdaptiveState:
     """``n_rounds`` greedy rounds fused into ONE dispatch.
 
     Each ``lax.scan`` iteration re-scores on device, top-k's the K
@@ -187,7 +198,8 @@ def adaptive_rounds(state: AdaptiveState, scene, camera,
     def body(st, _):
         scores = _band_scores(st, config, band_rows)
         _, ids = jax.lax.top_k(scores, k)
-        return _step_body(st, scene, camera, config, band_rows, ids), None
+        return _step_body(st, scene, camera, config, band_rows, ids,
+                          spp_per_round), None
 
     state, _ = jax.lax.scan(body, state, None, length=n_rounds)
     return state
@@ -204,6 +216,7 @@ def render_adaptive(scene, camera, config: RenderConfig,
                     band_rows: int = 0, bands_per_round: int = 0,
                     warmup_spp: int = 2, progress=None,
                     budget_spp: Optional[int] = None,
+                    spp_per_round: int = 1,
                     ) -> Tuple[AdaptiveState, int]:
     """Drive adaptive sampling to a total budget of
     ``config.samples_per_pixel`` average spp (uniform-equivalent sample
@@ -244,12 +257,24 @@ def render_adaptive(scene, camera, config: RenderConfig,
     # Greedy phase: fuse rounds into few dispatches, bounded so one
     # dispatch stays well under the tunnel's ~2-minute device-time crash
     # threshold (CLAUDE.md hard rules).
-    samples_per_round = k * band_rows * config.width
+    spr = max(1, spp_per_round)
+    samples_per_round = k * band_rows * config.width * spr
     rounds_per_dispatch = max(1, MAX_DISPATCH_SAMPLES // samples_per_round)
-    while spent + k <= budget:
-        n_r = min(rounds_per_dispatch, (budget - spent) // k)
+    while spent + k * spr <= budget:
+        n_r = min(rounds_per_dispatch, (budget - spent) // (k * spr))
         state = adaptive_rounds(state, scene, camera, config, band_rows,
-                                k, n_r)
+                                k, n_r, spr)
+        spent += n_r * k * spr
+        rounds += n_r
+        if progress is not None:
+            progress(state, spent, budget)
+    # Budget tail finer than k*spr band-samples: finish in single-spp
+    # rounds (keeps the "budget == band-samples spent" contract exact
+    # when spr > 1).
+    while spent + k <= budget:
+        n_r = (budget - spent) // k
+        state = adaptive_rounds(state, scene, camera, config, band_rows,
+                                k, n_r, 1)
         spent += n_r * k
         rounds += n_r
         if progress is not None:

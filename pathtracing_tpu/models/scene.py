@@ -225,12 +225,15 @@ class SceneBuilder:
 
     def set_volume(self, density, bbox_min, bbox_max, sigma_s: float,
                    sigma_a: float = 0.0, g: float = 0.0,
-                   n_steps=None) -> None:
+                   n_steps=None, emission=None,
+                   emit_color=None) -> None:
         """Place a heterogeneous voxel-grid medium (``ops.volume``):
         ``density`` is a (Nz, Ny, Nx) non-negative array filling the
         world AABB [bbox_min, bbox_max]; extinction at a point is
         ``trilinear(density) * (sigma_s + sigma_a)`` and scattering uses
-        the Henyey–Greenstein phase with anisotropy ``g``."""
+        the Henyey–Greenstein phase with anisotropy ``g``. An optional
+        ``emission`` grid (same shape) times ``emit_color`` makes the
+        medium emit (fire); emissive media need ``sigma_a > 0``."""
         if self._fog is not None:
             raise ValueError("fog and a volume grid are mutually "
                              "exclusive (untested combined estimator)")
@@ -240,7 +243,7 @@ class SceneBuilder:
 
         self._vol = volume_ops.build_grid(
             density, bbox_min, bbox_max, sigma_s, sigma_a=sigma_a, g=g,
-            n_steps=n_steps,
+            n_steps=n_steps, emission=emission, emit_color=emit_color,
         )
 
     # -- delta lights --------------------------------------------------

@@ -331,12 +331,26 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
             )
         else:
             dens = np.load(os.path.join(base_dir, dens_spec))
+        emission = None
+        if "emission" in v:
+            # Emission grid: an .npy path, or "density^2" / "density"
+            # derived from the density grid (the fire idiom).
+            e = v["emission"]
+            if e == "density":
+                emission = dens
+            elif e == "density^2":
+                emission = np.asarray(dens) * np.asarray(dens)
+            else:
+                emission = np.load(os.path.join(base_dir, e))
         b.set_volume(
             dens, bbox_min=tuple(v["bbox_min"]),
             bbox_max=tuple(v["bbox_max"]),
             sigma_s=float(v.get("sigma_s", 0.0)),
             sigma_a=float(v.get("sigma_a", 0.0)),
             g=float(v.get("g", 0.0)),
+            emission=emission,
+            emit_color=(tuple(v["emit_color"])
+                        if "emit_color" in v else None),
         )
 
     if spec.get("mipmaps"):

@@ -357,6 +357,28 @@ def smoke_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), CORNELL_CAMERA
 
 
+def fire_demo() -> Tuple[Scene, CameraConfig]:
+    """Emissive-media showcase: the smoke plume's dense core emits
+    blackbody-orange radiance (emission grid = density², so the core
+    glows and the wisps stay dark smoke), over a dim gray floor with no
+    other light — the flame IS the light source, exercising the
+    collision-sampled emission estimator and multiple scattering of
+    emitted light back through the medium."""
+    b = SceneBuilder()
+    floor = b.lambertian((0.4, 0.4, 0.42))
+    b.add_quad((-3.0, -1.0, -3.0), (6.0, 0.0, 0.0), (0.0, 0.0, 6.0),
+               floor)
+    dens = smoke_density()
+    b.set_volume(
+        dens, bbox_min=(-0.62, -1.0, -0.52), bbox_max=(0.38, 0.7, 0.48),
+        sigma_s=10.0, sigma_a=6.0, g=0.0,
+        emission=dens * dens, emit_color=(14.0, 5.5, 1.6),
+    )
+    cam = CameraConfig(position=(0.4, 0.2, 3.2), look_at=(-0.1, -0.2, 0.0),
+                       vfov_degrees=38.0)
+    return b.build(), cam
+
+
 def grid_texture(res: int = 256, cells: int = 8,
                  line: float = 0.06) -> np.ndarray:
     """Procedural UV-grid test texture (res, res, 3): warm cells under
@@ -639,6 +661,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "frosted_demo": frosted_demo,
     "fog_demo": fog_demo,
     "smoke_demo": smoke_demo,
+    "fire_demo": fire_demo,
     "instanced_demo": instanced_demo,
     "principled_demo": principled_demo,
     "spotlight_demo": spotlight_demo,

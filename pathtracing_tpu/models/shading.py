@@ -778,6 +778,17 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         )
         active = active | (med_event & (fog_albedo > 0.0))
     if has_vol:
+        if scene.vol.emission is not None:
+            # Emissive medium (fire): a real collision samples
+            # ∝ sigma_t(x)·T(x), so (sigma_a/sigma_t)·Le(x) there is
+            # the unbiased estimator of ∫ T·sigma_a·Le dt — the
+            # absorption share of the collision carries the emission,
+            # the scattering share (albedo, below) continues the path.
+            le_v = volume_ops.emission_at(scene.vol, o_vol)
+            radiance = radiance + jnp.where(
+                vol_event[:, None],
+                throughput * (1.0 - vol_albedo) * le_v, 0.0,
+            )
         # Grid-medium vertices: constant single-scattering albedo
         # (density cancels — sigma_s(x)/sigma_t(x) = sigma_s/sigma_t),
         # path continues along the phase-sampled direction.

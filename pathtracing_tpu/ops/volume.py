@@ -79,11 +79,19 @@ class VolumeGrid:
     bbox_min: jnp.ndarray   # (3,) f32
     bbox_max: jnp.ndarray   # (3,) f32
     majorant: jnp.ndarray   # ()  f32 = max(density) * (sigma_s + sigma_a)
+    # Optional emission: radiance at x is emission(x) * emit_color
+    # (fire/blackbody media; None = cold medium). The unbiased estimator
+    # adds (sigma_a/sigma_t) * Le at each real collision — the
+    # absorption-weighted emission of analog tracking — so emissive
+    # media need sigma_a > 0 (emission trades against absorption).
+    emission: jnp.ndarray = None     # (Nz, Ny, Nx) f32 or None
+    emit_color: jnp.ndarray = None   # (3,) f32 or None
     n_steps: int = 64       # static: tracking step cap
 
     def tree_flatten(self):
         leaves = (self.density, self.sigma_s, self.sigma_a, self.g,
-                  self.bbox_min, self.bbox_max, self.majorant)
+                  self.bbox_min, self.bbox_max, self.majorant,
+                  self.emission, self.emit_color)
         return leaves, self.n_steps
 
     @classmethod
@@ -98,7 +106,8 @@ class VolumeGrid:
 
 
 def build_grid(density, bbox_min, bbox_max, sigma_s, sigma_a=0.0,
-               g=0.0, n_steps=None) -> VolumeGrid:
+               g=0.0, n_steps=None, emission=None,
+               emit_color=None) -> VolumeGrid:
     """Host-side constructor (numpy in, device pytree out)."""
     density = np.ascontiguousarray(np.asarray(density, np.float32))
     if density.ndim != 3:
@@ -113,6 +122,16 @@ def build_grid(density, bbox_min, bbox_max, sigma_s, sigma_a=0.0,
     bmax = np.asarray(bbox_max, np.float32)
     if not np.all(bmax > bmin):
         raise ValueError("volume bbox must have positive extent")
+    if emission is not None:
+        emission = np.ascontiguousarray(np.asarray(emission, np.float32))
+        if emission.shape != density.shape:
+            raise ValueError("emission grid must match density shape")
+        if sigma_a <= 0.0:
+            raise ValueError("emissive media need sigma_a > 0 (the "
+                             "estimator weights emission by "
+                             "sigma_a/sigma_t)")
+        if emit_color is None:
+            emit_color = (1.0, 1.0, 1.0)
     majorant = float(density.max()) * (sigma_s + sigma_a)
     if n_steps is None:
         lam = majorant * float(np.linalg.norm(bmax - bmin))
@@ -126,21 +145,25 @@ def build_grid(density, bbox_min, bbox_max, sigma_s, sigma_a=0.0,
         bbox_min=jnp.asarray(bmin),
         bbox_max=jnp.asarray(bmax),
         majorant=jnp.float32(majorant),
+        emission=(jnp.asarray(emission) if emission is not None
+                  else None),
+        emit_color=(jnp.asarray(np.asarray(emit_color, np.float32))
+                    if emission is not None else None),
         n_steps=int(n_steps),
     )
 
 
-def density_at(vol: VolumeGrid, x):
-    """Trilinear density lookup at world points ``x`` (R, 3) -> (R,)."""
-    nz, ny, nx = vol.density.shape
+def _trilinear(grid, bbox_min, bbox_max, x):
+    """Trilinear lookup in a (Nz, Ny, Nx) grid at world points (R, 3)."""
+    nz, ny, nx = grid.shape
     res = jnp.asarray([nx, ny, nz], jnp.float32)
     hi = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
-    u = (x - vol.bbox_min) / (vol.bbox_max - vol.bbox_min) * res - 0.5
+    u = (x - bbox_min) / (bbox_max - bbox_min) * res - 0.5
     i0f = jnp.floor(u)
     f = u - i0f
     i0 = jnp.clip(i0f.astype(jnp.int32), 0, hi)
     i1 = jnp.clip(i0 + 1, 0, hi)
-    flat = vol.density.reshape(-1)
+    flat = grid.reshape(-1)
 
     def fetch(ix, iy, iz):
         return flat[(iz * ny + iy) * nx + ix]
@@ -155,6 +178,18 @@ def density_at(vol: VolumeGrid, x):
     c0 = c00 * (1 - fy) + c10 * fy
     c1 = c01 * (1 - fy) + c11 * fy
     return c0 * (1 - fz) + c1 * fz
+
+
+def density_at(vol: VolumeGrid, x):
+    """Trilinear density lookup at world points ``x`` (R, 3) -> (R,)."""
+    return _trilinear(vol.density, vol.bbox_min, vol.bbox_max, x)
+
+
+def emission_at(vol: VolumeGrid, x):
+    """Emitted radiance at world points (R, 3) -> (R, 3); requires
+    ``vol.emission`` (feature-gated by the caller)."""
+    e = _trilinear(vol.emission, vol.bbox_min, vol.bbox_max, x)
+    return e[:, None] * vol.emit_color[None, :]
 
 
 def _ray_box(o, d, bmin, bmax):

@@ -204,3 +204,44 @@ def test_cli_adaptive(tmp_path):
     assert r.returncode == 0, r.stderr
     assert os.path.exists(out)
     assert "adaptive:" in r.stderr + r.stdout
+
+
+def test_spp_per_round_uniform_pick_is_bitwise(setup):
+    """With k == n_bands (every band picked every round) spr=2 renders
+    exactly the sample ids of two spr=1 rounds in the same per-pixel
+    accumulation order — the states must match bitwise. (With greedy
+    picks spr only coarsens WHERE samples go, never what they compute.)"""
+    scene, cam = setup
+    band_rows = 2
+    n_bands = CFG.height // band_rows
+    all_bands = jnp.arange(n_bands, dtype=jnp.int32)
+
+    s1 = adaptive.init_state(CFG, band_rows)
+    for _ in range(4):
+        s1 = adaptive.adaptive_step(s1, scene, cam, CFG, band_rows,
+                                    all_bands)
+    s2 = adaptive.init_state(CFG, band_rows)
+    for _ in range(2):
+        s2 = adaptive.adaptive_step(s2, scene, cam, CFG, band_rows,
+                                    all_bands, spp_per_round=2)
+    np.testing.assert_array_equal(np.asarray(s1.accum),
+                                  np.asarray(s2.accum))
+    np.testing.assert_array_equal(np.asarray(s1.m2), np.asarray(s2.m2))
+    np.testing.assert_array_equal(np.asarray(s1.band_spp),
+                                  np.asarray(s2.band_spp))
+
+
+def test_render_adaptive_spr_budget_exact(setup):
+    """spr > 1 spends the same k-granular budget as spr = 1 (the tail
+    falls back to single-spp rounds; budgets resolve to the largest
+    multiple of k reachable past warmup, identical for any spr)."""
+    scene, cam = setup
+    n_bands = CFG.height // 2
+    spent = []
+    for spr in (1, 2):
+        state, _ = adaptive.render_adaptive(
+            scene, cam, CFG, band_rows=2, bands_per_round=2,
+            budget_spp=9, spp_per_round=spr,
+        )
+        spent.append(int(np.asarray(state.band_spp).sum()))
+    assert spent[0] == spent[1] == 9 * n_bands

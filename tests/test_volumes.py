@@ -235,3 +235,39 @@ def test_volume_grid_is_jit_stable_pytree():
     assert vol2.n_steps == vol.n_steps
     np.testing.assert_allclose(float(vol.albedo), 2.0 / 3.0, rtol=1e-6)
     np.testing.assert_allclose(float(vol.majorant), 3.0, rtol=1e-6)
+
+
+def test_emissive_slab_oracle():
+    """Constant emissive pure-absorbing slab against black: the looked-
+    through radiance is Le * (1 - exp(-sigma_a L)) — the collision-
+    sampled emission estimator integrates ∫ T sigma_a Le exactly in
+    expectation (sigma_s = 0 so every collision emits then dies)."""
+    sigma_a, thick, le = 1.1, 1.0, (2.0, 1.0, 0.5)
+    b = SceneBuilder()
+    b.lambertian((0.5, 0.5, 0.5))       # scene needs one material
+    dens = np.ones((4, 4, 4), np.float32)
+    b.set_volume(dens, bbox_min=(-4.0, -4.0, -1.8),
+                 bbox_max=(4.0, 4.0, -0.8), sigma_s=0.0, sigma_a=sigma_a,
+                 emission=dens, emit_color=le)
+    cam = CameraConfig(position=(0.0, 0.0, 0.0), look_at=(0.0, 0.0, -1.0),
+                       vfov_degrees=20.0)
+    img = _render(b.build(), cam, spp=512, size=12, depth=3, nee=False)
+    got = img[3:9, 3:9].mean(axis=(0, 1))
+    want = np.asarray(le) * (1.0 - np.exp(-sigma_a * thick))
+    np.testing.assert_allclose(got, want, rtol=0.06)
+
+
+def test_fire_demo_renders_and_emits():
+    sc, cam = scenes.fire_demo()
+    assert sc.vol is not None and sc.vol.emission is not None
+    img = _render(sc, cam, size=32, spp=4)
+    assert np.isfinite(img).all()
+    # The flame core out-glows the floor, and the emission is orange
+    # (R dominates B overall).
+    assert img.max() > 0.5
+    assert img[..., 0].sum() > 2.0 * img[..., 2].sum()
+
+
+def test_cold_volume_has_no_emission_leaves():
+    sc, _ = scenes.smoke_demo()
+    assert sc.vol.emission is None and sc.vol.emit_color is None
