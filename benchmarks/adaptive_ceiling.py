@@ -85,10 +85,20 @@ def main() -> int:
             s_b = np.sqrt(v_b)
             return float(v_b.mean() / max(s_b.mean() ** 2, 1e-30))
 
+        def bound_tile(t):
+            v_b = var.reshape(size // t, t, size // t, t).mean(
+                axis=(1, 3)
+            )
+            s_b = np.sqrt(v_b)
+            return float(v_b.mean() / max(s_b.mean() ** 2, 1e-30))
+
         print(json.dumps({
             "scene": name, "size": size, "spp": spp,
             "neyman_gain_band": round(bound(band_rows), 3),
             "neyman_gain_row": round(bound(1), 3),
+            "neyman_gain_tile16": round(bound_tile(16), 3),
+            "neyman_gain_tile8": round(bound_tile(8), 3),
+            "neyman_gain_tile4": round(bound_tile(4), 3),
             "neyman_gain_pixel": round(
                 float(var.mean() / max(np.sqrt(var).mean() ** 2, 1e-30)),
                 3,

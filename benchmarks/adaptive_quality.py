@@ -112,6 +112,25 @@ def run_adaptive(scene, cam, config, budget: int, band_rows: int,
     return np.asarray(adaptive.resolve(state, band_rows)), dt
 
 
+def run_tiles(scene, cam, config, budget: int, tile: int):
+    import dataclasses
+
+    from pathtracing_tpu.models import adaptive
+
+    spr = int(os.environ.get("ADQ_SPR", 2))
+    cfg = dataclasses.replace(config, samples_per_pixel=budget,
+                              samples_per_step=1)
+    adaptive.render_adaptive_tiles(scene, cam, cfg, tile=tile,
+                                   spp_per_round=spr)
+    t0 = time.perf_counter()
+    state, _ = adaptive.render_adaptive_tiles(scene, cam, cfg,
+                                              tile=tile,
+                                              spp_per_round=spr)
+    sync(state.accum)
+    dt = time.perf_counter() - t0
+    return np.asarray(adaptive.resolve_tiles(state, cfg, tile)), dt
+
+
 def time_to_target(budgets, times, errs, target: float):
     """First wall-clock at which the RMSE curve crosses target
     (log-linear interpolation); None if never reached."""
@@ -169,13 +188,21 @@ def main() -> int:
         n_bands = size // band_rows
         k = int(os.environ.get("ADQ_K", max(1, n_bands // 8)))
 
+        tile = int(os.environ.get("ADQ_TILE", 0))    # 0 = band mode only
         rows = {"uniform": ([], []), "adaptive": ([], [])}
+        if tile:
+            rows["tiles"] = ([], [])
         for budget in budgets:
             img_u, dt_u = run_uniform(scene, cam, config, budget)
             img_a, dt_a = run_adaptive(scene, cam, config, budget,
                                        band_rows, k)
-            for method, (img, dt) in (("uniform", (img_u, dt_u)),
-                                      ("adaptive", (img_a, dt_a))):
+            pairs = [("uniform", (img_u, dt_u)),
+                     ("adaptive", (img_a, dt_a))]
+            if tile:
+                pairs.append(("tiles",
+                              run_tiles(scene, cam, config, budget,
+                                        tile)))
+            for method, (img, dt) in pairs:
                 e = rmse(img, ref)
                 rows[method][0].append(dt)
                 rows[method][1].append(e)
@@ -183,6 +210,23 @@ def main() -> int:
                     "scene": name, "method": method, "budget": budget,
                     "seconds": round(dt, 3), "rmse": round(e, 5),
                 }))
+        if tile:
+            tt_u = time_to_target(budgets, *rows["uniform"], target)
+            tt_t = time_to_target(budgets, *rows["tiles"], target)
+            anchor_t = rows["uniform"][1][-1] * 1.0001
+            at_u = time_to_target(budgets, *rows["uniform"], anchor_t)
+            at_t = time_to_target(budgets, *rows["tiles"], anchor_t)
+            print(json.dumps({
+                "scene": name, "method": "tiles-summary",
+                "target_rmse": target,
+                "uniform_s": None if tt_u is None else round(tt_u, 2),
+                "tiles_s": None if tt_t is None else round(tt_t, 2),
+                "speedup": (None if not (tt_u and tt_t)
+                            else round(tt_u / tt_t, 2)),
+                "anchor_rmse": round(anchor_t, 5),
+                "anchor_speedup": (None if not (at_u and at_t)
+                                   else round(at_u / at_t, 2)),
+            }))
         t_u = time_to_target(budgets, *rows["uniform"], target)
         t_a = time_to_target(budgets, *rows["adaptive"], target)
         ratio = (t_u / t_a) if (t_u and t_a) else None

@@ -280,3 +280,198 @@ def render_adaptive(scene, camera, config: RenderConfig,
         if progress is not None:
             progress(state, spent, budget)
     return state, rounds
+
+
+# --- Tile-granular scheduling (2D tiles, pixel-level-approaching) -------
+#
+# Full-row bands can't follow 2D-compact noise (a spotlight's hot disc
+# spans every column of a few rows): the measured Neyman bounds at 256²
+# (benchmarks/adaptive_ceiling.py) put band-level allocation at 2.43x
+# MSE on spotlight_demo but PIXEL-level at 17.8x. Square tiles close
+# most of that gap while keeping everything the TPU wants: the
+# scheduling unit stays a dense compact block (traversal-tile
+# coherence), the scatter-add stays index-depth-1 over tile ids, and
+# the state lives TILE-MAJOR ((T, t, t[, 3])) so no gather/scatter ever
+# touches single pixels. ``resolve_tiles`` untiles to image layout once
+# at the end. RNG identity is unchanged (global pixel/sample ids), so
+# an equal-spp tile schedule reproduces the uniform engines bitwise.
+
+
+class TileState(NamedTuple):
+    accum: jnp.ndarray     # (T, t, t, 3) f32 — tile-major radiance sum
+    m2: jnp.ndarray        # (T, t, t) f32 — per-sample luminance² sum
+    tile_spp: jnp.ndarray  # (T,) i32 — samples accumulated per tile
+    seed: jnp.ndarray      # () u32
+
+
+def pick_tile(config: RenderConfig, tile: int = 8) -> int:
+    if config.height % tile or config.width % tile:
+        raise ValueError(
+            f"image {config.width}x{config.height} not divisible by "
+            f"tile {tile}"
+        )
+    return tile
+
+
+def init_tile_state(config: RenderConfig, tile: int) -> TileState:
+    h, w = config.height, config.width
+    n_tiles = (h // tile) * (w // tile)
+    return TileState(
+        accum=jnp.zeros((n_tiles, tile, tile, 3), jnp.float32),
+        m2=jnp.zeros((n_tiles, tile, tile), jnp.float32),
+        tile_spp=jnp.zeros(n_tiles, jnp.int32),
+        seed=jnp.uint32(config.seed),
+    )
+
+
+def _tile_scores(state: TileState, config: RenderConfig,
+                 tile: int) -> jnp.ndarray:
+    """Greedy per-tile score: expected image-MSE drop per sample,
+    sum_pixels s² / (n (n+1)) — the band criterion at tile granularity;
+    unexplored tiles (spp < 2) rank +inf minus their spp."""
+    n = jnp.maximum(state.tile_spp, 1).astype(jnp.float32)
+    mean_lum = _lum(state.accum) / n[:, None, None]
+    var1 = jnp.maximum(
+        state.m2 / n[:, None, None] - mean_lum * mean_lum, 0.0
+    ) * (n / jnp.maximum(n - 1.0, 1.0))[:, None, None]
+    score = var1.sum(axis=(1, 2)) / (n * (n + 1.0))
+    return jnp.where(
+        state.tile_spp < 2,
+        jnp.float32(3.0e38) - state.tile_spp.astype(jnp.float32),
+        score,
+    )
+
+
+def _tile_pixel_ids(tile_ids, config: RenderConfig, tile: int):
+    """Global pixel ids ((K * tile * tile,) i32) of the given tiles."""
+    w = config.width
+    ntx = w // tile
+    ty = (tile_ids // ntx)[:, None, None] * tile
+    tx = (tile_ids % ntx)[:, None, None] * tile
+    py = ty + jnp.arange(tile, dtype=jnp.int32)[None, :, None]
+    px = tx + jnp.arange(tile, dtype=jnp.int32)[None, None, :]
+    return (py * w + px).reshape(-1)
+
+
+def _tile_step_body(state: TileState, scene, camera,
+                    config: RenderConfig, tile: int, tile_ids,
+                    spp_per_round: int = 1) -> TileState:
+    """Add ``spp_per_round`` samples to each tile in ``tile_ids``
+    ((K,) i32, unique): one fused scattered-pixels wave per sample
+    (``render_samples(pixels=...)``), tile-major index-depth-1
+    scatter-add."""
+    k = tile_ids.shape[0]
+    pix = _tile_pixel_ids(tile_ids, config, tile)
+    accum, m2, tile_spp = state.accum, state.m2, state.tile_spp
+    for s in range(spp_per_round):
+        blocks = megakernel.render_samples(
+            scene, camera, config,
+            sample_start=jnp.int32(0),      # unused in pixels mode
+            n_samples=1,
+            seed=state.seed,
+            pixels=pix,
+            pixels_sample_start=jnp.repeat(tile_spp[tile_ids] + s,
+                                           tile * tile),
+        ).reshape(k, tile, tile, 3)
+        accum = accum.at[tile_ids].add(blocks, unique_indices=True)
+        lum = _lum(blocks)
+        m2 = m2.at[tile_ids].add(lum * lum, unique_indices=True)
+    tile_spp = tile_spp.at[tile_ids].add(spp_per_round,
+                                         unique_indices=True)
+    return TileState(accum=accum, m2=m2, tile_spp=tile_spp,
+                     seed=state.seed)
+
+
+tile_step = jax.jit(
+    _tile_step_body,
+    static_argnames=("config", "tile", "spp_per_round"),
+    donate_argnames=("state",),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "tile", "k", "n_rounds", "spp_per_round"),
+    donate_argnames=("state",),
+)
+def tile_rounds(state: TileState, scene, camera, config: RenderConfig,
+                tile: int, k: int, n_rounds: int,
+                spp_per_round: int = 1) -> TileState:
+    """``n_rounds`` greedy tile rounds fused into ONE dispatch (scan),
+    exactly like ``adaptive_rounds`` for bands."""
+
+    def body(st, _):
+        scores = _tile_scores(st, config, tile)
+        _, ids = jax.lax.top_k(scores, k)
+        return _tile_step_body(st, scene, camera, config, tile, ids,
+                               spp_per_round), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_rounds)
+    return state
+
+
+def resolve_tiles(state: TileState, config: RenderConfig,
+                  tile: int) -> jnp.ndarray:
+    """Per-pixel mean radiance, untiled to (H, W, 3) image layout."""
+    h, w = config.height, config.width
+    nty, ntx = h // tile, w // tile
+    n = jnp.maximum(state.tile_spp, 1).astype(jnp.float32)
+    mean = state.accum / n[:, None, None, None]
+    return mean.reshape(nty, ntx, tile, tile, 3).transpose(
+        0, 2, 1, 3, 4
+    ).reshape(h, w, 3)
+
+
+def render_adaptive_tiles(scene, camera, config: RenderConfig,
+                          tile: int = 8, tiles_per_round: int = 0,
+                          warmup_spp: int = 2, progress=None,
+                          budget_spp: Optional[int] = None,
+                          spp_per_round: int = 2,
+                          ) -> Tuple[TileState, int]:
+    """Tile-granular ``render_adaptive``: drive to an average budget of
+    ``config.samples_per_pixel`` (or ``budget_spp``) spp. Defaults:
+    8x8 tiles, k = n_tiles // 8 per round, 2 spp per picked tile per
+    round (the measured band-mode operating point)."""
+    tile = pick_tile(config, tile)
+    n_tiles = (config.height // tile) * (config.width // tile)
+    k = tiles_per_round or max(1, n_tiles // 8)
+    k = min(k, n_tiles)
+    state = init_tile_state(config, tile)
+
+    target = budget_spp if budget_spp is not None else (
+        config.samples_per_pixel
+    )
+    budget = n_tiles * target
+    spent = 0
+    rounds = 0
+
+    all_tiles = np.arange(n_tiles, dtype=np.int32)
+    for _ in range(min(warmup_spp, target)):
+        for i in range(0, n_tiles, k):
+            chunk = all_tiles[i:i + k]
+            state = tile_step(state, scene, camera, config, tile,
+                              jnp.asarray(chunk))
+            spent += len(chunk)
+            rounds += 1
+        if progress is not None:
+            progress(state, spent, budget)
+
+    spr = max(1, spp_per_round)
+    samples_per_round = k * tile * tile * spr
+    rounds_per_dispatch = max(1, MAX_DISPATCH_SAMPLES // samples_per_round)
+    while spent + k * spr <= budget:
+        n_r = min(rounds_per_dispatch, (budget - spent) // (k * spr))
+        state = tile_rounds(state, scene, camera, config, tile, k, n_r,
+                            spr)
+        spent += n_r * k * spr
+        rounds += n_r
+        if progress is not None:
+            progress(state, spent, budget)
+    while spent + k <= budget:
+        n_r = (budget - spent) // k
+        state = tile_rounds(state, scene, camera, config, tile, k, n_r, 1)
+        spent += n_r * k
+        rounds += n_r
+        if progress is not None:
+            progress(state, spent, budget)
+    return state, rounds

@@ -54,7 +54,8 @@ COMPACT_DEPTHS = (3,)
 def render_samples(scene, camera, config: RenderConfig, sample_start,
                    n_samples: int, seed, row_start=0, block_rows=None,
                    sample_stride: int = 1, rows=None,
-                   rows_sample_start=None):
+                   rows_sample_start=None, pixels=None,
+                   pixels_sample_start=None):
     """Sum of ``n_samples`` radiance samples per pixel over an image block.
 
     Returns shape (block_rows, W, 3) — by default the full (H, W, 3) image.
@@ -81,8 +82,20 @@ def render_samples(scene, camera, config: RenderConfig, sample_start,
     image row, so DNF tile coherence is unchanged) instead of K small
     serialized waves. The contiguous-block args are ignored in this
     mode; the default mode's jit graph is untouched (Python branch).
+
+    Scattered-pixels mode (the tile-granular adaptive scheduler):
+    ``pixels`` ((R,) i32, traced) names arbitrary global pixel ids with
+    per-ray counters ``pixels_sample_start``; the return is (R, 3) in
+    ``pixels`` order. The same RNG-identity contract holds; traversal
+    tiles now mix whichever pixels the scheduler packed together, so
+    coherence is the SCHEDULER's responsibility (compact 2D tiles keep
+    it — models/adaptive.py tile mode).
     """
     h, w = config.height, config.width
+    if pixels is not None:
+        return _render_pixels(scene, camera, config, pixels,
+                              pixels_sample_start, n_samples, seed,
+                              sample_stride)
     if rows is not None:
         return _render_rows(scene, camera, config, rows,
                             rows_sample_start, n_samples, seed,
@@ -346,6 +359,67 @@ def _render_rows(scene, camera, config: RenderConfig, rows,
         return accum + radiance, None
 
     accum0 = jnp.zeros((n_rows, w, 3), jnp.float32)
+    accum, _ = jax.lax.scan(
+        one_sample, accum0, jnp.arange(n_samples, dtype=jnp.int32)
+    )
+    return accum
+
+
+def _render_pixels(scene, camera, config: RenderConfig, pixels,
+                   pixels_sample_start, n_samples: int, seed,
+                   sample_stride: int):
+    """Scattered-pixels wave (``render_samples(pixels=...)`` docs):
+    R scheduler-picked global pixel ids render as ONE dense wave with
+    per-ray sample counters. Oversized waves chunk at MAX_WAVE_RAYS
+    (tail chunks pad with pixel 0 at sample 0 and the padded results
+    are sliced off, so real-pixel results are bitwise unchanged)."""
+    if pixels_sample_start is None:
+        raise ValueError("pixels mode needs pixels_sample_start")
+    n_pix = pixels.shape[0]
+    traversal = config.resolve_traversal(scene)
+
+    chunk_pix = n_pix
+    n_chunks, tail_pad = 1, 0
+    if n_pix > MAX_WAVE_RAYS:
+        divisor = max(c for c in range(1, MAX_WAVE_RAYS + 1)
+                      if n_pix % c == 0)
+        chunk_pix = (divisor if 2 * divisor >= MAX_WAVE_RAYS
+                     else MAX_WAVE_RAYS)
+        n_chunks = -(-n_pix // chunk_pix)
+        tail_pad = n_chunks * chunk_pix - n_pix
+        if tail_pad:
+            pixels = jnp.concatenate(
+                [pixels, jnp.zeros(tail_pad, jnp.int32)]
+            )
+            pixels_sample_start = jnp.concatenate(
+                [pixels_sample_start, jnp.zeros(tail_pad, jnp.int32)]
+            )
+
+    def one_sample(carry, sample_ofs):
+        accum = carry
+
+        def chunk_radiance(chunk):
+            pix_c, ss_c = chunk
+            return _trace_pixels(scene, camera, config, traversal,
+                                 pix_c,
+                                 ss_c + sample_ofs * sample_stride,
+                                 seed)
+
+        if n_chunks == 1:
+            radiance = chunk_radiance((pixels, pixels_sample_start))
+        else:
+            radiance = jax.lax.map(
+                chunk_radiance,
+                (pixels.reshape(n_chunks, chunk_pix),
+                 pixels_sample_start.reshape(n_chunks, chunk_pix)),
+            ).reshape(n_chunks * chunk_pix, 3)
+            if tail_pad:
+                radiance = radiance[:n_pix]
+        if config.clamp > 0.0:
+            radiance = jnp.minimum(radiance, config.clamp)
+        return accum + radiance, None
+
+    accum0 = jnp.zeros((n_pix, 3), jnp.float32)
     accum, _ = jax.lax.scan(
         one_sample, accum0, jnp.arange(n_samples, dtype=jnp.int32)
     )

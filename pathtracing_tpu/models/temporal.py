@@ -109,8 +109,27 @@ def features(scene, camera, config: RenderConfig):
     pos = jnp.where(hit.valid[:, None], o + hit.t[:, None] * d, o)
     cam = camera_ops.resolve(camera)
     depth = jnp.where(hit.valid, camera_ops.cam_depth(cam, pos), 0.0)
+    # Specular-primary mask: mirror-like vertices carry VIEW-DEPENDENT
+    # radiance, so their history is stale the moment the camera moves —
+    # measured on cornell_bsdf orbits (mirror + glass spheres), naive
+    # reuse GHOSTS hard enough to lose to no-reuse (temporal RMSE 0.44
+    # vs raw 0.33 at 4 spp / 4°/frame). ``advance`` clamps their
+    # history length instead of rejecting outright: bounded staleness,
+    # still a few frames of variance win. Diffuse/rough surfaces are
+    # view-independent(-ish) and keep the full cap.
+    from pathtracing_tpu.ops import materials
+
+    mtype, _, par, _ = materials.gather(scene.material_table, hit.mat_id)
+    spec = (
+        (mtype == materials.TYPE_DIELECTRIC)
+        | (mtype == materials.TYPE_ROUGH_DIELECTRIC)
+        | ((mtype == materials.TYPE_METAL) & (par < 0.25))
+        | ((mtype == materials.TYPE_GGX) & (par < 0.2))
+        | ((mtype == materials.TYPE_PRINCIPLED) & (par < 0.2))
+    ) & hit.valid
     return (pos.reshape(h, w, 3), depth.reshape(h, w),
-            normal.reshape(h, w, 3), hit.valid.reshape(h, w))
+            normal.reshape(h, w, 3), hit.valid.reshape(h, w),
+            spec.reshape(h, w))
 
 
 def _gather_bilinear(img, xf, yf):
@@ -139,8 +158,8 @@ def _gather_bilinear(img, xf, yf):
 )
 def advance(state: TemporalState, cur_img, scene, camera, cam_prev,
             config: RenderConfig, depth_tol: float = 0.05,
-            normal_tol: float = 0.7,
-            cap: float = HISTORY_CAP) -> Tuple[jnp.ndarray, TemporalState]:
+            normal_tol: float = 0.7, cap: float = HISTORY_CAP,
+            spec_cap: float = 3.0) -> Tuple[jnp.ndarray, TemporalState]:
     """Blend one new frame into the reprojected history.
 
     ``cur_img`` ((H, W, 3), mean radiance of this frame's spp) was
@@ -154,10 +173,17 @@ def advance(state: TemporalState, cur_img, scene, camera, cam_prev,
     frame's stored depth) and normal (cosine >= ``normal_tol``).
     Rejected pixels restart history at the current frame — disocclusions
     and silhouettes stay crisp while smooth regions accumulate to
-    ``cap`` frames of effective history.
+    ``cap`` frames of effective history. Specular primaries (mirror
+    metal / glass / low-roughness lobes, see ``features``) clamp to
+    ``spec_cap`` frames: their radiance is view-dependent, so unbounded
+    history ghosts under camera motion (measured worse than NO reuse on
+    cornell_bsdf orbits); a short cap bounds the staleness at a still-
+    useful variance win.
     """
     h, w = config.height, config.width
-    pos, depth_c, normal_c, valid_c = features(scene, camera, config)
+    pos, depth_c, normal_c, valid_c, spec_c = features(
+        scene, camera, config
+    )
 
     prev = camera_ops.resolve(cam_prev)
     s, t, in_front = camera_ops.project(prev, pos.reshape(-1, 3))
@@ -194,9 +220,10 @@ def advance(state: TemporalState, cur_img, scene, camera, cam_prev,
         & (jnp.sum(nl * normal_c, axis=-1) > normal_tol)
     )
 
-    n_eff = jnp.where(accept, n_prev, 0.0)
+    cap_px = jnp.where(spec_c, jnp.minimum(cap, spec_cap), cap)
+    n_eff = jnp.minimum(jnp.where(accept, n_prev, 0.0), cap_px - 1.0)
     out = (hist * n_eff[..., None] + cur_img) / (n_eff[..., None] + 1.0)
-    new_len = jnp.minimum(n_eff + 1.0, cap)
+    new_len = jnp.minimum(n_eff + 1.0, cap_px)
 
     return out, TemporalState(
         history=out,

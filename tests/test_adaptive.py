@@ -245,3 +245,63 @@ def test_render_adaptive_spr_budget_exact(setup):
         )
         spent.append(int(np.asarray(state.band_spp).sum()))
     assert spent[0] == spent[1] == 9 * n_bands
+
+
+def test_tile_uniform_schedule_matches_progressive_bitwise(setup):
+    """Driving every 2x2 tile to equal spp reproduces the uniform
+    progressive render bitwise — the tile scheduler's RNG-identity
+    contract (global pixel/sample ids, tile-major layout is pure
+    reordering)."""
+    scene, cam = setup
+    tile = 2
+    n_tiles = (CFG.height // tile) * (CFG.width // tile)
+    state = adaptive.init_tile_state(CFG, tile)
+    all_tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    for _ in range(2):
+        state = adaptive.tile_step(state, scene, cam, CFG, tile,
+                                   all_tiles)
+    img = adaptive.resolve_tiles(state, CFG, tile)
+
+    import dataclasses
+    cfg = dataclasses.replace(CFG, samples_per_pixel=2,
+                              samples_per_step=2)
+    st = progressive.init_state(cfg)
+    st = progressive.render_step(st, scene, cam, cfg)
+    want = np.asarray(st.accum) / 2.0
+    np.testing.assert_array_equal(np.asarray(img), want)
+
+
+def test_tile_fused_rounds_match_stepwise(setup):
+    scene, cam = setup
+    tile, k = 2, 3
+    n_tiles = (CFG.height // tile) * (CFG.width // tile)
+    state = adaptive.init_tile_state(CFG, tile)
+    all_tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    for _ in range(2):
+        state = adaptive.tile_step(state, scene, cam, CFG, tile,
+                                   all_tiles)
+    snap = jax.tree_util.tree_map(np.asarray, state)
+    state_b = adaptive.TileState(*(jnp.asarray(x) for x in snap))
+
+    for _ in range(3):
+        scores = adaptive._tile_scores(state, CFG, tile)
+        _, ids = jax.lax.top_k(scores, k)
+        state = adaptive.tile_step(state, scene, cam, CFG, tile, ids)
+
+    fused = adaptive.tile_rounds(state_b, scene, cam, CFG, tile, k, 3)
+    np.testing.assert_array_equal(np.asarray(fused.accum),
+                                  np.asarray(state.accum))
+    np.testing.assert_array_equal(np.asarray(fused.tile_spp),
+                                  np.asarray(state.tile_spp))
+
+
+def test_render_adaptive_tiles_budget_and_quality(setup):
+    scene, cam = setup
+    state, _ = adaptive.render_adaptive_tiles(scene, cam, CFG, tile=2,
+                                              tiles_per_round=4,
+                                              budget_spp=6)
+    n_tiles = (CFG.height // 2) * (CFG.width // 2)
+    spent = int(np.asarray(state.tile_spp).sum())
+    assert spent == 6 * n_tiles
+    img = np.asarray(adaptive.resolve_tiles(state, CFG, 2))
+    assert np.isfinite(img).all() and img.max() > 0.0

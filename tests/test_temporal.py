@@ -74,7 +74,7 @@ def test_static_camera_blend_is_running_mean():
         frames.append(np.asarray(cur))
         out, state = temporal.advance(state, cur, scene, cam, cam,
                                       config)
-    _, _, _, valid = temporal.features(scene, cam, config)
+    _, _, _, valid, _ = temporal.features(scene, cam, config)
     m = np.asarray(valid)
     assert m.mean() > 0.9           # the box fills the view
     want = np.mean(frames, axis=0)
@@ -156,3 +156,28 @@ def test_orbit_temporal_beats_per_frame():
     e_tmp = float(np.sqrt(np.mean((np.asarray(out) - ref) ** 2)))
     # sqrt(#frames)-ish variance win minus motion staleness: demand 1.5x.
     assert e_tmp < e_raw / 1.5, (e_raw, e_tmp)
+
+
+def test_specular_primaries_get_capped_history():
+    """cornell_bsdf's mirror/glass spheres are specular primaries: their
+    history length must clamp to spec_cap while diffuse walls run to the
+    full cap — the anti-ghosting rule for view-dependent radiance."""
+    scene, cam_cfg = scenes.get_scene("cornell_bsdf")
+    config = RenderConfig(width=32, height=32, samples_per_pixel=2,
+                          max_depth=4, samples_per_step=2, seed=0,
+                          background="black", traversal="cluster_jax")
+    cam = build_camera(cam_cfg, 1.0)
+    _, _, _, valid, spec = temporal.features(scene, cam, config)
+    spec = np.asarray(spec)
+    assert spec.any() and not spec.all()       # spheres yes, walls no
+
+    state = temporal.init_state(config)
+    for k in range(6):
+        cur = _frame(scene, cam, config, seed=k)
+        _, state = temporal.advance(state, cur, scene, cam, cam, config,
+                                    spec_cap=3.0)
+    hl = np.asarray(state.hist_len)
+    v = np.asarray(valid)
+    assert hl[spec].max() == 3.0
+    diffuse = v & ~spec
+    assert hl[diffuse].max() == 6.0
