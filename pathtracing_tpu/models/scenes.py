@@ -646,6 +646,54 @@ def screenlight_demo() -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def many_lights_demo(grid: int = 12) -> Tuple[Scene, CameraConfig]:
+    """Many-light stress scene: a dark hall lit by a ``grid``×``grid``
+    ceiling array of emissive panels (2 triangles each — 288 light rows
+    at the default 12, well past ops.lights._GATHER_MIN) with power-law
+    brightness spread and varied hues, over a glossy floor and three
+    probe spheres. Exercises the searchsorted + packed-row-gather light
+    selection path (the masked-sum path's (rays × L) work would dominate
+    here) and the power-weighted pick (a few panels carry most of the
+    total power). Deterministic: panel colors/powers from a fixed-seed
+    NumPy generator at build time."""
+    rng = np.random.default_rng(20260819)
+    b = SceneBuilder()
+    floor = b.ggx((0.6, 0.6, 0.62), roughness=0.15)
+    b.add_quad((-8.0, 0.0, -8.0), (16.0, 0.0, 0.0), (0.0, 0.0, 16.0),
+               floor)
+    wall = b.lambertian((0.25, 0.25, 0.27))
+    b.add_quad((-8.0, 0.0, -8.0), (16.0, 0.0, 0.0), (0.0, 5.0, 0.0),
+               wall)
+    b.add_quad((-8.0, 0.0, -8.0), (0.0, 0.0, 16.0), (0.0, 5.0, 0.0),
+               wall)
+    b.add_quad((8.0, 0.0, 8.0), (-16.0, 0.0, 0.0), (0.0, 5.0, 0.0),
+               wall)
+    b.add_quad((8.0, 0.0, 8.0), (0.0, 0.0, -16.0), (0.0, 5.0, 0.0),
+               wall)
+    span, gap = 14.0, 0.25
+    cell = span / grid
+    for i in range(grid):
+        for j in range(grid):
+            x = -span / 2 + i * cell
+            z = -span / 2 + j * cell
+            hue = rng.uniform(0.0, 1.0, 3)
+            col = 0.25 + 0.75 * hue / max(float(hue.max()), 1e-6)
+            power = 2.0 * float(rng.pareto(2.5) + 0.05)
+            mat = b.emissive(tuple(power * col))
+            b.add_quad((x + gap / 2, 4.999, z + gap / 2),
+                       (cell - gap, 0.0, 0.0), (0.0, 0.0, cell - gap),
+                       mat)
+    b.add_sphere((-1.6, 0.8, 0.3), 0.8, b.lambertian((0.75, 0.72, 0.68)))
+    b.add_sphere((0.9, 0.7, -0.9), 0.7,
+                 b.metal((0.9, 0.9, 0.95), fuzz=0.05))
+    b.add_sphere((1.7, 0.55, 1.3), 0.55,
+                 b.principled((0.2, 0.45, 0.8), metallic=0.0,
+                              roughness=0.25))
+    cam = CameraConfig(position=(0.0, 2.2, 7.5),
+                       look_at=(0.0, 1.0, 0.0), vfov_degrees=45.0)
+    return b.build(), cam
+
+
 SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_sphere": cornell_sphere,
     "cornell_bsdf": cornell_bsdf,
@@ -666,6 +714,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "principled_demo": principled_demo,
     "spotlight_demo": spotlight_demo,
     "screenlight_demo": screenlight_demo,
+    "many_lights_demo": many_lights_demo,
 }
 
 

@@ -38,10 +38,17 @@ to area-uniform sampling (the cone is undefined), same pdf law as
 triangles. The legacy full-surface sampler stays as ``sample`` for
 area-measure uses.
 
-All selection is one-hot masked-sum over the (small) light table — never
-a device gather (see PERF.md for why gathers are banned on the hot
-path), and never a matmul (bf16 default dots put sampled points off the
-light plane; PERF.md "Correctness gotcha").
+Selection is one-hot masked-sum over SMALL light tables — never a
+matmul (bf16 default dots put sampled points off the light plane;
+PERF.md "Correctness gotcha"). Masked-sum work grows as (rays × L) per
+column, so tables with ``L >= _GATHER_MIN`` switch to a searchsorted
+CDF pick + ONE packed row gather (the r3m single-gather pattern: all
+sampler columns pre-packed into an (L, W) f32 table at build time —
+a 262k-row gather costs ~11-30 ms on the chip regardless of L, while
+masked-sum crosses that around L ≈ a few hundred). The switch is a
+static table-size property: every existing small-table scene keeps its
+bit-identical masked-sum graph, and both paths draw identical picks
+(searchsorted(side='left') == the Σ(u > cum) count by construction).
 """
 
 from __future__ import annotations
@@ -53,6 +60,31 @@ import numpy as np
 
 KIND_TRI = 0
 KIND_SPHERE = 1
+
+# Table size at which light selection switches from one-hot masked-sum
+# (cheapest for small L; the historical, cache-locked path) to a
+# searchsorted pick + single packed row gather (O(1) in L per vertex).
+# Overridable for the crossover probe (benchmarks/probe_many_lights.py);
+# renders are identical either way — only the schedule changes.
+import os as _os
+
+_GATHER_MIN = int(_os.environ.get("PT_LIGHT_GATHER_MIN", 64))
+
+# Column layout of ``LightTable.packed`` ((L, 24) f32, built only for
+# gather-mode tables): slices for the vector columns, scalar indices
+# for kind/tex (small ints, exact in f32). uv columns are zeros when
+# the scene has no textured emitter (with_uv callers never see them).
+_P_V0 = slice(0, 3)
+_P_E1 = slice(3, 6)
+_P_E2 = slice(6, 9)
+_P_NORMAL = slice(9, 12)
+_P_EMIT = slice(12, 15)
+_P_KIND = 15
+_P_UV0 = slice(16, 18)
+_P_UVE1 = slice(18, 20)
+_P_UVE2 = slice(20, 22)
+_P_TEX = 22
+_P_WIDTH = 24
 
 
 class LightTable(NamedTuple):
@@ -84,6 +116,11 @@ class LightTable(NamedTuple):
     uv_e1: jnp.ndarray = None  # (L, 2) f32
     uv_e2: jnp.ndarray = None  # (L, 2) f32
     tex: jnp.ndarray = None    # (L,) i32
+    # Many-light gather mode (L >= _GATHER_MIN only; None keeps every
+    # small-table scene's pytree + jit graph untouched): all sampler
+    # columns packed into one (L, _P_WIDTH) f32 table so selection is
+    # searchsorted + ONE row gather (see module docstring).
+    packed: jnp.ndarray = None
 
 
 def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
@@ -193,6 +230,23 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
             uv_e2=jnp.asarray(luv[:, 2] - luv[:, 0]),
             tex=jnp.asarray(ltex),
         )
+    packed = None
+    if lv0.shape[0] >= _GATHER_MIN:
+        pk = np.zeros((lv0.shape[0], _P_WIDTH), np.float32)
+        pk[:, _P_V0] = lv0
+        pk[:, _P_E1] = e1
+        pk[:, _P_E2] = e2
+        pk[:, _P_NORMAL] = normal
+        pk[:, _P_EMIT] = lemit
+        pk[:, _P_KIND] = kind
+        if uv_cols:
+            pk[:, _P_UV0] = np.asarray(uv_cols["uv0"])
+            pk[:, _P_UVE1] = np.asarray(uv_cols["uv_e1"])
+            pk[:, _P_UVE2] = np.asarray(uv_cols["uv_e2"])
+            pk[:, _P_TEX] = np.asarray(uv_cols["tex"])
+        else:
+            pk[:, _P_TEX] = -1.0
+        packed = jnp.asarray(pk)
     return LightTable(
         v0=jnp.asarray(lv0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
         normal=jnp.asarray(normal),
@@ -201,8 +255,68 @@ def build_light_table(v0, v1, v2, tri_mat, mat_type, mat_emit,
         cum=jnp.asarray(cum.astype(np.float32)),
         total_area=jnp.float32(total),
         total_power=jnp.float32(total_power),
+        packed=packed,
         **uv_cols,
     )
+
+
+def _pick_and_select(lights: LightTable, u0):
+    """Power-CDF light pick + row selection, mode chosen by table size.
+
+    Returns ``(sel3, sel1)``: column selectors mapping a packed-layout
+    name ('v0', 'e1', 'e2', 'normal', 'emit', 'kind', 'uv0', 'uv_e1',
+    'uv_e2', 'tex') to the picked rows' values ((R, k) f32 / (R,) for
+    scalars; 'kind'/'tex' come back i32). Small tables (packed is None)
+    keep the historical one-hot masked-sum graph bit-exactly; large
+    tables searchsorted the same CDF and fetch ONE packed row per ray.
+    """
+    n_lights = lights.cum.shape[0]
+    if lights.packed is not None:
+        # #(cum < u) == searchsorted(side='left') — same pick as the
+        # masked-sum mode's Σ(u > cum) count, O(log L) per ray.
+        idx = jnp.clip(
+            jnp.searchsorted(lights.cum, u0, side="left"),
+            0, n_lights - 1,
+        )
+        rows = jnp.take(lights.packed, idx, axis=0)     # (R, W): 1 gather
+        cols = {"v0": _P_V0, "e1": _P_E1, "e2": _P_E2,
+                "normal": _P_NORMAL, "emit": _P_EMIT,
+                "uv0": _P_UV0, "uv_e1": _P_UVE1, "uv_e2": _P_UVE2}
+        scalars = {"kind": _P_KIND, "tex": _P_TEX}
+
+        def sel3(name):
+            return rows[:, cols[name]]
+
+        def sel1(name):
+            v = rows[:, scalars[name]]
+            return v.astype(jnp.int32)
+
+        return sel3, sel1
+
+    idx = jnp.clip(
+        jnp.sum((u0[:, None] > lights.cum[None, :]).astype(jnp.int32),
+                axis=1),
+        0, n_lights - 1,
+    )
+    onehot = (
+        jnp.arange(n_lights, dtype=jnp.int32)[None, :] == idx[:, None]
+    )                                           # (R, L) bool
+
+    def sel3(name):  # (L, 3) -> (R, 3)
+        # Exact masked-sum selection. NOT a matmul: TPU f32 dots default
+        # to bf16 multiplies, and a light point 4e-3 off its own plane
+        # makes shadow rays hit the light geometry itself — measured as
+        # a ~20% darkening of every NEE estimate.
+        table = getattr(lights, name)
+        return jnp.sum(
+            jnp.where(onehot[:, :, None], table[None, :, :], 0.0), axis=1
+        )
+
+    def sel1(name):  # (L,) int -> (R,) int
+        table = getattr(lights, name)
+        return jnp.sum(jnp.where(onehot, table[None, :], 0), axis=1)
+
+    return sel3, sel1
 
 
 def sample(lights: LightTable, u):
@@ -212,30 +326,12 @@ def sample(lights: LightTable, u):
     The per-area pdf at the returned point is
     ``luminance(emit) / total_power`` (see module docstring).
     """
-    n_lights = lights.cum.shape[0]
-    idx = jnp.clip(
-        jnp.sum((u[:, 0:1] > lights.cum[None, :]).astype(jnp.int32),
-                axis=1),
-        0, n_lights - 1,
-    )
-    onehot = (
-        jnp.arange(n_lights, dtype=jnp.int32)[None, :] == idx[:, None]
-    )                                           # (R, L) bool
-
-    def select(table):  # (L, 3) -> (R, 3)
-        # Exact masked-sum selection. NOT a matmul: TPU f32 dots default
-        # to bf16 multiplies, and a light point 4e-3 off its own plane
-        # makes shadow rays hit the light geometry itself — measured as
-        # a ~20% darkening of every NEE estimate.
-        return jnp.sum(
-            jnp.where(onehot[:, :, None], table[None, :, :], 0.0), axis=1
-        )
-
-    v0 = select(lights.v0)
-    e1 = select(lights.e1)
-    e2 = select(lights.e2)
-    normal = select(lights.normal)
-    emit = select(lights.emit)
+    sel3, sel1 = _pick_and_select(lights, u[:, 0])
+    v0 = sel3("v0")
+    e1 = sel3("e1")
+    e2 = sel3("e2")
+    normal = sel3("normal")
+    emit = sel3("emit")
 
     # Triangle: sqrt-warped uniform barycentrics.
     su = jnp.sqrt(jnp.maximum(u[:, 1:2], 1e-12))
@@ -246,9 +342,7 @@ def sample(lights: LightTable, u):
     if lights.kind is None:  # r4a gate: no sphere emitters in the table
         return p_tri, normal, emit
 
-    is_sph = jnp.sum(
-        jnp.where(onehot, lights.kind[None, :], 0), axis=1
-    ) == KIND_SPHERE
+    is_sph = sel1("kind") == KIND_SPHERE
 
     # Sphere: area-uniform surface point (v0 = center, e1.x = radius).
     z = 1.0 - 2.0 * u[:, 1]
@@ -287,27 +381,12 @@ def sample_solid_angle(lights: LightTable, u, origin,
     """
     from pathtracing_tpu.ops import linalg
 
-    n_lights = lights.cum.shape[0]
-    idx = jnp.clip(
-        jnp.sum((u[:, 0:1] > lights.cum[None, :]).astype(jnp.int32),
-                axis=1),
-        0, n_lights - 1,
-    )
-    onehot = (
-        jnp.arange(n_lights, dtype=jnp.int32)[None, :] == idx[:, None]
-    )
-
-    def select(table):
-        # Masked-sum, never a matmul (bf16 default dots — see sample()).
-        return jnp.sum(
-            jnp.where(onehot[:, :, None], table[None, :, :], 0.0), axis=1
-        )
-
-    v0 = select(lights.v0)
-    e1 = select(lights.e1)
-    e2 = select(lights.e2)
-    normal = select(lights.normal)
-    emit = select(lights.emit)
+    sel3, sel1 = _pick_and_select(lights, u[:, 0])
+    v0 = sel3("v0")
+    e1 = sel3("e1")
+    e2 = sel3("e2")
+    normal = sel3("normal")
+    emit = sel3("emit")
 
     # Triangle: sqrt-warped uniform barycentrics (same draws as sample).
     su = jnp.sqrt(jnp.maximum(u[:, 1:2], 1e-12))
@@ -327,17 +406,12 @@ def sample_solid_angle(lights: LightTable, u, origin,
         cos_l = jnp.abs(linalg.dot(normal, wi_vec / dist[:, None]))
         pdf_sa = dist2 * lum / (cos_l * lights.total_power + 1e-20)
         if with_uv:
-            uv = (select(lights.uv0) + a * select(lights.uv_e1)
-                  + b * select(lights.uv_e2))
-            tex = jnp.sum(
-                jnp.where(onehot, lights.tex[None, :], 0), axis=1
-            )
+            uv = (sel3("uv0") + a * sel3("uv_e1") + b * sel3("uv_e2"))
+            tex = sel1("tex")
             return point, normal, emit, pdf_sa, uv, tex
         return point, normal, emit, pdf_sa
 
-    is_sph = jnp.sum(
-        jnp.where(onehot, lights.kind[None, :], 0), axis=1
-    ) == KIND_SPHERE
+    is_sph = sel1("kind") == KIND_SPHERE
 
     # Sphere, area-uniform (inside-the-sphere fallback only).
     z = 1.0 - 2.0 * u[:, 1]
@@ -398,11 +472,8 @@ def sample_solid_angle(lights: LightTable, u, origin,
         # texture coordinate (triangle rows; sphere rows carry tex=-1
         # and zeros here) + the emission-texture atlas id. Same (a, b)
         # draws as the point, so the texel sits exactly at ``point``.
-        uv = (select(lights.uv0) + a * select(lights.uv_e1)
-              + b * select(lights.uv_e2))
-        tex = jnp.sum(
-            jnp.where(onehot, lights.tex[None, :], 0), axis=1
-        )  # the selected row's id verbatim (may be -1 = untextured)
+        uv = (sel3("uv0") + a * sel3("uv_e1") + b * sel3("uv_e2"))
+        tex = sel1("tex")  # the selected row's id (may be -1 = untextured)
         return point, normal, emit, pdf_sa, uv, tex
     return point, normal, emit, pdf_sa
 
