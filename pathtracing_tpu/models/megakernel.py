@@ -245,6 +245,7 @@ def _trace_pixels(scene, camera, config: RenderConfig, traversal: str,
                 prev_nee=pdiff, bin_rays=config.ray_sort,
                 ld_nee=ldn, ld_scatter=lds, medium=med,
                 time=tm, cone=cn, cone_spread=spread,
+                nee_candidates=config.nee_candidates,
             )
         return bounce
 

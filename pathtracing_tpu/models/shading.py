@@ -55,7 +55,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                  nee: bool = False, prev_pdf=None, prev_nee=None,
                  bin_rays: bool = False, return_shadow_count: bool = False,
                  ld_nee=None, ld_scatter=None, medium=None, time=None,
-                 cone=None, cone_spread=None):
+                 cone=None, cone_spread=None, nee_candidates: int = 1):
     """One bounce for a whole (R,) ray batch — the production path.
 
     Identical math and RNG streams to the original per-ray form (the
@@ -117,6 +117,20 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     across bounces (no curvature/roughness growth), and the NEE
     emission-texture lookup at the sampled light point stays bilinear
     (no footprint exists there; the residual aliasing is MC-averaged).
+
+    ``nee_candidates`` (static int M, default 1): Talbot resampled
+    importance sampling for the NEE light pick. M power-CDF candidates
+    are scored by the unshadowed solid-angle contribution
+    (``luminance(f·Le) · cosθ_surface``; medium vertices swap f·cos
+    for albedo·phase), ONE is resampled ∝ score, and the estimator
+    divides by the unbiased effective density ``M · p̂(y) / Σ w_i``
+    instead of ``pdf_sa`` — still ONE shadow ray per vertex. M = 1 is
+    a Python-level branch that keeps the legacy graph and RNG streams
+    bit-identical (the r3n zero-cost gating contract); M > 1 pays M
+    cheap light-table samples per vertex and wins on many-light scenes
+    (see ``RenderConfig.nee_candidates``). The MIS weight against BSDF
+    sampling keeps the one-sample area-law ``pdf_l`` on both arms —
+    any weight pair summing to one is unbiased.
     """
     from pathtracing_tpu.models import scene as scene_mod
     from pathtracing_tpu.ops import lights as lights_ops
@@ -393,21 +407,48 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     nee_lobe = materials.is_nee_type(mtype)
     n_shadow = jnp.float32(0.0)
 
+    def _lobe(wi_v, cos_v, rep: int = 1):
+        """Evaluate the finite-pdf lobe (f, pdf_b) toward ``wi_v`` for
+        this batch's materials — shared by the area-light NEE arm, the
+        env-NEE arm, and (with ``rep=M``) RIS candidate scoring. With
+        rep == 1 this is a pure refactor of the historical inline code:
+        identical ops in identical order, so the M = 1 / env graphs stay
+        bit-identical (the r3n gating contract)."""
+        def _R(x):
+            return x if rep == 1 else jnp.repeat(x, rep, axis=0)
+        is_g = _R(mtype) == materials.TYPE_GGX
+        f_g, pdf_g = materials.ggx_eval(
+            _R(alb), _R(par), _R(hit.normal), _R(-d), wi_v
+        )
+        f_l = jnp.where(is_g[:, None], f_g, _R(alb) * INV_PI)
+        p_b = jnp.where(is_g, pdf_g, cos_v * INV_PI)
+        if aniso_col is not None:
+            f_ga, pdf_ga = materials.ggx_eval_aniso(
+                _R(alb), _R(par), _R(aniso_col), _R(hit.normal),
+                _R(-d), wi_v
+            )
+            sel_a = is_g & (_R(aniso_col) > 1e-6)
+            f_l = jnp.where(sel_a[:, None], f_ga, f_l)
+            p_b = jnp.where(sel_a, pdf_ga, p_b)
+        if scene.mat_metallic is not None:
+            # Principled vertices: both-lobe sum with the mixture pdf
+            # (exactly what scatter samples from) — feature-gated.
+            is_pr = _R(mtype) == materials.TYPE_PRINCIPLED
+            f_p, pdf_p = materials.principled_eval(
+                _R(alb), _R(metal_col), _R(par), _R(hit.normal),
+                _R(-d), wi_v,
+                clearcoat=None if cc_col is None else _R(cc_col),
+            )
+            f_l = jnp.where(is_pr[:, None], f_p, f_l)
+            p_b = jnp.where(is_pr, pdf_p, p_b)
+        return f_l, p_b
+
     if nee_on:
         # Next-event estimation: sample a light point, cast a shadow
         # ray. Fires at every vertex with a finite-pdf lobe: diffuse
         # (f = albedo/π, pdf_b = cosine) AND GGX glossy (f/pdf_b from
         # ops.materials.ggx_eval) — glossy NEE is what tames the
         # veach_mis scene's variance.
-        ul = jax.vmap(
-            lambda k, dp: jax.random.uniform(
-                rng.stream_key(k, dp, rng.STREAM_NEE), (3,),
-                dtype=jnp.float32,
-            )
-        )(keys, depth)
-        if ld_nee is not None:
-            d0 = (depth == 0)[:, None]
-            ul = jnp.where(d0, ld_nee, ul)
         # Fog scenes share ONE light sample + shadow ray between
         # surface vertices and in-medium phase vertices (the NEE origin
         # selects per lane) — no second occlusion query per bounce.
@@ -416,6 +457,103 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             o_nee = jnp.where(med_event[:, None], o_med, hit.position)
         if has_vol:
             o_nee = jnp.where(vol_event[:, None], o_vol, o_nee)
+        if nee_candidates > 1:
+            # Talbot RIS (see docstring): score M power-CDF candidates
+            # by the unshadowed per-solid-angle target, resample ONE.
+            # Static Python branch — M = 1 keeps the legacy graph and
+            # RNG stream consumption bit-identical.
+            M = nee_candidates
+            uu = jax.vmap(
+                lambda k, dp: jax.random.uniform(
+                    rng.stream_key(k, dp, rng.STREAM_NEE), (3 * M + 1,),
+                    dtype=jnp.float32,
+                )
+            )(keys, depth)
+            ul_all = uu[:, : 3 * M].reshape(r, M, 3)
+            u_pick = uu[:, 3 * M]
+            if ld_nee is not None:
+                # The LD pair covers candidate 0's variance-dominant
+                # first-vertex draws; the rest stay threefry.
+                d0 = (depth == 0)[:, None]
+                first = jnp.where(d0, ld_nee, ul_all[:, 0, :])
+                ul_all = jnp.concatenate(
+                    [first[:, None, :], ul_all[:, 1:, :]], axis=1
+                )
+            # One flattened sampler call scores all R*M candidates.
+            o_rep = jnp.repeat(o_nee, M, axis=0)
+            clp, cln, clemit, cpdf = lights_ops.sample_solid_angle(
+                scene.lights, ul_all.reshape(r * M, 3), o_rep
+            )
+            cvec = clp - o_rep
+            cd2 = jnp.maximum(jnp.sum(cvec * cvec, axis=-1), 1e-12)
+            cwi = cvec / jnp.sqrt(cd2)[:, None]
+            ccos = jnp.maximum(
+                jnp.sum(jnp.repeat(hit.normal, M, axis=0) * cwi,
+                        axis=-1),
+                0.0,
+            )
+            # p̂ per solid angle: the full unshadowed contribution
+            # luminance(f · Le) · cosθ_surface — the BSDF MUST be in
+            # the target: a luminance(Le)·cos-only target resamples
+            # glossy lanes toward lights their lobe can't see, which
+            # MEASURED as a net variance INCREASE on the glossy
+            # many_lights_demo floor (r4 probe). Medium vertices swap
+            # (f · cos) for (albedo · phase), mirroring the estimator.
+            cf_lobe, _ = _lobe(cwi, ccos, rep=M)
+            target = linalg.luminance(cf_lobe * clemit) * ccos
+            if has_fog or has_vol:
+                from pathtracing_tpu.ops import sampling as sampling_ops
+
+                is_med = jnp.zeros(r, jnp.bool_)
+                ph_g = jnp.float32(0.0)
+                alb_med = jnp.float32(0.0)
+                if has_fog:
+                    is_med = is_med | med_event
+                    ph_g = jnp.where(med_event, fog_g, ph_g)
+                    alb_med = jnp.where(med_event, fog_albedo, alb_med)
+                if has_vol:
+                    is_med = is_med | vol_event
+                    ph_g = jnp.where(vol_event, scene.vol.g, ph_g)
+                    alb_med = jnp.where(
+                        vol_event, scene.vol.albedo, alb_med
+                    )
+                cph = sampling_ops.hg_phase(
+                    jnp.repeat(jnp.broadcast_to(ph_g, (r,)), M),
+                    jnp.sum(jnp.repeat(d, M, axis=0) * cwi, axis=-1),
+                )
+                t_med = (linalg.luminance(clemit) * cph
+                         * jnp.repeat(
+                             jnp.broadcast_to(alb_med, (r,)), M))
+                target = jnp.where(
+                    jnp.repeat(is_med, M), t_med, target
+                )
+            wgt = jnp.where(
+                cpdf > 1e-20, target / jnp.maximum(cpdf, 1e-20), 0.0
+            ).reshape(r, M)
+            w_sum = jnp.sum(wgt, axis=1)
+            cum_w = jnp.cumsum(wgt, axis=1)
+            j = jnp.clip(
+                jnp.sum((u_pick[:, None] * w_sum[:, None]
+                         > cum_w).astype(jnp.int32), axis=1),
+                0, M - 1,
+            )
+            ul = jnp.take_along_axis(
+                ul_all, j[:, None, None], axis=1
+            )[:, 0, :]
+            p_hat = jnp.take_along_axis(
+                target.reshape(r, M), j[:, None], axis=1
+            )[:, 0]
+            ris_ok = (w_sum > 0.0) & (p_hat > 0.0)
+        else:
+            ul = jax.vmap(
+                lambda k, dp: jax.random.uniform(
+                    rng.stream_key(k, dp, rng.STREAM_NEE), (3,),
+                    dtype=jnp.float32,
+                )
+            )(keys, depth)
+            if ld_nee is not None:
+                d0 = (depth == 0)[:, None]
+                ul = jnp.where(d0, ld_nee, ul)
         # Visible-cap cone sampling for sphere lights (area-uniform for
         # triangles) — pdf_sa is the TRUE per-solid-angle density, the
         # estimator denominator. Triangle-only scenes draw identical
@@ -443,6 +581,16 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 scene.lights, ul, o_nee
             )
             lemit_mod = lemit
+        if nee_candidates > 1:
+            # The estimator divides by the unbiased effective RIS
+            # density M·p̂(y)/Σw instead of pdf_sa (Talbot 2005);
+            # zero-weight lanes (all M candidates backfacing) are
+            # masked out of ``cand`` below via ris_ok.
+            pdf_sa = jnp.where(
+                ris_ok,
+                nee_candidates * p_hat / jnp.maximum(w_sum, 1e-20),
+                jnp.inf,
+            )
         wi_vec = lp - o_nee
         dist2 = jnp.sum(wi_vec * wi_vec, axis=-1)
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
@@ -466,6 +614,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                 & (total_power > 0.0) & (vol_albedo > 0.0)
             )
             cand = cand | cand_vol
+        if nee_candidates > 1:
+            cand = cand & ris_ok
         t_shadow = dist * (1.0 - 1e-3)
         # Any-hit occlusion query — not a full closest-hit intersect:
         # shadow rays need a yes/no answer only, and the dedicated
@@ -477,27 +627,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         vis = cand & jnp.logical_not(occluded)
         n_shadow = jnp.sum(cand.astype(jnp.int32)).astype(jnp.float32)
 
-        is_ggx = mtype == materials.TYPE_GGX
-        f_ggx, pdf_ggx = materials.ggx_eval(alb, par, hit.normal, -d, wi)
-        f_lobe = jnp.where(is_ggx[:, None], f_ggx, alb * INV_PI)
-        pdf_b = jnp.where(is_ggx, pdf_ggx, cos_s * INV_PI)
-        if aniso_col is not None:
-            f_ga, pdf_ga = materials.ggx_eval_aniso(
-                alb, par, aniso_col, hit.normal, -d, wi
-            )
-            sel_a = is_ggx & (aniso_col > 1e-6)
-            f_lobe = jnp.where(sel_a[:, None], f_ga, f_lobe)
-            pdf_b = jnp.where(sel_a, pdf_ga, pdf_b)
-        if scene.mat_metallic is not None:
-            # Principled vertices: both-lobe sum with the mixture pdf
-            # (exactly what scatter samples from) — feature-gated.
-            is_pr = mtype == materials.TYPE_PRINCIPLED
-            f_p, pdf_p = materials.principled_eval(
-                alb, metal_col, par, hit.normal, -d, wi,
-                clearcoat=cc_col,
-            )
-            f_lobe = jnp.where(is_pr[:, None], f_p, f_lobe)
-            pdf_b = jnp.where(is_pr, pdf_p, pdf_b)
+        f_lobe, pdf_b = _lobe(wi, cos_s)
 
         # MIS weight-side pdf: the locally-computable area-law density
         # (per-area luminance(lemit)/total_power converted to solid
@@ -594,27 +724,7 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             cand_e.astype(jnp.int32)
         ).astype(jnp.float32)
 
-        is_ggx_e = mtype == materials.TYPE_GGX
-        f_ggx_e, pdf_ggx_e = materials.ggx_eval(
-            alb, par, hit.normal, -d, wi_e
-        )
-        f_lobe_e = jnp.where(is_ggx_e[:, None], f_ggx_e, alb * INV_PI)
-        pdf_b_e = jnp.where(is_ggx_e, pdf_ggx_e, cos_e * INV_PI)
-        if aniso_col is not None:
-            f_gae, pdf_gae = materials.ggx_eval_aniso(
-                alb, par, aniso_col, hit.normal, -d, wi_e
-            )
-            sel_ae = is_ggx_e & (aniso_col > 1e-6)
-            f_lobe_e = jnp.where(sel_ae[:, None], f_gae, f_lobe_e)
-            pdf_b_e = jnp.where(sel_ae, pdf_gae, pdf_b_e)
-        if scene.mat_metallic is not None:
-            is_pr_e = mtype == materials.TYPE_PRINCIPLED
-            f_pe, pdf_pe = materials.principled_eval(
-                alb, metal_col, par, hit.normal, -d, wi_e,
-                clearcoat=cc_col,
-            )
-            f_lobe_e = jnp.where(is_pr_e[:, None], f_pe, f_lobe_e)
-            pdf_b_e = jnp.where(is_pr_e, pdf_pe, pdf_b_e)
+        f_lobe_e, pdf_b_e = _lobe(wi_e, cos_e)
 
         if has_vol:
             p_ph_e = sampling_ops.hg_phase(

@@ -197,6 +197,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             return_shadow_count=True, ld_nee=ld_nee,
             ld_scatter=ld_scatter, medium=pool.medium,
             time=times, cone=pool.cone, cone_spread=spread,
+            nee_candidates=config.nee_candidates,
         )
         radiance, throughput, o, d, active, pdf, pdiff = out[:7]
         rest = 7

@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fog absorption coefficient")
     p.add_argument("--fog-g", type=float, default=0.0,
                     help="fog Henyey-Greenstein anisotropy in (-1, 1)")
+    p.add_argument("--nee-candidates", type=int, default=1, metavar="M",
+                   help="RIS candidate count for the NEE light pick: M "
+                        "power-CDF candidates resampled by unshadowed "
+                        "contribution down to ONE shadow ray (default 1 "
+                        "= plain power-weighted NEE; try 4-8 on "
+                        "many-light scenes)")
     p.add_argument("--no-nee", action="store_true",
                    help="disable next-event estimation (direct light "
                         "sampling); brute-force path tracing only")
@@ -247,6 +253,7 @@ def main(argv=None) -> int:
         seed=args.seed, samples_per_step=args.spp_per_step,
         engine=args.engine, background=background,
         nee=not args.no_nee, traversal=args.traversal,
+        nee_candidates=args.nee_candidates,
         clamp=args.clamp,
     )
     if args.fog_sigma_s > 0.0 or args.fog_sigma_a > 0.0:

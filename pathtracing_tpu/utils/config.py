@@ -74,6 +74,17 @@ class RenderConfig:
                                     # "cluster_pallas" | "cluster_interpret"
     nee: bool = True                # next-event estimation (direct light
                                     # sampling w/ MIS at diffuse vertices)
+    nee_candidates: int = 1         # RIS candidate count M for the NEE
+                                    # light pick: M power-CDF candidates
+                                    # are resampled by their unshadowed
+                                    # contribution (Le·G target) down to
+                                    # ONE shadow ray (Talbot-style RIS,
+                                    # the ReSTIR building block). 1 =
+                                    # the plain power-weighted estimator
+                                    # (bit-identical legacy graph); >1
+                                    # pays M cheap light samples per
+                                    # vertex, worth it for many-light
+                                    # scenes (many_lights_demo)
     sampler: str = "ld"             # "ld": Halton(2,3) + per-pixel
                                     # Cranley-Patterson rotation for the
                                     # variance-dominant first-vertex
