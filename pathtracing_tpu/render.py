@@ -221,11 +221,16 @@ def main(argv=None) -> int:
         except (OSError, ValueError, KeyError) as e:
             ptlog.log_critical("failed to load scene %s: %s", args.scene, e)
             return 2
-    elif args.scene.endswith((".gltf", ".glb")):
-        from pathtracing_tpu.models import gltf as gltf_io
-
+    elif args.scene.endswith((".gltf", ".glb", ".obj")):
         try:
-            scene, cam_cfg = gltf_io.load_gltf(args.scene)
+            if args.scene.endswith(".obj"):
+                from pathtracing_tpu.models import obj_mtl
+
+                scene, cam_cfg = obj_mtl.load_obj_scene(args.scene)
+            else:
+                from pathtracing_tpu.models import gltf as gltf_io
+
+                scene, cam_cfg = gltf_io.load_gltf(args.scene)
         except (OSError, ValueError, KeyError) as e:
             ptlog.log_critical("failed to load scene %s: %s", args.scene, e)
             return 2
