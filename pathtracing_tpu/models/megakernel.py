@@ -221,6 +221,7 @@ def _trace_pixels(scene, camera, config: RenderConfig, traversal: str,
             )
 
     has_media = scene.mat_absorb is not None
+    has_sss = scene.mat_interior is not None
     has_mips = scene_mod.uses_mips(scene)
     spread = (shading.cone_spread_of(camera, config)
               if has_mips else None)
@@ -230,20 +231,22 @@ def _trace_pixels(scene, camera, config: RenderConfig, traversal: str,
             # With media the state carries the per-path interior
             # absorption coefficient as a trailing element
             # (absorption-free scenes keep the 7-tuple and the
-            # exact pre-media jit graph); with mips, the ray
-            # cone's accumulated distance follows it.
+            # exact pre-media jit graph); the interior-scattering
+            # row and the ray cone's accumulated distance follow it.
             radiance, throughput, o, d, active, pdf, pdiff = \
                 state[:7]
             rest = 7
             med = state[rest] if has_media else None
             rest += 1 if has_media else 0
+            ss = state[rest] if has_sss else None
+            rest += 1 if has_sss else 0
             cn = state[rest] if has_mips else None
             return shading.bounce_batch(
                 scene, o, d, ks, depth, radiance, throughput,
                 active, config.rr_start_depth, config.background,
                 traversal, nee=config.nee, prev_pdf=pdf,
                 prev_nee=pdiff, bin_rays=config.ray_sort,
-                ld_nee=ldn, ld_scatter=lds, medium=med,
+                ld_nee=ldn, ld_scatter=lds, medium=med, sss=ss,
                 time=tm, cone=cn, cone_spread=spread,
                 nee_candidates=config.nee_candidates,
             )
@@ -260,6 +263,8 @@ def _trace_pixels(scene, camera, config: RenderConfig, traversal: str,
     )
     if has_media:
         init = init + (jnp.zeros((n_rays, 3), jnp.float32),)
+    if has_sss:
+        init = init + (jnp.zeros((n_rays, 2), jnp.float32),)
     if has_mips:
         init = init + (jnp.zeros(n_rays, jnp.float32),)
     # Live-first compaction pays only when several deep waves

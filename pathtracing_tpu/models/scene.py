@@ -86,6 +86,17 @@ class Scene(NamedTuple):
     # material absorbs — absorption-free scenes keep the unmodified
     # bounce math, state shapes, and RNG streams bit-for-bit.
     mat_absorb: jnp.ndarray = None
+    # Interior scattering media ((K, 2) f32 [sigma_s, g] per material,
+    # used by dielectrics): paths inside random-walk with free flights
+    # ~ Exp(sigma_s) and Henyey–Greenstein phase scattering — full
+    # volumetric subsurface scattering (milk, jade, wax) when combined
+    # with a chromatic ``mat_absorb`` row (scattering is monochromatic
+    # by design: the exp/pdf cancellation keeps event weights at exactly
+    # 1, so color comes from absorption, the Chiang-style "analog
+    # scattering + deterministic absorption" split). None when no
+    # material scatters — scatter-free scenes never draw STREAM_SSS,
+    # keeping graphs and streams bit-identical.
+    mat_interior: jnp.ndarray = None
     # Homogeneous scattering fog: (3,) f32 [sigma_s, sigma_a, g]
     # (Henyey–Greenstein anisotropy g). None disables — fog-free scenes
     # never draw the STREAM_FOG uniforms, keeping streams bit-identical.
@@ -194,6 +205,7 @@ class SceneBuilder:
         self._mat_tex = []      # per-material texture id (-1 = none)
         self._mat_ntex = []     # per-material normal-map id (-1 = none)
         self._mat_absorb = []   # per-material interior sigma_a (r, g, b)
+        self._mat_sss = []      # per-material interior (sigma_s, g)
         self._mat_param2 = []   # per-material second scalar (rough alpha)
         self._mat_disp = []     # per-material IOR dispersion (blue - red)
         self._mat_metallic = []  # per-material metallic (principled)
@@ -327,7 +339,8 @@ class SceneBuilder:
                      normal_map=None, dispersion=0.0,
                      metallic=0.0, mr_texture=None,
                      clearcoat=0.0, clearcoat_roughness=0.1,
-                     anisotropy=0.0) -> int:
+                     anisotropy=0.0, scattering=0.0,
+                     scatter_g=0.0) -> int:
         """``texture`` (optional): a texture id from ``add_texture``, an
         image array, or a path. The sampled color MODULATES the albedo
         at UV-mapped hits (white albedo shows the texture alone).
@@ -357,6 +370,13 @@ class SceneBuilder:
         if not 0.0 <= anisotropy < 1.0:
             raise ValueError("anisotropy must be in [0, 1)")
         self._mat_aniso.append(float(anisotropy))
+        # Interior scattering (subsurface random walk) — meaningful on
+        # dielectrics; see Scene.mat_interior.
+        if scattering < 0.0:
+            raise ValueError("scattering (sigma_s) must be >= 0")
+        if not -1.0 < scatter_g < 1.0:
+            raise ValueError("HG anisotropy scatter_g must be in (-1, 1)")
+        self._mat_sss.append((float(scattering), float(scatter_g)))
         return len(self._mat) - 1
 
     def lambertian(self, albedo, texture=None, normal_map=None) -> int:
@@ -385,7 +405,8 @@ class SceneBuilder:
 
     def dielectric(self, ior=1.5, tint=(1.0, 1.0, 1.0),
                    absorption=(0.0, 0.0, 0.0), roughness=0.0,
-                   dispersion=0.0) -> int:
+                   dispersion=0.0, scattering=0.0,
+                   scatter_g=0.0) -> int:
         """``absorption``: interior sigma_a (Beer–Lambert) — e.g.
         (0.1, 2.0, 2.0) is red glass (green/blue absorbed).
         ``roughness`` > 0 selects the microfacet (Walter 2007) glass:
@@ -393,15 +414,27 @@ class SceneBuilder:
         ``dispersion``: IOR spread blue − red (e.g. 0.04 ≈ dense flint);
         paths split to one RGB channel at the first dispersive hit —
         prism/rainbow caustics. Smooth dielectrics only (the rough-glass
-        lobe ignores it today)."""
+        lobe ignores it today).
+        ``scattering``: interior scattering coefficient sigma_s (per
+        world unit) — paths inside the object random-walk (free flights
+        ~ Exp(sigma_s), Henyey–Greenstein anisotropy ``scatter_g``):
+        volumetric subsurface scattering. Combine with a chromatic
+        ``absorption`` for colored translucency (milk: high sigma_s, low
+        sigma_a; jade: green-transparent sigma_a). Dispersion and
+        scattering are mutually exclusive (spectral paths through a
+        random walk are untested)."""
+        if scattering > 0.0 and dispersion > 0.0:
+            raise ValueError("dispersion + scattering unsupported")
         if roughness > 0.0:
             return self.add_material(
                 materials.TYPE_ROUGH_DIELECTRIC, tint, ior,
                 absorption=absorption, param2=roughness,
+                scattering=scattering, scatter_g=scatter_g,
             )
         return self.add_material(
             materials.TYPE_DIELECTRIC, tint, ior, absorption=absorption,
-            dispersion=dispersion,
+            dispersion=dispersion, scattering=scattering,
+            scatter_g=scatter_g,
         )
 
     def principled(self, base_color, metallic=0.0, roughness=0.5,
@@ -816,6 +849,17 @@ class SceneBuilder:
         if absorb_np.size and (absorb_np > 0.0).any():
             mat_absorb = jnp.asarray(absorb_np)
 
+        mat_interior = None
+        sss_np = np.array(self._mat_sss, np.float32)
+        if sss_np.size and (sss_np[:, 0] > 0.0).any():
+            if self._fog is not None or self._vol is not None:
+                raise ValueError(
+                    "interior scattering and fog/volume grids are "
+                    "mutually exclusive (the combined estimator is "
+                    "untested)"
+                )
+            mat_interior = jnp.asarray(sss_np)
+
         mat_param2 = None
         types_np = np.array([m[0] for m in self._mat], np.int32)
         if (types_np == materials.TYPE_ROUGH_DIELECTRIC).any():
@@ -889,6 +933,7 @@ class SceneBuilder:
             mat_tex=mat_tex,
             mat_ntex=mat_ntex,
             mat_absorb=mat_absorb,
+            mat_interior=mat_interior,
             fog=(jnp.asarray(self._fog, jnp.float32)
                  if self._fog is not None else None),
             mat_param2=mat_param2,

@@ -169,6 +169,8 @@ def load_scene(path: str) -> Tuple[Scene, CameraConfig]:
                 absorption=m.get("absorption", (0.0, 0.0, 0.0)),
                 roughness=m.get("roughness", 0.0),
                 dispersion=m.get("dispersion", 0.0),
+                scattering=m.get("scattering", 0.0),
+                scatter_g=m.get("scatter_g", 0.0),
             )
         elif mtype == "emissive":
             mat_ids[name] = b.emissive(m["radiance"], texture=tex)

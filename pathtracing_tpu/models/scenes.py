@@ -694,6 +694,34 @@ def many_lights_demo(grid: int = 12) -> Tuple[Scene, CameraConfig]:
     return b.build(), cam
 
 
+def sss_demo() -> Tuple[Scene, CameraConfig]:
+    """Subsurface-scattering showcase: four spheres sweeping the
+    interior random walk (``SceneBuilder.dielectric(scattering=...)``)
+    over a checker floor under the gradient sky — milk (dense isotropic
+    scatter, slight blue absorption), jade (forward scatter, red/blue
+    absorbed → deep green translucency), amber wax, and a clear-glass
+    control. Light enters through the dielectric boundary, random-walks
+    with Exp(sigma_s) flights + HG phase, pays chromatic Beer–Lambert
+    absorption over every interior segment, and exits — full volumetric
+    SSS, no diffusion approximation."""
+    b = SceneBuilder()
+    ground = b.checker((0.8, 0.8, 0.8), (0.25, 0.25, 0.28), 1.5)
+    b.add_quad((-30.0, 0.0, -30.0), (60.0, 0.0, 0.0), (0.0, 0.0, 60.0),
+               ground)
+    milk = b.dielectric(1.35, scattering=9.0, scatter_g=0.2,
+                        absorption=(0.02, 0.04, 0.12))
+    jade = b.dielectric(1.5, scattering=4.0, scatter_g=0.6,
+                        absorption=(1.6, 0.12, 1.3))
+    wax = b.dielectric(1.45, scattering=2.5, scatter_g=0.0,
+                       absorption=(0.05, 0.5, 1.8))
+    clear = b.dielectric(1.5)
+    for x, m in [(-2.4, milk), (-0.8, jade), (0.8, wax), (2.4, clear)]:
+        b.add_sphere((x, 0.7, 0.0), 0.7, m)
+    cam = CameraConfig(position=(0.0, 1.5, 5.2), look_at=(0.0, 0.65, 0.0),
+                       vfov_degrees=36.0)
+    return b.build(), cam
+
+
 SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "cornell_sphere": cornell_sphere,
     "cornell_bsdf": cornell_bsdf,
@@ -715,6 +743,7 @@ SCENES: Dict[str, Callable[[], Tuple[Scene, CameraConfig]]] = {
     "spotlight_demo": spotlight_demo,
     "screenlight_demo": screenlight_demo,
     "many_lights_demo": many_lights_demo,
+    "sss_demo": sss_demo,
 }
 
 
@@ -727,6 +756,7 @@ PREFERRED_BACKGROUND: Dict[str, str] = {
     "glass_demo": "gradient",
     "frosted_demo": "gradient",
     "instanced_demo": "gradient",
+    "sss_demo": "gradient",
 }
 
 

@@ -54,8 +54,9 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
                  rr_start_depth, background: str, traversal: str,
                  nee: bool = False, prev_pdf=None, prev_nee=None,
                  bin_rays: bool = False, return_shadow_count: bool = False,
-                 ld_nee=None, ld_scatter=None, medium=None, time=None,
-                 cone=None, cone_spread=None, nee_candidates: int = 1):
+                 ld_nee=None, ld_scatter=None, medium=None, sss=None,
+                 time=None, cone=None, cone_spread=None,
+                 nee_candidates: int = 1):
     """One bounce for a whole (R,) ray batch — the production path.
 
     Identical math and RNG streams to the original per-ray form (the
@@ -103,6 +104,29 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
     simplification: NEE shadow rays ignore transmittance through
     absorbing media (a diffuse vertex seen through colored glass keeps
     full direct light) — matching the any-hit occlusion model.
+
+    ``sss`` ((R, 2), required iff ``scene.mat_interior is not None``):
+    the per-path interior scattering row [sigma_s, g] carried across
+    bounces like ``medium`` (zeros = vacuum). Inside a scattering
+    dielectric the path random-walks: free-flight distances sample
+    ~ Exp(sigma_s) (the exp/pdf cancellation keeps both medium-event
+    and surface-pass-through weights at exactly 1 — sigma_s is scalar
+    by design, color comes from the chromatic ``mat_absorb`` row
+    applied over the segment actually traveled), directions continue
+    by Henyey–Greenstein phase sampling. Interior vertices do NO next-
+    event estimation — the enclosing boundary geometrically occludes
+    every shadow ray, so skipping it is exact (not an approximation)
+    for closed media, and ``prev_nee`` stays False so a later emissive
+    hit through the boundary takes full BSDF weight, like after any
+    specular vertex. The row updates on dielectric transmission
+    (enter → the material's ``mat_interior`` row, exit → vacuum,
+    single-medium simplification like ``medium``). Scatter-free scenes
+    (``mat_interior is None``) never draw STREAM_SSS — identical
+    graphs and streams bit-for-bit. When active the return tuple gains
+    ``sss`` after ``medium``. Known simplifications: a camera starting
+    inside a scattering object sees it as vacuum until the first
+    boundary, and surface-NEE shadow rays treat scattering objects as
+    opaque occluders (the any-hit model, same as absorbing media).
 
     ``cone`` ((R,), required iff ``scene_mod.uses_mips(scene)``): the
     per-path distance accumulated from the camera, carried across
@@ -219,6 +243,36 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         p_phase_v = sampling_ops.hg_phase(scene.vol.g, cos_v)
         vol_albedo = scene.vol.albedo
 
+    has_sss = scene.mat_interior is not None
+    sss_event = None
+    if has_sss:
+        # Interior scattering (subsurface random walk): per-path
+        # homogeneous medium — the fog estimator with sigma_s/g read
+        # from the carried ``sss`` row instead of scene-global scalars.
+        # Lanes in vacuum (sigma_s = 0) draw a ~infinite flight and
+        # never event; the draws still happen on every lane so the
+        # traced graph stays static.
+        from pathtracing_tpu.ops import sampling as sampling_ops
+
+        sss_sig = sss[:, 0]
+        sss_g = sss[:, 1]
+        u_s = jax.vmap(
+            lambda k, dp: jax.random.uniform(
+                rng.stream_key(k, dp, rng.STREAM_SSS), (3,),
+                dtype=jnp.float32,
+            )
+        )(keys, depth)
+        t_eff_s = jnp.where(hit.valid, hit.t, 3.0e38)
+        t_sss = -jnp.log1p(
+            -jnp.minimum(u_s[:, 0], 1.0 - 1e-7)
+        ) / jnp.maximum(sss_sig, 1e-12)
+        sss_event = active & (sss_sig > 0.0) & (t_sss < t_eff_s)
+        o_sss = o + t_sss[:, None] * d
+        d_phase_s, cos_s = sampling_ops.hg_sample(
+            d, sss_g, u_s[:, 1], u_s[:, 2]
+        )
+        p_phase_s = sampling_ops.hg_phase(sss_g, cos_s)
+
     has_media = scene.mat_absorb is not None
     if has_media:
         # Beer–Lambert absorption over the segment ACTUALLY traveled
@@ -230,6 +284,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             seg = jnp.where(med_event, t_fog, seg)
         if has_vol:
             seg = jnp.where(vol_event, t_vol, seg)
+        if has_sss:
+            seg = jnp.where(sss_event, t_sss, seg)
         transmit = jnp.exp(-medium * seg[:, None])
         throughput = throughput * jnp.where(
             active[:, None], transmit, 1.0
@@ -266,6 +322,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # bounded grid without an event keep their escape radiance
         # (weight-1 pass-through — the delta-tracking estimator).
         escaped = escaped & jnp.logical_not(vol_event)
+    if has_sss:
+        # Belt-and-braces: an interior event can only preempt a real
+        # boundary hit (scattering media are enclosed), but a leaky
+        # mesh must not turn an interior walk into env radiance.
+        escaped = escaped & jnp.logical_not(sss_event)
     radiance = radiance + jnp.where(escaped[:, None], throughput * env, 0.0)
 
     mtype, alb, par, emit = materials.gather(scene.material_table, hit.mat_id)
@@ -376,6 +437,11 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         live = live & jnp.logical_not(med_event)
     if has_vol:
         live = live & jnp.logical_not(vol_event)
+    if has_sss:
+        # Interior-event lanes skip ALL surface work — including NEE,
+        # which the enclosing boundary would occlude anyway (see the
+        # ``sss`` docstring: skipping it is exact for closed media).
+        live = live & jnp.logical_not(sss_event)
 
     nee_on = nee and scene.lights is not None
     emit_w = jnp.ones(r, jnp.float32)
@@ -906,6 +972,12 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             vol_event[:, None], vol_albedo, 1.0
         )
         active = active | (vol_event & (vol_albedo > 0.0))
+    if has_sss:
+        # Interior-event weight is exactly 1 (scalar sigma_s cancels
+        # against its own pdf; absorption was already paid by the
+        # has_media segment factor) — the lane just stays alive and
+        # keeps walking. RR below bounds the walk length.
+        active = active | sss_event
 
     tp_max = jnp.max(throughput, axis=-1)
     rr_u = jax.vmap(
@@ -931,6 +1003,14 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         o = jnp.where(vol_event[:, None], o_vol, o)
         d_out = jnp.where(vol_event[:, None], d_phase_v, d_out)
         scatter_pdf = jnp.where(vol_event, p_phase_v, scatter_pdf)
+    if has_sss:
+        o = jnp.where(sss_event[:, None], o_sss, o)
+        d_out = jnp.where(sss_event[:, None], d_phase_s, d_out)
+        # The phase pdf feeds MIS only if the NEXT hit is emissive —
+        # possible only for emitters embedded inside the medium, where
+        # full BSDF weight (prev_nee False, below) is the correct
+        # single-estimator weight; still record the honest pdf.
+        scatter_pdf = jnp.where(sss_event, p_phase_s, scatter_pdf)
     d = jnp.where(active[:, None], d_out, d)
     # The lobe's actual sampling pdf (cosine for diffuse, GGX NDF for
     # glossy, phase for fog vertices, 0 for delta lobes) feeds the next
@@ -964,6 +1044,27 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             ),
         )
         out = out + (medium,)
+    if has_sss:
+        # Same boundary handoff for the scattering row: entering a
+        # dielectric picks up its [sigma_s, g], exiting returns to
+        # vacuum; interior events keep the row (still inside).
+        interior = scene.mat_interior[
+            jnp.clip(hit.mat_id, 0, scene.mat_interior.shape[0] - 1)
+        ]
+        is_diel_s = (mtype == materials.TYPE_DIELECTRIC) | (
+            mtype == materials.TYPE_ROUGH_DIELECTRIC
+        )
+        transmitted_s = (
+            live & is_diel_s & (linalg.dot(d_out, hit.normal) < 0.0)
+        )
+        sss = jnp.where(
+            (transmitted_s & hit.front)[:, None], interior,
+            jnp.where(
+                (transmitted_s & jnp.logical_not(hit.front))[:, None],
+                0.0, sss,
+            ),
+        )
+        out = out + (sss,)
     if use_mips:
         # The cone grows by the segment actually traveled (hit distance,
         # or the fog event's free-flight distance when one preempts the
@@ -973,6 +1074,8 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
             seg_c = jnp.where(med_event, t_fog, seg_c)
         if has_vol:
             seg_c = jnp.where(vol_event, t_vol, seg_c)
+        if has_sss:
+            seg_c = jnp.where(sss_event, t_sss, seg_c)
         out = out + (cone + seg_c,)
     return out + (n_shadow,) if return_shadow_count else out
 

@@ -58,12 +58,16 @@ class PathPool(NamedTuple):
     # None (an empty pytree leaf) for absorption-free scenes so their
     # pool pytree — and therefore every compiled graph — is unchanged.
     medium: jnp.ndarray = None
+    # (N, 2) f32 interior-scattering row [sigma_s, g] carried across
+    # bounces (shading.bounce_batch sss docs); None for scatter-free
+    # scenes.
+    sss: jnp.ndarray = None
     # (N,) f32 ray-cone accumulated distance (texture mip/LOD selection,
     # shading.bounce_batch cone docs); None for mip-free scenes.
     cone: jnp.ndarray = None
 
 
-def _empty_pool(n: int, has_media: bool = False,
+def _empty_pool(n: int, has_media: bool = False, has_sss: bool = False,
                 has_mips: bool = False) -> PathPool:
     return PathPool(
         origin=jnp.zeros((n, 3), jnp.float32),
@@ -77,6 +81,7 @@ def _empty_pool(n: int, has_media: bool = False,
         prev_pdf=jnp.zeros(n, jnp.float32),
         prev_nee=jnp.zeros(n, jnp.bool_),
         medium=jnp.zeros((n, 3), jnp.float32) if has_media else None,
+        sss=jnp.zeros((n, 2), jnp.float32) if has_sss else None,
         cone=jnp.zeros(n, jnp.float32) if has_mips else None,
     )
 
@@ -132,6 +137,8 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             prev_nee=jnp.where(take, False, pool.prev_nee),
             medium=(None if pool.medium is None
                     else jnp.where(take3, 0.0, pool.medium)),
+            sss=(None if pool.sss is None
+                 else jnp.where(take3, 0.0, pool.sss)),
             cone=(None if pool.cone is None
                   else jnp.where(take, 0.0, pool.cone)),
         ), jnp.minimum(next_path + jnp.sum(dead.astype(jnp.int32)), total)
@@ -195,7 +202,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             nee=config.nee, prev_pdf=pool.prev_pdf,
             prev_nee=pool.prev_nee, bin_rays=config.ray_sort,
             return_shadow_count=True, ld_nee=ld_nee,
-            ld_scatter=ld_scatter, medium=pool.medium,
+            ld_scatter=ld_scatter, medium=pool.medium, sss=pool.sss,
             time=times, cone=pool.cone, cone_spread=spread,
             nee_candidates=config.nee_candidates,
         )
@@ -203,6 +210,8 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
         rest = 7
         medium = out[rest] if scene.mat_absorb is not None else None
         rest += 1 if scene.mat_absorb is not None else 0
+        sss = out[rest] if pool.sss is not None else None
+        rest += 1 if pool.sss is not None else 0
         cone = out[rest] if pool.cone is not None else None
         n_shadow = out[-1]
         depth = pool.depth + 1
@@ -211,7 +220,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
             origin=o, direction=d, radiance=radiance,
             throughput=throughput, pixel=pool.pixel, sample=pool.sample,
             depth=depth, active=active, prev_pdf=pdf, prev_nee=pdiff,
-            medium=medium, cone=cone,
+            medium=medium, sss=sss, cone=cone,
         ), n_shadow
 
     def body(carry):
@@ -254,6 +263,7 @@ def render_wave(scene, camera, config: RenderConfig, accum_flat,
     from pathtracing_tpu.models import scene as scene_mod2
 
     pool0 = _empty_pool(n, has_media=scene.mat_absorb is not None,
+                        has_sss=scene.mat_interior is not None,
                         has_mips=scene_mod2.uses_mips(scene))
     accum_flat, segments = jax.lax.while_loop(
         cond, body, (pool0, accum_flat, jnp.int32(0), jnp.float32(0))

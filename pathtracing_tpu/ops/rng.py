@@ -30,6 +30,9 @@ STREAM_VOL = 0x6B43    # heterogeneous-volume delta-tracking draws
                        # (per-step distance + accept; grid-free scenes
                        # never fold this in)
 STREAM_VOLT = 0x1F83   # heterogeneous-volume ratio-tracking draws
+STREAM_SSS = 0x4D2B    # interior-scattering (subsurface random walk)
+                       # distance + phase draws; scatter-free scenes
+                       # never fold it in
                        # (NEE shadow-arm transmittance; one salt per arm)
 # Extra fold_in salt for ld_scalar so its rotation stream is disjoint
 # from every ld_pair stream BY CONSTRUCTION (a former ``stream_tag + 1``
