@@ -100,7 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-hdr", default=None,
                    help="also write the linear HDR radiance (.npz with "
                         "'radiance' (H,W,3) f32 and 'spp')")
-    p.add_argument("--tonemap", default="clip", choices=["clip", "aces"],
+    p.add_argument("--tonemap", default="clip",
+                   choices=["clip", "aces", "reinhard", "filmic"],
                    help="display transform: 'clip' (plain sRGB clamp — "
                         "the reference swapchain's behavior) or 'aces' "
                         "(filmic highlight rolloff)")

@@ -39,20 +39,50 @@ def aces_film(rgb):
     )
 
 
+def reinhard(rgb):
+    """Extended Reinhard, luminance-based: L/(1+L) applied as a ratio so
+    hues stay fixed while highlights roll off — the classic soft
+    operator (Reinhard et al. 2002)."""
+    rgb = jnp.maximum(rgb, 0.0)
+    lum = (0.2126 * rgb[..., 0:1] + 0.7152 * rgb[..., 1:2]
+           + 0.0722 * rgb[..., 2:3])
+    return jnp.clip(rgb / (1.0 + lum), 0.0, 1.0)
+
+
+def filmic_hable(rgb):
+    """Hable "Uncharted 2" filmic curve with white-point normalization
+    (W = 11.2): deeper toe (crunchier blacks) than ACES, popular for
+    stylized output. Input linear radiance, output linear display."""
+    A, B, C, D, E, F = 0.15, 0.50, 0.20, 0.20, 0.02, 0.30
+
+    def curve(x):
+        return ((x * (A * x + C * B) + D * E)
+                / (x * (A * x + B) + D * F)) - E / F
+
+    rgb = jnp.maximum(rgb, 0.0)
+    white = curve(jnp.float32(11.2))
+    return jnp.clip(curve(2.0 * rgb) / white, 0.0, 1.0)
+
+
+_CURVES = {"aces": aces_film, "reinhard": reinhard, "filmic": filmic_hable}
+
+
 @functools.partial(jax.jit, static_argnames=("curve",))
 def tonemap(linear_rgb, exposure=1.0, curve: str = "clip"):
     """Linear HDR radiance → uint8 sRGB (device-side; one op before host
     transfer, replacing the reference's blit+swapchain).
 
     ``exposure`` scales radiance before the tone curve; ``curve`` is
-    "clip" (plain clamp at 1 — the reference swapchain's behavior) or
-    "aces" (filmic highlight rolloff). Quantization is dithered with a
+    "clip" (plain clamp at 1 — the reference swapchain's behavior),
+    "aces" (filmic highlight rolloff), "reinhard" (luminance-ratio
+    L/(1+L), hue-preserving), or "filmic" (Hable Uncharted-2 toe, white
+    point 11.2). Quantization is dithered with a
     deterministic per-pixel hash so smooth radial/linear gradients
     don't contour into visible bands at 8 bits (converged renders are
     noise-free enough to show them)."""
     linear_rgb = linear_rgb * exposure
-    if curve == "aces":
-        linear_rgb = aces_film(linear_rgb)
+    if curve in _CURVES:
+        linear_rgb = _CURVES[curve](linear_rgb)
     srgb = linear_to_srgb(linear_rgb)
     if srgb.ndim == 3:
         h, w, _ = srgb.shape

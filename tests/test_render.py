@@ -254,3 +254,24 @@ class TestTonemapCurves:
         aces = np.asarray(image.tonemap(lin, curve="aces"))
         clip = np.asarray(image.tonemap(lin))
         assert not np.array_equal(aces, clip)
+
+    @pytest.mark.parametrize("fn", [image.reinhard, image.filmic_hable])
+    def test_extra_curves_monotone_and_bounded(self, fn):
+        x = jnp.linspace(0.0, 20.0, 512)[:, None].repeat(3, axis=1)
+        y = np.asarray(fn(x))
+        assert (np.diff(y[:, 0]) >= -1e-6).all()
+        assert y.min() >= 0.0 and y.max() <= 1.0
+        # Soft rolloff: 2x mid-grey still below saturation.
+        assert y[np.searchsorted(np.linspace(0, 20, 512), 2.0), 0] < 0.97
+
+    def test_reinhard_preserves_hue(self):
+        rgb = jnp.asarray([[2.0, 1.0, 0.5]], jnp.float32)
+        out = np.asarray(image.reinhard(rgb))[0]
+        ratio = out / np.array([2.0, 1.0, 0.5])
+        np.testing.assert_allclose(ratio, ratio[0], rtol=1e-5)
+
+    def test_all_curves_dispatch(self):
+        lin = jnp.full((2, 2, 3), 0.5, jnp.float32)
+        outs = {c: np.asarray(image.tonemap(lin, curve=c)).mean()
+                for c in ("clip", "aces", "reinhard", "filmic")}
+        assert len({round(v, 3) for v in outs.values()}) >= 3
