@@ -125,6 +125,38 @@ def test_binning_perm_properties():
     np.testing.assert_array_equal(x[perm][inv], x)
 
 
+class TestClamp:
+    """--clamp: per-sample firefly clamp (config.clamp, engines must
+    agree; a non-binding clamp reproduces the unclamped values)."""
+
+    def test_bounds_every_sample(self, bsdf_scene):
+        scene, cam_cfg = bsdf_scene
+        config = small_config(clamp=0.5)
+        mega, _ = render_both(scene, cam_cfg, config)
+        # accum is the SUM of per-sample radiance; each sample is
+        # clamped per-channel, so the mean is bounded by the clamp.
+        assert (mega / config.samples_per_step).max() <= 0.5 + 1e-6
+        unclamped, _ = render_both(scene, cam_cfg, small_config())
+        assert (unclamped / config.samples_per_step).max() > 0.5
+
+    def test_engines_agree_under_clamp(self, bsdf_scene):
+        scene, cam_cfg = bsdf_scene
+        config = small_config(clamp=0.75)
+        mega, wave = render_both(scene, cam_cfg, config)
+        np.testing.assert_allclose(mega, wave, atol=2e-4)
+
+    def test_non_binding_clamp_is_exact(self, bsdf_scene):
+        """A clamp no sample reaches must reproduce the unclamped
+        estimate bitwise (the clamp composes as min, nothing else)."""
+        scene, cam_cfg = bsdf_scene
+        mega_off, wave_off = render_both(scene, cam_cfg, small_config())
+        mega_on, wave_on = render_both(
+            scene, cam_cfg, small_config(clamp=1e9)
+        )
+        np.testing.assert_array_equal(mega_off, mega_on)
+        np.testing.assert_array_equal(wave_off, wave_on)
+
+
 def test_jit_cache_stable(bsdf_scene):
     """Repeated steps reuse the compiled executable (no retrace)."""
     scene, cam_cfg = bsdf_scene
