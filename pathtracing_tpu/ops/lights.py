@@ -64,8 +64,9 @@ KIND_SPHERE = 1
 # Table size at which light selection switches from one-hot masked-sum
 # (cheapest for small L; the historical, cache-locked path) to a
 # searchsorted pick + single packed row gather (O(1) in L per vertex).
-# Overridable for the crossover probe (benchmarks/probe_many_lights.py);
-# renders are identical either way — only the schedule changes.
+# Overridable for the crossover probe (benchmarks/probe_ris.py, which
+# monkeypatches it); renders are identical either way — only the
+# schedule changes.
 import os as _os
 
 _GATHER_MIN = int(_os.environ.get("PT_LIGHT_GATHER_MIN", 64))
