@@ -156,16 +156,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive", action="store_true",
                    help="variance-driven sample allocation: per-pixel "
                         "variance scores schedule each round's rays onto "
-                        "the noisiest row bands (models/adaptive.py; the "
-                        "spp budget is the uniform-equivalent total). "
+                        "the noisiest 8x8 tiles (models/adaptive.py; the "
+                        "spp budget is the uniform-equivalent total; "
+                        "measured 3.1x time-to-quality on spotlight_demo, "
+                        "PERF.md r4c). "
                         "With --tiles: the coarser host-driven per-tile "
                         "scheduler instead")
+    p.add_argument("--adaptive-granularity", default="tiles",
+                   choices=["tiles", "bands"],
+                   help="adaptive scheduling unit: square tiles (default; "
+                        "follows 2D-compact noise) or full row bands "
+                        "(the coarser fallback — auto-selected when the "
+                        "image isn't divisible by the tile size)")
+    p.add_argument("--adaptive-tile", type=int, default=8,
+                   help="tile edge for tile-granular adaptive scheduling "
+                        "(must divide width and height)")
     p.add_argument("--adaptive-band-rows", type=int, default=0,
                    help="rows per adaptive scheduling band (0 = auto, "
                         "largest divisor of height <= 8)")
     p.add_argument("--adaptive-k", type=int, default=0,
-                   help="bands re-sampled per adaptive round (0 = auto, "
-                        "1/8 of the bands)")
+                   help="tiles/bands re-sampled per adaptive round "
+                        "(0 = auto, 1/8 of the units)")
     p.add_argument("--checkpoint-every", type=int, default=8,
                    help="checkpoint every N steps")
     p.add_argument("--metrics-jsonl", default=None)
@@ -580,10 +591,27 @@ def _maybe_denoise(args, config, scene, camera, img, spp):
 
 def _adaptive_main(args, config, scene, camera) -> int:
     """Per-pixel adaptive render driver: on-device variance scoring
-    schedules every round's rays onto the noisiest row bands
-    (models/adaptive.py docstring has the estimator/scheduling design).
+    schedules every round's rays onto the noisiest 8x8 tiles (or row
+    bands — models/adaptive.py docstring has the estimator/scheduling
+    design; tiles measured 3.1x vs bands' 1.3x anchored time-to-quality
+    on spotlight_demo, PERF.md r4c).
     Budget = the uniform render's total sample count, spent unevenly."""
     from pathtracing_tpu.models import adaptive
+
+    granularity = args.adaptive_granularity
+    if granularity == "tiles" and (
+        config.height % args.adaptive_tile or
+        config.width % args.adaptive_tile
+    ):
+        ptlog.log_warning(
+            "adaptive: %dx%d not divisible by tile %d — falling back "
+            "to band granularity", config.width, config.height,
+            args.adaptive_tile,
+        )
+        granularity = "bands"
+
+    if granularity == "tiles":
+        return _adaptive_tiles_main(args, config, scene, camera)
 
     band_rows = adaptive.pick_band_rows(config, args.adaptive_band_rows)
     n_bands = config.height // band_rows
@@ -615,6 +643,48 @@ def _adaptive_main(args, config, scene, camera) -> int:
     image.write_image(args.out, final, args.exposure, args.tonemap)
     ptlog.log_information(
         "wrote %s (adaptive: %d rounds in %.1fs; band spp min %d / "
+        "mean %.1f / max %d)", args.out, rounds, t.seconds,
+        int(spp.min()), float(spp.mean()), int(spp.max()),
+    )
+    return 0
+
+
+def _adaptive_tiles_main(args, config, scene, camera) -> int:
+    """Tile-granular adaptive driver (the default): same greedy
+    variance-descent scheduler at 8x8-tile granularity — square tiles
+    follow 2D-compact noise (a spotlight disc) that full-width row
+    bands smear across every column."""
+    from pathtracing_tpu.models import adaptive
+
+    tile = adaptive.pick_tile(config, args.adaptive_tile)
+    n_tiles = (config.height // tile) * (config.width // tile)
+    ptlog.log_information(
+        "adaptive: %d tiles of %dx%d, %d tiles/round",
+        n_tiles, tile, tile, args.adaptive_k or max(1, n_tiles // 8),
+    )
+
+    def progress(state, spent, budget):
+        spp = np.asarray(state.tile_spp)
+        ptlog.log_information(
+            "adaptive: %d/%d tile-samples spent (tile spp min %d / "
+            "mean %.1f / max %d)", spent, budget, int(spp.min()),
+            float(spp.mean()), int(spp.max()),
+        )
+
+    with metrics.Timer() as t:
+        state, rounds = adaptive.render_adaptive_tiles(
+            scene, camera, config, tile=tile,
+            tiles_per_round=args.adaptive_k, progress=progress,
+        )
+        img = np.asarray(adaptive.resolve_tiles(state, config, tile))
+    spp = np.asarray(state.tile_spp)
+    if args.out_hdr:
+        np.savez(args.out_hdr, radiance=img, spp=int(spp.min()))
+    final = _maybe_denoise(args, config, scene, camera, img,
+                           float(spp.mean()))
+    image.write_image(args.out, final, args.exposure, args.tonemap)
+    ptlog.log_information(
+        "wrote %s (adaptive: %d rounds in %.1fs; tile spp min %d / "
         "mean %.1f / max %d)", args.out, rounds, t.seconds,
         int(spp.min()), float(spp.mean()), int(spp.max()),
     )

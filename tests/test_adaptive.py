@@ -195,7 +195,8 @@ def test_cli_adaptive(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "pathtracing_tpu.render",
          "--scene", "cornell_sphere", "--width", "16", "--height", "16",
-         "--spp", "4", "--adaptive", "--adaptive-band-rows", "2",
+         "--spp", "4", "--adaptive", "--adaptive-granularity", "bands",
+         "--adaptive-band-rows", "2",
          "--adaptive-k", "2", "--out", out],
         cwd=repo, env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
                        "JAX_PLATFORMS": "cpu"},
@@ -203,7 +204,39 @@ def test_cli_adaptive(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert os.path.exists(out)
-    assert "adaptive:" in r.stderr + r.stdout
+    assert "bands of" in r.stderr + r.stdout
+
+
+def test_cli_adaptive_tiles(tmp_path):
+    """Default --adaptive granularity is 8x8 tiles (PERF.md r4c); a
+    non-divisible image falls back to bands with a warning."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+    out = str(tmp_path / "t.png")
+    r = subprocess.run(
+        [sys.executable, "-m", "pathtracing_tpu.render",
+         "--scene", "cornell_sphere", "--width", "16", "--height", "16",
+         "--spp", "4", "--adaptive", "--adaptive-k", "1", "--out", out],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+    assert "tiles of 8x8" in r.stderr + r.stdout
+
+    out2 = str(tmp_path / "f.png")
+    r = subprocess.run(
+        [sys.executable, "-m", "pathtracing_tpu.render",
+         "--scene", "cornell_sphere", "--width", "12", "--height", "12",
+         "--spp", "4", "--adaptive", "--out", out2],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out2)
+    assert "falling back to band granularity" in r.stderr + r.stdout
 
 
 def test_spp_per_round_uniform_pick_is_bitwise(setup):
