@@ -53,6 +53,7 @@ class TemporalState(NamedTuple):
     depth: jnp.ndarray     # (H, W) — cam_depth of the primary hit
     normal: jnp.ndarray    # (H, W, 3) — primary shading normal
     valid: jnp.ndarray     # (H, W) bool — primary hit exists
+    mat: jnp.ndarray       # (H, W) i32 — primary material id (-1 = miss)
 
 
 def init_state(config: RenderConfig) -> TemporalState:
@@ -63,6 +64,7 @@ def init_state(config: RenderConfig) -> TemporalState:
         depth=jnp.zeros((h, w), jnp.float32),
         normal=jnp.zeros((h, w, 3), jnp.float32),
         valid=jnp.zeros((h, w), jnp.bool_),
+        mat=jnp.full((h, w), -1, jnp.int32),
     )
 
 
@@ -127,28 +129,24 @@ def features(scene, camera, config: RenderConfig):
         | ((mtype == materials.TYPE_GGX) & (par < 0.2))
         | ((mtype == materials.TYPE_PRINCIPLED) & (par < 0.2))
     ) & hit.valid
+    # Emitter-edge band: pixels whose primary is emissive, DILATED one
+    # pixel. A partial-coverage pixel at a light's silhouette (center
+    # ray hits the wall behind, pixel area covers the emitter) carries
+    # radiance dominated by the emitter fraction, which sweeps with the
+    # camera — long history lags it by design (the mat-id taps can't
+    # see sub-pixel coverage). Measured on cornell_bsdf orbits: ~100
+    # edge pixels carried 65% of the 16-frame sequence MSE. The dilated
+    # band gets the short spec cap; everything else keeps the full cap.
+    emis = ((mtype == materials.TYPE_EMISSIVE) & hit.valid).reshape(h, w)
+    emis_band = emis
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                emis_band = emis_band | jnp.roll(emis, (dy, dx), (0, 1))
+    mat = jnp.where(hit.valid, hit.mat_id, -1)
     return (pos.reshape(h, w, 3), depth.reshape(h, w),
             normal.reshape(h, w, 3), hit.valid.reshape(h, w),
-            spec.reshape(h, w))
-
-
-def _gather_bilinear(img, xf, yf):
-    """Bilinear gather of (H, W, C) at fractional pixel coords (clamped;
-    callers mask out-of-bounds separately)."""
-    h, w = img.shape[0], img.shape[1]
-    x0 = jnp.floor(xf)
-    y0 = jnp.floor(yf)
-    fx = (xf - x0)[..., None]
-    fy = (yf - y0)[..., None]
-
-    def at(yi, xi):
-        yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
-        xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
-        return img[yc, xc]
-
-    top = at(y0, x0) * (1.0 - fx) + at(y0, x0 + 1.0) * fx
-    bot = at(y0 + 1.0, x0) * (1.0 - fx) + at(y0 + 1.0, x0 + 1.0) * fx
-    return top * (1.0 - fy) + bot * fy
+            spec.reshape(h, w), emis_band, mat.reshape(h, w))
 
 
 @functools.partial(
@@ -167,21 +165,30 @@ def advance(state: TemporalState, cur_img, scene, camera, cam_prev,
     (pass the current one for frame 0 — empty history blends to the
     current frame regardless). Returns (display image, new state).
 
-    Acceptance per pixel: the current primary hit, projected into the
-    previous camera, must land in-frame, on a previously-valid pixel,
-    at a consistent depth (relative ``depth_tol`` against the previous
-    frame's stored depth) and normal (cosine >= ``normal_tol``).
-    Rejected pixels restart history at the current frame — disocclusions
-    and silhouettes stay crisp while smooth regions accumulate to
-    ``cap`` frames of effective history. Specular primaries (mirror
-    metal / glass / low-roughness lobes, see ``features``) clamp to
+    Acceptance is per bilinear TAP (the SVGF-style bilateral gather):
+    each of the 4 history texels under the reprojected footprint is
+    weighted by its bilinear weight ONLY if that texel individually was
+    valid, depth-consistent (relative ``depth_tol`` against the point's
+    distance in the previous camera), normal-consistent (cosine >=
+    ``normal_tol``) and on the SAME primary material. Plain bilinear
+    gathering instead smears history across boundaries the depth/normal
+    test cannot see — the measured blow-up is a ceiling-plane emitter
+    (cornell_bsdf's light quad: same plane, same normal as the ceiling)
+    bleeding radiance-15 texels into radiance-0.7 neighbors for a
+    100-pixel ghost carrying 80% of the sequence MSE. The mat-id plane
+    makes that boundary visible; per-tap weights renormalize so partial
+    footprints keep their valid taps. Pixels with no surviving tap
+    restart history at the current frame — disocclusions and
+    silhouettes stay crisp while smooth regions accumulate to ``cap``
+    frames of effective history. Specular primaries (mirror metal /
+    glass / low-roughness lobes, see ``features``) clamp to
     ``spec_cap`` frames: their radiance is view-dependent, so unbounded
     history ghosts under camera motion (measured worse than NO reuse on
     cornell_bsdf orbits); a short cap bounds the staleness at a still-
     useful variance win.
     """
     h, w = config.height, config.width
-    pos, depth_c, normal_c, valid_c, spec_c = features(
+    pos, depth_c, normal_c, valid_c, spec_c, emis_band, mat_c = features(
         scene, camera, config
     )
 
@@ -200,27 +207,57 @@ def advance(state: TemporalState, cur_img, scene, camera, cam_prev,
         (xf > -0.5) & (xf < w - 0.5) & (yf > -0.5) & (yf < h - 0.5)
     )
 
-    hist = _gather_bilinear(state.history, xf, yf)
-    n_prev = _gather_bilinear(state.hist_len[..., None], xf, yf)[..., 0]
-    d_prev = _gather_bilinear(state.depth[..., None], xf, yf)[..., 0]
-    nrm_prev = _gather_bilinear(state.normal, xf, yf)
-    v_prev = _gather_bilinear(
-        state.valid.astype(jnp.float32)[..., None], xf, yf
-    )[..., 0]
-
-    # Depth consistency: the point's distance in the PREVIOUS camera vs
-    # what the previous frame stored there.
+    # Depth consistency target: the point's distance in the PREVIOUS
+    # camera vs what the previous frame stored at each tap.
     d_expect = camera_ops.cam_depth(prev, pos.reshape(-1, 3)).reshape(h, w)
-    nl = nrm_prev / jnp.sqrt(jnp.maximum(
-        jnp.sum(nrm_prev * nrm_prev, axis=-1, keepdims=True), 1e-12))
-    accept = (
-        valid_c & in_front & in_bounds & (v_prev > 0.999)
-        & (jnp.abs(d_prev - d_expect)
-           < depth_tol * jnp.maximum(d_expect, 1e-3))
-        & (jnp.sum(nl * normal_c, axis=-1) > normal_tol)
-    )
+
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    fx = xf - x0
+    fy = yf - y0
+
+    hist_acc = jnp.zeros((h, w, 3), jnp.float32)
+    len_acc = jnp.zeros((h, w), jnp.float32)
+    w_acc = jnp.zeros((h, w), jnp.float32)
+    for dy, dx, bw in ((0.0, 0.0, (1 - fx) * (1 - fy)),
+                       (0.0, 1.0, fx * (1 - fy)),
+                       (1.0, 0.0, (1 - fx) * fy),
+                       (1.0, 1.0, fx * fy)):
+        yi = (y0 + dy).astype(jnp.int32)
+        xi = (x0 + dx).astype(jnp.int32)
+        tap_in = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        nrm_t = state.normal[yc, xc]
+        ok = (
+            tap_in & state.valid[yc, xc]
+            & (state.mat[yc, xc] == mat_c)
+            & (jnp.abs(state.depth[yc, xc] - d_expect)
+               < depth_tol * jnp.maximum(d_expect, 1e-3))
+            & (jnp.sum(nrm_t * normal_c, axis=-1) > normal_tol)
+        )
+        wt = jnp.where(ok, bw, 0.0)
+        hist_acc = hist_acc + state.history[yc, xc] * wt[..., None]
+        len_acc = len_acc + state.hist_len[yc, xc] * wt
+        w_acc = w_acc + wt
+
+    accept = valid_c & in_front & in_bounds & (w_acc > 1e-3)
+    norm = jnp.maximum(w_acc, 1e-3)[..., None]
+    hist = hist_acc / norm
+    n_prev = len_acc / norm[..., 0]
 
     cap_px = jnp.where(spec_c, jnp.minimum(cap, spec_cap), cap)
+    # Emitter-silhouette band: its radiance is sub-pixel coverage of the
+    # light, which SWEEPS with camera motion — no tap test can see it,
+    # so shorten history by the reprojected pixel velocity: static
+    # camera keeps the spec cap (coverage is constant, reuse is exact),
+    # >= 1 px/frame motion drops to ~no reuse (a lagged blend measured
+    # a 2x worse error than the raw frame's own shot noise there).
+    px = (jnp.arange(w, dtype=jnp.float32))[None, :]
+    py = (jnp.arange(h, dtype=jnp.float32))[:, None]
+    motion = jnp.sqrt((xf - px) ** 2 + (yf - py) ** 2)
+    emis_cap = 1.0 + (jnp.minimum(cap, spec_cap) - 1.0) / (1.0 + motion)
+    cap_px = jnp.where(emis_band, jnp.minimum(cap_px, emis_cap), cap_px)
     n_eff = jnp.minimum(jnp.where(accept, n_prev, 0.0), cap_px - 1.0)
     out = (hist * n_eff[..., None] + cur_img) / (n_eff[..., None] + 1.0)
     new_len = jnp.minimum(n_eff + 1.0, cap_px)
@@ -231,4 +268,5 @@ def advance(state: TemporalState, cur_img, scene, camera, cam_prev,
         depth=depth_c,
         normal=normal_c,
         valid=valid_c,
+        mat=mat_c,
     )
