@@ -410,6 +410,68 @@ def tile_rounds(state: TileState, scene, camera, config: RenderConfig,
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("config", "tile"))
+def tile_neyman_gain(state: TileState, config: RenderConfig,
+                     tile: int) -> jnp.ndarray:
+    """Upper bound on the MSE gain ANY tile-level allocation can reach
+    over uniform, from the current variance estimate: Neyman allocation
+    gives exactly ``mean_t(sigma_t^2) / mean_t(sigma_t)^2`` (>= 1 by
+    Cauchy-Schwarz, = 1 iff variance is tile-uniform) where sigma_t^2
+    is tile t's summed per-pixel sample variance. Scene property, not a
+    scheduler property — benchmarks/adaptive_ceiling.py is the offline
+    version of this estimate."""
+    n = jnp.maximum(state.tile_spp, 1).astype(jnp.float32)
+    mean_lum = _lum(state.accum) / n[:, None, None]
+    var1 = jnp.maximum(
+        state.m2 / n[:, None, None] - mean_lum * mean_lum, 0.0
+    ) * (n / jnp.maximum(n - 1.0, 1.0))[:, None, None]
+    sig2 = var1.sum(axis=(1, 2))
+    sig = jnp.sqrt(sig2)
+    return jnp.mean(sig2) / jnp.maximum(jnp.mean(sig) ** 2, 1e-30)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "tile", "n_samples"),
+    donate_argnames=("state",),
+)
+def uniform_tile_rounds(state: TileState, scene, camera,
+                        config: RenderConfig, tile: int,
+                        n_samples: int) -> TileState:
+    """``n_samples`` full-image uniform samples added to a tile-major
+    state in ONE dispatch — the auto-uniform fallback's workhorse.
+
+    Renders the SAME global (pixel, sample) ids the greedy scheduler
+    would issue if it picked every tile (contiguous block mode, no
+    scattered-pixel gathers — full traversal-tile coherence), so a
+    uniform-driven TileState stays bitwise interchangeable with the
+    uniform engines (tests/test_adaptive.py locks the equal-spp
+    identity)."""
+    h, w = config.height, config.width
+    nty, ntx = h // tile, w // tile
+
+    def body(st, s):
+        img = megakernel.render_samples(
+            scene, camera, config,
+            sample_start=st.tile_spp[0] + s, n_samples=1, seed=st.seed,
+        )
+        blocks = img.reshape(nty, tile, ntx, tile, 3).transpose(
+            0, 2, 1, 3, 4
+        ).reshape(-1, tile, tile, 3)
+        lum = _lum(blocks)
+        return TileState(
+            accum=st.accum + blocks,
+            m2=st.m2 + lum * lum,
+            tile_spp=st.tile_spp,     # bumped once after the scan
+            seed=st.seed,
+        ), None
+
+    state, _ = jax.lax.scan(
+        body, state, jnp.arange(n_samples, dtype=jnp.int32)
+    )
+    return state._replace(tile_spp=state.tile_spp + n_samples)
+
+
 def resolve_tiles(state: TileState, config: RenderConfig,
                   tile: int) -> jnp.ndarray:
     """Per-pixel mean radiance, untiled to (H, W, 3) image layout."""
@@ -427,11 +489,22 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
                           warmup_spp: int = 2, progress=None,
                           budget_spp: Optional[int] = None,
                           spp_per_round: int = 2,
+                          auto_uniform: float = 0.0,
                           ) -> Tuple[TileState, int]:
     """Tile-granular ``render_adaptive``: drive to an average budget of
     ``config.samples_per_pixel`` (or ``budget_spp``) spp. Defaults:
     8x8 tiles, k = n_tiles // 8 per round, 2 spp per picked tile per
-    round (the measured band-mode operating point)."""
+    round (the measured band-mode operating point).
+
+    ``auto_uniform`` > 0 makes adaptive never-lose: after the warmup the
+    Neyman bound (``tile_neyman_gain``) is checked ONCE against this
+    threshold — when the scene's variance is too tile-uniform for any
+    allocation to beat the scheduler's own overhead (measured ~1.25-1.6x
+    per budget unit, PERF.md r4c: cornell_bsdf 0.84-1.0x vs
+    spotlight_demo 3.1x), the rest of the budget renders as plain
+    full-image waves (``uniform_tile_rounds`` — same sample ids, full
+    block coherence, no scoring machinery). 1.5 is a sensible threshold;
+    0 disables (always greedy)."""
     tile = pick_tile(config, tile)
     n_tiles = (config.height // tile) * (config.width // tile)
     k = tiles_per_round or max(1, n_tiles // 8)
@@ -456,6 +529,33 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
         if progress is not None:
             progress(state, spent, budget)
 
+    if auto_uniform > 0.0 and warmup_spp >= 2 and spent < budget:
+        gain = float(tile_neyman_gain(state, config, tile))
+        from pathtracing_tpu.utils import logging as ptlog
+
+        ptlog.log_information(
+            "adaptive: Neyman gain bound %.2f vs auto-uniform "
+            "threshold %.2f -> %s scheduling", gain, auto_uniform,
+            "uniform" if gain < auto_uniform else "greedy",
+        )
+        if gain < auto_uniform:
+            # Variance too uniform for allocation to beat the scheduler
+            # overhead: spend the remainder as full-image waves (chunked
+            # under the dispatch bound), same global sample ids.
+            per_sample = config.height * config.width
+            max_chunk = max(1, MAX_DISPATCH_SAMPLES // per_sample)
+            remaining = (budget - spent) // n_tiles   # whole spp only
+            done = 0
+            while done < remaining:
+                n_s = min(max_chunk, remaining - done)
+                state = uniform_tile_rounds(state, scene, camera,
+                                            config, tile, n_s)
+                done += n_s
+                spent += n_s * n_tiles
+                rounds += n_s
+                if progress is not None:
+                    progress(state, spent, budget)
+            return state, rounds
     spr = max(1, spp_per_round)
     samples_per_round = k * tile * tile * spr
     rounds_per_dispatch = max(1, MAX_DISPATCH_SAMPLES // samples_per_round)

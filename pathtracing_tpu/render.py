@@ -171,6 +171,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive-tile", type=int, default=8,
                    help="tile edge for tile-granular adaptive scheduling "
                         "(must divide width and height)")
+    p.add_argument("--adaptive-auto", type=float, default=1.5,
+                   metavar="GAIN",
+                   help="never-lose guard for tile-granular --adaptive: "
+                        "after the warmup, if the scene's Neyman gain "
+                        "bound (models/adaptive.tile_neyman_gain) is "
+                        "below this threshold, the remaining budget "
+                        "renders as plain uniform full-image waves "
+                        "(same sample ids; no scheduler overhead on "
+                        "scenes adaptive can't help). 0 disables")
     p.add_argument("--adaptive-band-rows", type=int, default=0,
                    help="rows per adaptive scheduling band (0 = auto, "
                         "largest divisor of height <= 8)")
@@ -675,6 +684,7 @@ def _adaptive_tiles_main(args, config, scene, camera) -> int:
         state, rounds = adaptive.render_adaptive_tiles(
             scene, camera, config, tile=tile,
             tiles_per_round=args.adaptive_k, progress=progress,
+            auto_uniform=args.adaptive_auto,
         )
         img = np.asarray(adaptive.resolve_tiles(state, config, tile))
     spp = np.asarray(state.tile_spp)

@@ -338,3 +338,60 @@ def test_render_adaptive_tiles_budget_and_quality(setup):
     assert spent == 6 * n_tiles
     img = np.asarray(adaptive.resolve_tiles(state, CFG, 2))
     assert np.isfinite(img).all() and img.max() > 0.0
+
+
+def test_uniform_tile_rounds_matches_progressive_bitwise(setup):
+    """The auto-uniform fallback's full-image waves land the exact
+    uniform-engine sample sums into the tile-major state."""
+    import dataclasses
+
+    scene, cam = setup
+    tile = 2
+    state = adaptive.init_tile_state(CFG, tile)
+    state = adaptive.uniform_tile_rounds(state, scene, cam, CFG, tile, 3)
+    assert int(state.tile_spp.min()) == int(state.tile_spp.max()) == 3
+    img = adaptive.resolve_tiles(state, CFG, tile)
+
+    cfg = dataclasses.replace(CFG, samples_per_pixel=3,
+                              samples_per_step=3)
+    st = progressive.render_step(progressive.init_state(cfg), scene,
+                                 cam, cfg)
+    np.testing.assert_array_equal(np.asarray(img),
+                                  np.asarray(st.accum) / 3.0)
+
+
+def test_auto_uniform_fallback_and_guard(setup):
+    """auto_uniform above the scene's Neyman bound forces the uniform
+    path (result == plain uniform render bitwise); a threshold at the
+    Cauchy-Schwarz floor (gain >= 1 always) never triggers, leaving the
+    greedy result unchanged."""
+    import dataclasses
+
+    scene, cam = setup
+    # Force fallback: no scene's bound reaches 1e9.
+    state, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=2, tiles_per_round=4, budget_spp=6,
+        auto_uniform=1e9,
+    )
+    assert int(state.tile_spp.min()) == int(state.tile_spp.max()) == 6
+    img = adaptive.resolve_tiles(state, CFG, 2)
+    cfg = dataclasses.replace(CFG, samples_per_pixel=6,
+                              samples_per_step=6)
+    st = progressive.render_step(progressive.init_state(cfg), scene,
+                                 cam, cfg)
+    np.testing.assert_array_equal(np.asarray(img),
+                                  np.asarray(st.accum) / 6.0)
+
+    # Guard: gain >= 1 by Cauchy-Schwarz, so 0.5 never falls back.
+    greedy, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=2, tiles_per_round=4, budget_spp=6,
+        auto_uniform=0.0,
+    )
+    guarded, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=2, tiles_per_round=4, budget_spp=6,
+        auto_uniform=0.5,
+    )
+    np.testing.assert_array_equal(np.asarray(greedy.accum),
+                                  np.asarray(guarded.accum))
+    gain = float(adaptive.tile_neyman_gain(greedy, CFG, 2))
+    assert gain >= 1.0 - 1e-6
