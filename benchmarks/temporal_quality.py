@@ -101,7 +101,9 @@ def main() -> int:
     # Converged per-pose references (cached on disk; seed disjoint).
     ref_path = os.path.join(
         REPO, "benchmarks",
-        f"tq_ref_{scene_name}_{size}_{n_frames}_{ref_spp}.npz",
+        # The arc is part of the key: the cached refs are PER-POSE.
+        f"tq_ref_{scene_name}_{size}_{n_frames}_{ref_spp}"
+        + ("" if arc_deg == 60.0 else f"_a{arc_deg:g}") + ".npz",
     )
     if os.path.exists(ref_path):
         refs = np.load(ref_path)["refs"]
@@ -164,6 +166,45 @@ def main() -> int:
            "rmse_mean": round(float(np.mean(errs)), 6),
            "sec_per_frame": round(float(np.median(secs)), 4)}
     results[f"temporal-{spp}"] = row
+    print(json.dumps(row), flush=True)
+
+    # --- the shipped pipeline: temporal + a-trous denoise --------------
+    # (what `--orbit --temporal --denoise` produces; the SVGF pairing —
+    # temporal accumulation feeds the spatial filter, sigma narrowed by
+    # the per-pixel history's effective spp).
+    from pathtracing_tpu.ops import denoise as denoise_mod
+
+    tstate = temporal.init_state(config)
+    cam_prev = None
+    errs, secs = [], []
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        cur = frame(cams[i], jnp.uint32(1000 + i), spp)
+        out_dev, tstate = temporal.advance(
+            tstate, cur, scene, cams[i],
+            cams[i] if cam_prev is None else cam_prev, config,
+        )
+        cam_prev = cams[i]
+        # Quantize the effective spp to power-of-2 buckets: it is a
+        # static jit arg of the denoiser, and the history mean drifts
+        # every frame — buckets keep it to a handful of compiles.
+        hist = max(1.0, float(jnp.mean(tstate.hist_len)))
+        spp_eff = spp * (2 ** int(round(math.log2(hist))) if hist > 1
+                         else 1)
+        den = denoise_mod.denoise_render(
+            scene, cams[i], config, out_dev, spp=spp_eff
+        )
+        sync(den)
+        if i == 0:
+            t0 = time.perf_counter()
+            continue
+        secs.append(time.perf_counter() - t0)
+        if i >= score_from:
+            errs.append(rmse(den, i))
+    row = {"method": f"temporal+denoise-{spp}", "spp": spp,
+           "rmse_mean": round(float(np.mean(errs)), 6),
+           "sec_per_frame": round(float(np.median(secs)), 4)}
+    results[f"temporal+denoise-{spp}"] = row
     print(json.dumps(row), flush=True)
 
     # --- summary: effective-spp multiplier ----------------------------

@@ -558,9 +558,19 @@ def _orbit_main(args, config, scene, cam_cfg) -> int:
                 img = np.asarray(frame(scene, camera,
                                        jnp.uint32(args.seed + i)))
         # Per-frame post-passes: orbit sequences get the same --denoise
-        # / --bloom treatment as single-frame renders.
-        img = _maybe_denoise(args, config, scene, camera, img,
-                             config.samples_per_pixel)
+        # / --bloom treatment as single-frame renders. Temporal frames
+        # carry blended history: their effective spp is the per-frame
+        # budget times the mean history length, and the denoiser's
+        # color sigma must narrow accordingly (2.8/sqrt(spp)) or the
+        # already-accumulated frames get oversmoothed.
+        spp_eff = config.samples_per_pixel
+        if tstate is not None:
+            # Power-of-2 buckets: spp is a static jit arg of the
+            # denoiser and the history mean drifts every frame.
+            hist = max(1.0, float(jnp.mean(tstate.hist_len)))
+            if hist > 1.0:
+                spp_eff *= 2 ** int(round(_math.log2(hist)))
+        img = _maybe_denoise(args, config, scene, camera, img, spp_eff)
         path = f"{root}_{i:04d}{ext}"
         image.write_image(path, img, args.exposure, args.tonemap)
         ptlog.log_information(
