@@ -63,21 +63,21 @@ def main() -> int:
                             max_depth=depth, samples_per_step=spp, seed=0,
                             background="black", nee_candidates=m)
 
-    scene, cam_cfg = scenes.many_lights_demo()
-    cam = build_camera(cam_cfg, 1.0)
-    n_lights = int(scene.lights.v0.shape[0])
-
-    # -- many-light selection mode: gather vs masked-sum, M=1 ----------
-    # The gather switch is decided at scene BUILD time (lights._GATHER_MIN
-    # at import); force the masked-sum build by raising it and rebuilding.
+    # The gather switch is decided at scene BUILD time; the 288-row demo
+    # sits below the retuned default _GATHER_MIN (r4e), so force ONE
+    # build per mode by monkeypatching the threshold.
     from pathtracing_tpu.ops import lights as lights_ops
 
     saved = lights_ops._GATHER_MIN
-    lights_ops._GATHER_MIN = 10 ** 9                 # force masked-sum
     try:
+        lights_ops._GATHER_MIN = 1                   # force gather
+        scene, cam_cfg = scenes.many_lights_demo()
+        lights_ops._GATHER_MIN = 10 ** 9             # force masked-sum
         scene_masked, _ = scenes.many_lights_demo()
     finally:
         lights_ops._GATHER_MIN = saved
+    cam = build_camera(cam_cfg, 1.0)
+    n_lights = int(scene.lights.v0.shape[0])
     assert scene_masked.lights.packed is None
     assert scene.lights.packed is not None
 

@@ -649,7 +649,10 @@ def screenlight_demo() -> Tuple[Scene, CameraConfig]:
 def many_lights_demo(grid: int = 12) -> Tuple[Scene, CameraConfig]:
     """Many-light stress scene: a dark hall lit by a ``grid``×``grid``
     ceiling array of emissive panels (2 triangles each — 288 light rows
-    at the default 12, well past ops.lights._GATHER_MIN) with power-law
+    at the default 12; below ops.lights._GATHER_MIN since the r4e
+    crossover measurement, so the default build stays masked-sum —
+    raise ``grid`` past ~34 or lower the threshold to exercise the
+    packed-gather path) with power-law
     brightness spread and varied hues, over a glossy floor and three
     probe spheres. Exercises the searchsorted + packed-row-gather light
     selection path (the masked-sum path's (rays × L) work would dominate

@@ -43,12 +43,18 @@ matmul (bf16 default dots put sampled points off the light plane;
 PERF.md "Correctness gotcha"). Masked-sum work grows as (rays × L) per
 column, so tables with ``L >= _GATHER_MIN`` switch to a searchsorted
 CDF pick + ONE packed row gather (the r3m single-gather pattern: all
-sampler columns pre-packed into an (L, W) f32 table at build time —
-a 262k-row gather costs ~11-30 ms on the chip regardless of L, while
-masked-sum crosses that around L ≈ a few hundred). The switch is a
-static table-size property: every existing small-table scene keeps its
-bit-identical masked-sum graph, and both paths draw identical picks
-(searchsorted(side='left') == the Σ(u > cum) count by construction).
+sampler columns pre-packed into an (L, W) f32 table at build time).
+The crossover was MEASURED on chip (PERF.md r4e: 512² 4spp step,
+many_lights_demo grids): masked-sum 1.14/1.22/1.30/1.48 s vs gather
+1.40/1.40/1.54/1.58 s at L = 288/578/1152/2312 — the VPU eats the
+(rays × L) compare far longer than the per-lane 24-wide gather
+traffic amortizes, crossing only around L ≈ 2.4k. The default
+threshold sits above the measured range (gather also bounds the
+(rays × L) intermediate for HUGE tables). The switch is a static
+table-size property: every small-table scene keeps its bit-identical
+masked-sum graph, and both paths draw identical picks
+(searchsorted(side='left') == the Σ(u > cum) count by construction;
+tests/test_many_lights.py locks bitwise equality).
 """
 
 from __future__ import annotations
@@ -62,14 +68,15 @@ KIND_TRI = 0
 KIND_SPHERE = 1
 
 # Table size at which light selection switches from one-hot masked-sum
-# (cheapest for small L; the historical, cache-locked path) to a
-# searchsorted pick + single packed row gather (O(1) in L per vertex).
+# (measured cheaper through L ≈ 2.3k on chip, PERF.md r4e) to a
+# searchsorted pick + single packed row gather (O(1) in L per vertex,
+# and bounds the (rays × L) masked-sum intermediate for huge tables).
 # Overridable for the crossover probe (benchmarks/probe_ris.py, which
 # monkeypatches it); renders are identical either way — only the
 # schedule changes.
 import os as _os
 
-_GATHER_MIN = int(_os.environ.get("PT_LIGHT_GATHER_MIN", 64))
+_GATHER_MIN = int(_os.environ.get("PT_LIGHT_GATHER_MIN", 4096))
 
 # Column layout of ``LightTable.packed`` ((L, 24) f32, built only for
 # gather-mode tables): slices for the vector columns, scalar indices

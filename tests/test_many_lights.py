@@ -29,23 +29,35 @@ from pathtracing_tpu.utils.config import RenderConfig
 
 @pytest.fixture(scope="module")
 def demo():
-    return scenes.get_scene("many_lights_demo")
+    """many_lights_demo built in FORCED gather mode (the default
+    _GATHER_MIN sits above 288 rows since the r4e crossover
+    measurement put masked-sum ahead through L ≈ 2.3k)."""
+    saved = lights_mod._GATHER_MIN
+    lights_mod._GATHER_MIN = 1
+    try:
+        return scenes.get_scene("many_lights_demo")
+    finally:
+        lights_mod._GATHER_MIN = saved
 
 
-def test_demo_table_is_gather_mode(demo):
+def test_forced_gather_table_shape(demo):
     scene, _ = demo
     lt = scene.lights
-    assert lt.v0.shape[0] >= lights_mod._GATHER_MIN
     assert lt.packed is not None
     assert lt.packed.shape == (lt.v0.shape[0], lights_mod._P_WIDTH)
     # No sphere emitters -> the r4a kind gate stays engaged.
     assert lt.kind is None
 
 
-def test_small_tables_stay_masked_sum():
-    for name in ("cornell_bsdf", "veach_mis", "screenlight_demo"):
+def test_default_tables_stay_masked_sum():
+    """Below the measured crossover (PERF.md r4e) EVERY built-in demo —
+    including the 288-row many_lights_demo — keeps the masked-sum
+    build (no packed column, bit-identical legacy pytree/graph)."""
+    for name in ("cornell_bsdf", "veach_mis", "screenlight_demo",
+                 "many_lights_demo"):
         scene, _ = scenes.get_scene(name)
         assert scene.lights.packed is None, name
+    assert lights_mod._GATHER_MIN == 4096
 
 
 def test_gather_matches_masked_sum_bitwise(demo):
