@@ -624,7 +624,31 @@ def bounce_batch(scene, o, d, keys, depth, radiance, throughput, active,
         # triangles) — pdf_sa is the TRUE per-solid-angle density, the
         # estimator denominator. Triangle-only scenes draw identical
         # points and pdfs to the legacy area sampler, bit-for-bit.
-        if scene.lights.uv0 is not None:
+        if nee_candidates > 1 and scene.lights.uv0 is None:
+            # RIS winner reuse: the candidate pass already evaluated the
+            # sampler at every (ul, o_nee) pair — take the winner's
+            # point/normal/emission instead of re-running the sampler
+            # (bitwise-identical values: sample_solid_angle is a pure
+            # function of (u, origin), and the RIS effective density
+            # replaces pdf_sa anyway). Saves one full R-lane sampler
+            # pass of the M+1 (PERF.md r4e: candidate passes are the
+            # whole RIS cost). Textured emitters skip the reuse: their
+            # winner needs uv/tex, and gathering uv on all R*M
+            # candidates would cost more than the one re-sample.
+            jj = j[:, None, None]
+            lp = jnp.take_along_axis(clp.reshape(r, M, 3), jj,
+                                     axis=1)[:, 0]
+            ln = jnp.take_along_axis(cln.reshape(r, M, 3), jj,
+                                     axis=1)[:, 0]
+            lemit = jnp.take_along_axis(clemit.reshape(r, M, 3), jj,
+                                        axis=1)[:, 0]
+            lemit_mod = lemit
+            pdf_sa = jnp.where(
+                ris_ok,
+                nee_candidates * p_hat / jnp.maximum(w_sum, 1e-20),
+                jnp.inf,
+            )
+        elif scene.lights.uv0 is not None:
             # Textured emitters: same draws, plus the sampled point's
             # uv + atlas id; the texel scales the CONTRIBUTION while
             # pdf_sa / the MIS pdfs stay on the base emission (any
