@@ -161,6 +161,37 @@ def test_instanced_and_motion_match_single_chip(case):
     )
 
 
+@pytest.mark.parametrize("case", ["many_lights_ris", "sss"])
+def test_round4_features_match_single_chip(case):
+    """Sharding coverage for the round-4 feature kernels (the r3-weak-#2
+    lesson applied forward): RIS resampled NEE over a large light table
+    (searchsorted selection + packed-row gathers, M=4 candidates) and
+    subsurface scattering (interior random-walk media on dielectrics)
+    must reproduce the single-chip image bitwise under an 8-way tile
+    shard — disjoint pixels + global-counter RNG, now covering the RIS
+    candidate loop and the SSS walk state under shard_map."""
+    if case == "many_lights_ris":
+        scene, cam_cfg = scenes.many_lights_demo(grid=4)
+        cfg = RenderConfig(width=16, height=16, samples_per_pixel=2,
+                           max_depth=3, seed=11, samples_per_step=2,
+                           background="gradient", nee_candidates=4)
+    else:
+        scene, cam_cfg = scenes.sss_demo()
+        cfg = RenderConfig(width=16, height=16, samples_per_pixel=2,
+                           max_depth=6, seed=11, samples_per_step=2,
+                           background="gradient")
+    cam = build_camera(cam_cfg, 1.0)
+    ref = progressive.render_step(progressive.init_state(cfg), scene,
+                                  cam, cfg)
+    mesh = mesh_mod.make_mesh(8, 1)
+    step = prender.make_sharded_step(mesh, cfg)
+    state = prender.init_sharded_state(mesh, cfg)
+    state = step(state, scene, cam)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(state.accum)), np.asarray(ref.accum)
+    )
+
+
 def test_invalid_mesh_shapes_rejected():
     mesh = mesh_mod.make_mesh(8, 1)
     with pytest.raises(ValueError, match="not divisible"):
