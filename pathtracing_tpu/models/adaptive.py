@@ -430,6 +430,23 @@ def tile_neyman_gain(state: TileState, config: RenderConfig,
     return jnp.mean(sig2) / jnp.maximum(jnp.mean(sig) ** 2, 1e-30)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "tile"))
+def predicted_rmse(state: TileState, config: RenderConfig,
+                   tile: int) -> jnp.ndarray:
+    """Predicted luminance RMSE of the CURRENT mean image vs the
+    converged one: sqrt(mean_p(Var_p / n_p)) over all pixels — the
+    standard-error estimate behind the BASELINE quality headline
+    (benchmarks/quality_1024.py), computable live because the tile
+    state already carries the per-pixel luminance second moment.
+    Assumes unbiasedness, which the suite's kernel-vs-oracle gate and
+    benchmarks/quality_ab.py's measured A-vs-B check ground."""
+    n = jnp.maximum(state.tile_spp, 1).astype(jnp.float32)[:, None, None]
+    mean_lum = _lum(state.accum) / n
+    var1 = jnp.maximum(state.m2 / n - mean_lum * mean_lum, 0.0) * (
+        n / jnp.maximum(n - 1.0, 1.0))
+    return jnp.sqrt(jnp.mean(var1 / n))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "tile", "n_samples"),
@@ -490,6 +507,7 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
                           budget_spp: Optional[int] = None,
                           spp_per_round: int = 2,
                           auto_uniform: float = 0.0,
+                          target_rmse: float = 0.0,
                           ) -> Tuple[TileState, int]:
     """Tile-granular ``render_adaptive``: drive to an average budget of
     ``config.samples_per_pixel`` (or ``budget_spp``) spp. Defaults:
@@ -504,11 +522,25 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
     spotlight_demo 3.1x), the rest of the budget renders as plain
     full-image waves (``uniform_tile_rounds`` — same sample ids, full
     block coherence, no scoring machinery). 1.5 is a sensible threshold;
-    0 disables (always greedy)."""
+    0 disables (always greedy).
+
+    ``target_rmse`` > 0 turns the budget into a CAP: after the warmup
+    (and then after every fused dispatch group) the live standard-error
+    estimate (``predicted_rmse``) is fetched, and rendering stops as
+    soon as it reaches the target — render-until-quality, the stopping
+    rule production renderers pair with adaptive allocation. 0 (the
+    default) never traces or fetches the estimator, so existing
+    schedules are untouched."""
     tile = pick_tile(config, tile)
     n_tiles = (config.height // tile) * (config.width // tile)
     k = tiles_per_round or max(1, n_tiles // 8)
     k = min(k, n_tiles)
+
+    def _hit_target(st: TileState) -> bool:
+        # Valid only once every tile carries >= 2 spp (the n=1 variance
+        # estimate is identically zero); callers check after warmup.
+        return (target_rmse > 0.0 and
+                float(predicted_rmse(st, config, tile)) <= target_rmse)
     state = init_tile_state(config, tile)
 
     target = budget_spp if budget_spp is not None else (
@@ -528,6 +560,8 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
             rounds += 1
         if progress is not None:
             progress(state, spent, budget)
+    if min(warmup_spp, target) >= 2 and _hit_target(state):
+        return state, rounds
 
     if auto_uniform > 0.0 and warmup_spp >= 2 and spent < budget:
         gain = float(tile_neyman_gain(state, config, tile))
@@ -546,6 +580,10 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
             max_chunk = max(1, MAX_DISPATCH_SAMPLES // per_sample)
             remaining = (budget - spent) // n_tiles   # whole spp only
             done = 0
+            if target_rmse > 0.0:
+                # Check the stopping rule every few spp, not once at
+                # the end of one huge fused dispatch.
+                max_chunk = min(max_chunk, 4)
             while done < remaining:
                 n_s = min(max_chunk, remaining - done)
                 state = uniform_tile_rounds(state, scene, camera,
@@ -555,10 +593,17 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
                 rounds += n_s
                 if progress is not None:
                     progress(state, spent, budget)
+                if _hit_target(state):
+                    break
             return state, rounds
     spr = max(1, spp_per_round)
     samples_per_round = k * tile * tile * spr
     rounds_per_dispatch = max(1, MAX_DISPATCH_SAMPLES // samples_per_round)
+    if target_rmse > 0.0:
+        # Bound each fused dispatch to ~2 average spp between checks.
+        rounds_per_dispatch = min(
+            rounds_per_dispatch, max(1, (n_tiles * 2) // (k * spr))
+        )
     while spent + k * spr <= budget:
         n_r = min(rounds_per_dispatch, (budget - spent) // (k * spr))
         state = tile_rounds(state, scene, camera, config, tile, k, n_r,
@@ -567,6 +612,8 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
         rounds += n_r
         if progress is not None:
             progress(state, spent, budget)
+        if _hit_target(state):
+            return state, rounds
     while spent + k <= budget:
         n_r = (budget - spent) // k
         state = tile_rounds(state, scene, camera, config, tile, k, n_r, 1)
@@ -574,4 +621,6 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
         rounds += n_r
         if progress is not None:
             progress(state, spent, budget)
+        if _hit_target(state):
+            return state, rounds
     return state, rounds

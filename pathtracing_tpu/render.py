@@ -183,6 +183,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive-band-rows", type=int, default=0,
                    help="rows per adaptive scheduling band (0 = auto, "
                         "largest divisor of height <= 8)")
+    p.add_argument("--target-rmse", type=float, default=0.0,
+                   help="render-until-quality stop for tile-granular "
+                        "--adaptive: stop as soon as the live "
+                        "standard-error estimate "
+                        "(models/adaptive.predicted_rmse, luminance "
+                        "RMSE vs converged) reaches this value; "
+                        "--spp becomes a budget cap. 0 disables")
     p.add_argument("--adaptive-k", type=int, default=0,
                    help="tiles/bands re-sampled per adaptive round "
                         "(0 = auto, 1/8 of the units)")
@@ -372,6 +379,12 @@ def main(argv=None) -> int:
                 "engine; --engine wavefront is ignored"
             )
         return _adaptive_main(args, config, scene, camera)
+    if args.target_rmse > 0.0:
+        ptlog.log_critical(
+            "--target-rmse needs the per-pixel variance state: "
+            "pass --adaptive (tile granularity)"
+        )
+        return 2
 
     state = progressive.init_state(config)
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -632,6 +645,11 @@ def _adaptive_main(args, config, scene, camera) -> int:
     if granularity == "tiles":
         return _adaptive_tiles_main(args, config, scene, camera)
 
+    if args.target_rmse > 0.0:
+        ptlog.log_warning(
+            "--target-rmse is tile-granularity only; band-granular "
+            "adaptive renders the full --spp budget"
+        )
     band_rows = adaptive.pick_band_rows(config, args.adaptive_band_rows)
     n_bands = config.height // band_rows
     ptlog.log_information(
@@ -695,8 +713,15 @@ def _adaptive_tiles_main(args, config, scene, camera) -> int:
             scene, camera, config, tile=tile,
             tiles_per_round=args.adaptive_k, progress=progress,
             auto_uniform=args.adaptive_auto,
+            target_rmse=args.target_rmse,
         )
         img = np.asarray(adaptive.resolve_tiles(state, config, tile))
+    if args.target_rmse > 0.0:
+        ptlog.log_information(
+            "target-rmse %.4g: stopped at predicted RMSE %.4g",
+            args.target_rmse,
+            float(adaptive.predicted_rmse(state, config, tile)),
+        )
     spp = np.asarray(state.tile_spp)
     if args.out_hdr:
         np.savez(args.out_hdr, radiance=img, spp=int(spp.min()))

@@ -395,3 +395,111 @@ def test_auto_uniform_fallback_and_guard(setup):
                                   np.asarray(guarded.accum))
     gain = float(adaptive.tile_neyman_gain(greedy, CFG, 2))
     assert gain >= 1.0 - 1e-6
+
+
+def test_predicted_rmse_tracks_numpy_and_decreases(setup):
+    """predicted_rmse == sqrt(mean_p Var_p/n_p) recomputed in NumPy,
+    and it shrinks as uniform samples accumulate (1/sqrt(n) law)."""
+    scene, cam = setup
+    tile = 2
+    state = adaptive.init_tile_state(CFG, tile)
+    state = adaptive.uniform_tile_rounds(state, scene, cam, CFG, tile, 2)
+    r2 = float(adaptive.predicted_rmse(state, CFG, tile))
+
+    accum = np.asarray(state.accum, np.float64)
+    m2 = np.asarray(state.m2, np.float64)
+    n = np.asarray(state.tile_spp, np.float64)[:, None, None]
+    lum = (accum * np.array([0.2126, 0.7152, 0.0722])).sum(-1) / n
+    var1 = np.maximum(m2 / n - lum * lum, 0.0) * (n / (n - 1.0))
+    np.testing.assert_allclose(r2, np.sqrt((var1 / n).mean()), rtol=1e-4)
+    assert r2 > 0.0
+
+    state = adaptive.uniform_tile_rounds(state, scene, cam, CFG, tile, 6)
+    r8 = float(adaptive.predicted_rmse(state, CFG, tile))
+    assert r8 < r2  # more samples -> tighter standard error
+
+
+def test_target_rmse_stops_early_and_zero_is_inert(setup):
+    """A loose target stops the schedule well under budget with the
+    estimate at/below target; target_rmse=0 (default) leaves the
+    schedule bitwise-identical to an explicit no-target run (the
+    feature-gating contract)."""
+    scene, cam = setup
+    tile = 2
+    base, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=tile, tiles_per_round=4, budget_spp=64,
+    )
+    loose = float(adaptive.predicted_rmse(base, CFG, tile)) * 4.0
+
+    state, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=tile, tiles_per_round=4, budget_spp=64,
+        target_rmse=loose,
+    )
+    spp = np.asarray(state.tile_spp)
+    assert spp.sum() < 64 * spp.size          # stopped under budget
+    assert spp.min() >= 2                     # warmup always completes
+    assert float(adaptive.predicted_rmse(state, CFG, tile)) <= loose
+
+    # Unreachable target: spends the whole budget, and the schedule is
+    # identical to the no-target one (same sample ids, same result).
+    full, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=tile, tiles_per_round=4, budget_spp=64,
+        target_rmse=1e-9,
+    )
+    np.testing.assert_array_equal(np.asarray(full.accum),
+                                  np.asarray(base.accum))
+    np.testing.assert_array_equal(np.asarray(full.tile_spp),
+                                  np.asarray(base.tile_spp))
+
+
+def test_target_rmse_stops_uniform_fallback(setup):
+    """target_rmse composes with the auto-uniform never-lose path: the
+    fallback's full-image waves also stop once the estimate hits."""
+    scene, cam = setup
+    tile = 2
+    state, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=tile, tiles_per_round=4, budget_spp=4,
+        auto_uniform=1e9,
+    )
+    loose = float(adaptive.predicted_rmse(state, CFG, tile)) * 2.0
+    state, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=tile, tiles_per_round=4, budget_spp=64,
+        auto_uniform=1e9, target_rmse=loose,
+    )
+    spp = np.asarray(state.tile_spp)
+    assert spp.sum() < 64 * spp.size
+    assert int(spp.min()) == int(spp.max())   # uniform waves only
+    assert float(adaptive.predicted_rmse(state, CFG, tile)) <= loose
+
+
+def test_cli_target_rmse(tmp_path):
+    """--target-rmse stops the tile-adaptive CLI early and logs the
+    final estimate; without --adaptive it is rejected (exit 2)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "",
+           "JAX_PLATFORMS": "cpu"}
+    out = str(tmp_path / "t.png")
+    r = subprocess.run(
+        [sys.executable, "-m", "pathtracing_tpu.render",
+         "--scene", "cornell_sphere", "--width", "16", "--height", "16",
+         "--spp", "64", "--adaptive", "--adaptive-tile", "2",
+         "--adaptive-k", "4", "--target-rmse", "0.5", "--out", out],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+    assert "stopped at predicted RMSE" in r.stderr + r.stdout
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "pathtracing_tpu.render",
+         "--scene", "cornell_sphere", "--width", "16", "--height", "16",
+         "--spp", "4", "--target-rmse", "0.5",
+         "--out", str(tmp_path / "u.png")],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode == 2
+    assert "needs the per-pixel variance state" in r2.stderr + r2.stdout
