@@ -229,10 +229,16 @@ def render_adaptive_sharded(mesh: Mesh, scene, camera,
                             warmup_spp: int = 2,
                             budget_spp: Optional[int] = None,
                             spp_per_round: int = 2,
+                            target_rmse: float = 0.0,
                             ) -> Tuple[TileState, int]:
     """Drive sharded adaptive sampling to an average ``budget_spp``
     (default ``config.samples_per_pixel``): uniform warmup, then fused
     per-shard greedy rounds — the multi-chip ``render_adaptive_tiles``.
+
+    ``target_rmse`` > 0 is the render-until-quality stop: the live
+    standard-error estimate (``adaptive.predicted_rmse`` — a global
+    mean, jitted over the sharded state so the reduction rides the
+    mesh) gates every fused dispatch group; the budget becomes a cap.
     """
     n_dev = mesh.shape[TILE_AXIS]
     n_tiles = (config.height // tile) * (config.width // tile)
@@ -251,22 +257,34 @@ def render_adaptive_sharded(mesh: Mesh, scene, camera,
     budget = n_tiles * target
     spent = 0
     rounds = 0
+    def hit_target(st: TileState) -> bool:
+        return (target_rmse > 0.0 and float(
+            adaptive.predicted_rmse(st, config, tile)) <= target_rmse)
+
     warm = min(warmup_spp, target)
     if warm:
         state = uniform(state, scene, camera, warm)
         spent += warm * n_tiles
         rounds += warm
+    if warm >= 2 and hit_target(state):
+        return state, rounds
 
     spr = max(1, spp_per_round)
     samples_per_round = k * tile * tile * spr
     per_dispatch = max(
         1, adaptive.MAX_DISPATCH_SAMPLES // samples_per_round
     )
+    if target_rmse > 0.0:
+        # Check the stopping rule about every 2 average spp.
+        per_dispatch = min(per_dispatch,
+                           max(1, (n_tiles * 2) // (k * spr)))
     while spent + k * spr <= budget:
         n_r = min(per_dispatch, (budget - spent) // (k * spr))
         state = greedy(state, scene, camera, n_r)
         spent += n_r * k * spr
         rounds += n_r
+        if hit_target(state):
+            break
     return state, rounds
 
 

@@ -111,3 +111,32 @@ def test_render_adaptive_sharded_budget_and_image(setup, mesh):
     assert spp.sum() == 6 * n_tiles
     img = padaptive.gather_tile_image(state, CFG, TILE)
     assert np.isfinite(img).all() and img.max() > 0.0
+
+
+def test_render_adaptive_sharded_target_rmse(setup, mesh):
+    """target_rmse stops the sharded schedule under budget (the
+    estimator reduces globally over the stripe-sharded state), and an
+    unreachable target reproduces the no-target schedule exactly."""
+    scene, cam = setup
+    base, _ = padaptive.render_adaptive_sharded(
+        mesh, scene, cam, CFG, tile=TILE, tiles_per_round=16,
+        budget_spp=64)
+    loose = float(adaptive.predicted_rmse(base, CFG, TILE)) * 4.0
+
+    state, _ = padaptive.render_adaptive_sharded(
+        mesh, scene, cam, CFG, tile=TILE, tiles_per_round=16,
+        budget_spp=64, target_rmse=loose)
+    spp = np.asarray(jax.device_get(state.tile_spp))
+    assert spp.sum() < 64 * spp.size
+    assert spp.min() >= 2
+    assert float(adaptive.predicted_rmse(state, CFG, TILE)) <= loose
+
+    full, _ = padaptive.render_adaptive_sharded(
+        mesh, scene, cam, CFG, tile=TILE, tiles_per_round=16,
+        budget_spp=64, target_rmse=1e-9)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(full.accum)),
+        np.asarray(jax.device_get(base.accum)))
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(full.tile_spp)),
+        np.asarray(jax.device_get(base.tile_spp)))
