@@ -22,6 +22,20 @@ chip is detected before the 1080p dispatch. If every full-config
 attempt dies, the parent falls back to a reduced config and emits the
 JSON line with "degraded": true rather than crash.
 
+DEADLINE AWARENESS (round-5 hardening — BENCH_r04 was rc=124 with NO
+number because the retry plan's worst case was ~3.4 h while the driver
+grants ~30 min, the tunnel was held by a concurrent TPU job, and the
+cache was cold): the parent now works against a wall-clock budget
+(BENCH_DEADLINE_S, default 1500 s). It first runs a CHEAP tunnel probe
+child (64x64 health dispatch only, short timeout) so a busy/wedged
+tunnel fails in minutes, not the driver's whole window; full-config
+children get only the time the budget still allows (never the old
+fixed 2400 s); and a degraded attempt is scheduled early enough to
+print its JSON line BEFORE the deadline. If the tunnel never answers
+the cheap probe, the parent exits nonzero fast — that failure mode
+(another process holding the chip) is a protocol violation no retry
+can fix (see PERF.md "round-end bench protocol").
+
 Env knobs:
   BENCH_SCENE     (default cornell_mesh)   one of models.scenes.SCENES
   BENCH_WIDTH/HEIGHT (default 1920/1080)
@@ -29,7 +43,7 @@ Env knobs:
   BENCH_DEPTH     (default 8)
   BENCH_ENGINE    (default megakernel)
   BENCH_QUICK=1   tiny config for CI smoke runs (runs in-process)
-  BENCH_ATTEMPTS  (default 3)   full-config child attempts
+  BENCH_DEADLINE_S (default 1500)  total wall-clock budget
   BENCH_COOLDOWN  (default 20)  seconds between child attempts
 """
 
@@ -43,9 +57,17 @@ import time
 
 _CHILD_ENV = "_PTPU_BENCH_CHILD"
 _DEGRADED_ENV = "_PTPU_BENCH_DEGRADED"
+_PROBE_ENV = "_PTPU_BENCH_PROBE"
 # Cold compiles take minutes through the tunnel; warm-cache full runs
 # finish in ~3. A child that exceeds this is wedged, not slow.
 _CHILD_TIMEOUT_S = 2400
+# The tunnel probe is one cached 64x64 compile + sync (~40 s cold
+# through the tunnel): if it cannot finish in this window the chip is
+# busy or wedged.
+_PROBE_TIMEOUT_S = 240
+# Reserve this much of the budget for a degraded attempt (960x540x2
+# steps measured well under this warm; cold compile fits too).
+_DEGRADED_RESERVE_S = 420
 
 
 def child_main() -> int:
@@ -100,6 +122,11 @@ def child_main() -> int:
         probe_state, probe_scene, probe_cam, probe_cfg
     )
     sync(probe_state.accum)
+    if os.environ.get(_PROBE_ENV) == "1":
+        # Tunnel-probe mode: the health dispatch above succeeded, which
+        # is all the parent wanted to know.
+        print(json.dumps({"probe": "ok"}))
+        return 0
 
     config = RenderConfig(
         width=width, height=height, samples_per_pixel=n_steps + 1,
@@ -149,25 +176,30 @@ def child_main() -> int:
     return 0
 
 
-def _run_child(degraded: bool) -> dict | None:
-    """One benchmark attempt in a fresh process (the tunneled TPU worker
-    recovers per-process). Returns the parsed JSON result or None."""
+def _run_child(mode: str, timeout_s: float, key: str = "value"):
+    """One child attempt ("probe" | "full" | "degraded") in a fresh
+    process (the tunneled TPU worker recovers per-process). Returns the
+    parsed JSON dict containing ``key``, or None."""
     env = dict(os.environ)
     env[_CHILD_ENV] = "1"
-    if degraded:
+    if mode == "degraded":
         env[_DEGRADED_ENV] = "1"
+    if mode == "probe":
+        env[_PROBE_ENV] = "1"
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
             stdout=subprocess.PIPE, stderr=sys.stderr,
-            timeout=_CHILD_TIMEOUT_S, text=True,
+            timeout=max(timeout_s, 30.0), text=True,
         )
     except subprocess.TimeoutExpired:
-        print("bench: child timed out (wedged worker?)", file=sys.stderr)
+        print(f"bench: {mode} child timed out after {timeout_s:.0f}s "
+              "(busy tunnel / wedged worker?)", file=sys.stderr)
         return None
     if proc.returncode != 0:
-        print(f"bench: child exited rc={proc.returncode}", file=sys.stderr)
+        print(f"bench: {mode} child exited rc={proc.returncode}",
+              file=sys.stderr)
         return None
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
@@ -176,9 +208,9 @@ def _run_child(degraded: bool) -> dict | None:
                 parsed = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if "value" in parsed:
+            if key in parsed:
                 return parsed
-    print("bench: child produced no JSON line", file=sys.stderr)
+    print(f"bench: {mode} child produced no JSON line", file=sys.stderr)
     return None
 
 
@@ -189,20 +221,59 @@ def main() -> int:
         # CI smoke path: tiny config, no retry machinery.
         return child_main()
 
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEADLINE_S", 1500)
+    )
     cooldown = float(os.environ.get("BENCH_COOLDOWN", 20))
-    plan = [False] * attempts + [True, True]   # full runs, then degraded
-    for i, degraded in enumerate(plan):
-        if i:
-            time.sleep(cooldown)
-        label = "degraded" if degraded else "full"
-        print(f"bench: attempt {i + 1}/{len(plan)} ({label})",
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
+
+    # Phase 1 — cheap tunnel probe, retried briefly: a chip held by
+    # another process (the BENCH_r04 failure) surfaces here in minutes.
+    probed = False
+    for _ in range(2):
+        if remaining() < _PROBE_TIMEOUT_S / 2:
+            break
+        if _run_child("probe",
+                      min(_PROBE_TIMEOUT_S, remaining() - 30),
+                      key="probe") is not None:
+            probed = True
+            break
+        time.sleep(cooldown)
+    if not probed:
+        print("bench: tunnel probe never succeeded — chip busy or "
+              "wedged; failing fast (see PERF.md round-end protocol)",
               file=sys.stderr)
-        result = _run_child(degraded)
+        return 1
+
+    # Phase 2 — full-config attempts while the budget still leaves a
+    # degraded reserve; each child is capped by the budget, not by the
+    # old fixed 2400 s.
+    attempt = 0
+    while remaining() > _DEGRADED_RESERVE_S + 60:
+        attempt += 1
+        budget = min(_CHILD_TIMEOUT_S, remaining() - _DEGRADED_RESERVE_S)
+        print(f"bench: attempt {attempt} (full, {budget:.0f}s budget, "
+              f"{remaining():.0f}s to deadline)", file=sys.stderr)
+        result = _run_child("full", budget)
         if result is not None:
             print(json.dumps(result))
             return 0
-    print("bench: every attempt failed", file=sys.stderr)
+        time.sleep(cooldown)
+
+    # Phase 3 — degraded fallback inside the reserve: a number with a
+    # "degraded" flag beats a crash.
+    while remaining() > 60:
+        print(f"bench: degraded attempt ({remaining():.0f}s to "
+              "deadline)", file=sys.stderr)
+        result = _run_child("degraded", remaining() - 30)
+        if result is not None:
+            print(json.dumps(result))
+            return 0
+        time.sleep(min(cooldown, 5))
+    print("bench: every attempt failed within the deadline",
+          file=sys.stderr)
     return 1
 
 

@@ -13,14 +13,26 @@ The two must agree by MC theory: E[RMSE²(A,B)] = mean(Var_A + Var_B)
 sqrt(1 + sppA/sppB), estimates RMSE(A, truth). Agreement validates the
 variance-derived 1080p headline (any resolution- or spp-dependent BIAS
 — f32 accumulation drift, fusion differences — would show as the
-measured number exceeding the prediction beyond MC wobble).
+measured number exceeding the prediction beyond MC wobble). With the
+LD sampler the prediction is an iid bound, so healthy ratios sit at or
+BELOW ~1 (stratification beats iid at most pixels).
 
-Checkpointed + resumable like quality_1024.py (atomic npz, counter-based
-RNG). Appends its result section to benchmarks/QUALITY.md.
+History: the round-4 run of this check FAILED (ratio 2.38) and the
+failure was real — it exposed the shared-Halton-base stream
+correlation fixed in PERF.md r5a. The ratio is the acceptance
+criterion: ~<=1.2 passes; above that, localize (per-pixel excess map)
+before trusting any variance-derived headline.
 
-Usage:  python benchmarks/quality_ab.py            (~2 h on one v5e)
+Checkpointed + resumable (atomic npz, counter-based RNG; sample
+batching is in-graph, so checkpoints are per QAB_STEP samples).
+Checkpoints carry a sampler-version field — a sampler change restarts
+rather than silently mixing streams. Appends its result section to
+benchmarks/QUALITY.md.
+
+Usage:  python benchmarks/quality_ab.py        (~30 min on one v5e)
 Env:    QAB_SPP_A (1024), QAB_SPP_B (8192), QAB_SIZE (512),
-        QAB_DEPTH (8), QAB_CKPT (128)
+        QAB_DEPTH (8), QAB_STEP_A (16), QAB_STEP_B (32),
+        QAB_CKPT (128)
 """
 
 from __future__ import annotations
@@ -32,6 +44,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+# Bump when the sampler's fixed-seed streams change (PERF.md r5a gave
+# every LD stream its own Halton primes — v2).
+SAMPLER_VERSION = 2
 
 
 def main() -> int:
@@ -54,6 +70,8 @@ def main() -> int:
     spp_b = int(os.environ.get("QAB_SPP_B", 8192))
     size = int(os.environ.get("QAB_SIZE", 512))
     depth = int(os.environ.get("QAB_DEPTH", 8))
+    step_a = int(os.environ.get("QAB_STEP_A", 16))
+    step_b = int(os.environ.get("QAB_STEP_B", 32))
     ckpt_every = int(os.environ.get("QAB_CKPT", 128))
 
     config = RenderConfig(
@@ -63,43 +81,52 @@ def main() -> int:
     scene, cam_cfg = scenes.cornell_mesh(6)
     camera = build_camera(cam_cfg, 1.0)
 
-    # --- A: 1-spp steps accumulating mean AND square (variance) --------
+    # --- A: in-graph scan over 1-spp renders, accumulating mean AND
+    # square. The global counter stays sample-granular (scan index =
+    # global sample id), so resume points and batch sizes never change
+    # the streams; only the dispatch count drops (the r4 run spent ~2 h
+    # on 1024+256 tunnel dispatches for ~15 min of compute).
     @jax.jit
-    def step_a(m1, m2, step_idx):
-        img = megakernel.render_samples(
-            scene, camera, config, step_idx, 1, jnp.uint32(0)
+    def steps_a(m1, m2, first_sample):
+        def body(carry, s):
+            m1, m2 = carry
+            img = megakernel.render_samples(
+                scene, camera, config, s, 1, jnp.uint32(0)
+            )
+            return (m1 + img, m2 + img * img), None
+
+        (m1, m2), _ = jax.lax.scan(
+            body, (m1, m2), first_sample + jnp.arange(step_a)
         )
-        return m1 + img, m2 + img * img
+        return m1, m2
 
-    # --- B: independent seed, 8-spp steps, mean only --------------------
-    b_per_step = 8
-
+    # --- B: independent seed, mean only --------------------------------
     @jax.jit
-    def step_b(m1, step_idx):
-        # render_samples returns the SUM over its n_samples, and the
-        # global counter is sample-granular: step i covers samples
-        # [i*b_per_step, (i+1)*b_per_step).
+    def steps_b(m1, first_sample):
         img = megakernel.render_samples(
-            scene, camera, config, step_idx * b_per_step, b_per_step,
-            jnp.uint32(997),
+            scene, camera, config, first_sample, step_b, jnp.uint32(997)
         )
-        return m1 + img
+        return (m1 + img,)
 
     def run(tag, n_total, per_step, stepper, state):
         out = os.path.join(REPO, "benchmarks", f"quality_ab_{tag}.npz")
         start = 0
         if os.path.exists(out):
             d = np.load(out)
-            if int(d["size"]) == size and int(d["depth"]) == depth:
+            if (int(d["size"]) == size and int(d["depth"]) == depth
+                    and int(d.get("sampler_v", 1)) == SAMPLER_VERSION):
                 start = int(d["n"])
                 state = tuple(jnp.asarray(d[f"s{i}"])
                               for i in range(len(state)))
                 print(f"[{tag}] resuming at {start} spp", file=sys.stderr)
+            else:
+                print(f"[{tag}] stale checkpoint (config/sampler "
+                      "mismatch) — restarting", file=sys.stderr)
         steps = n_total // per_step
         first = start // per_step
         t0 = time.perf_counter()
         for i in range(first, steps):
-            state = stepper(*state, jnp.int32(i))
+            state = stepper(*state, jnp.int32(i * per_step))
             if not isinstance(state, tuple):
                 state = (state,)
             n_done = (i + 1) * per_step
@@ -107,7 +134,8 @@ def main() -> int:
                 arrs = {f"s{j}": np.asarray(s)
                         for j, s in enumerate(state)}
                 tmp = out + ".tmp.npz"
-                np.savez(tmp, n=n_done, size=size, depth=depth, **arrs)
+                np.savez(tmp, n=n_done, size=size, depth=depth,
+                         sampler_v=SAMPLER_VERSION, **arrs)
                 os.replace(tmp, out)
                 rate = (n_done - start) / max(
                     time.perf_counter() - t0, 1e-9
@@ -117,12 +145,12 @@ def main() -> int:
         return state
 
     m1a, m2a = run(
-        "a", spp_a, 1, step_a,
+        "a", spp_a, step_a, steps_a,
         (jnp.zeros((size, size, 3), jnp.float32),
          jnp.zeros((size, size, 3), jnp.float32)),
     )
     (m1b,) = run(
-        "b", spp_b, b_per_step, step_b,
+        "b", spp_b, step_b, steps_b,
         (jnp.zeros((size, size, 3), jnp.float32),),
     )
 
@@ -135,6 +163,12 @@ def main() -> int:
     rmse_pred = float(np.sqrt((var1 / spp_a).mean()))
     deflate = float(np.sqrt(1.0 + spp_a / spp_b))
     lum = float(a.mean())
+    # Concentration diagnostic: share of total squared error carried by
+    # the hottest 0.1% of pixels. The r4 failure put 88% there (slit
+    # band); a healthy run spreads error widely (< ~30%).
+    d2 = ((a - b) ** 2).mean(axis=-1).ravel()
+    top = max(1, d2.size // 1000)
+    conc = float(np.sort(d2)[::-1][:top].sum() / max(d2.sum(), 1e-30))
     result = {
         "metric": f"measured RMSE(A,B), {size}x{size} cornell_mesh "
                   f"depth{depth}: A={spp_a} spp seed 0 vs "
@@ -143,7 +177,9 @@ def main() -> int:
         "rmse_a_vs_truth_deflated": round(rmse_ab / deflate, 6),
         "rmse_a_variance_derived": round(rmse_pred, 6),
         "measured_over_predicted": round(rmse_ab / deflate / rmse_pred, 4),
+        "top_0.1pct_pixel_share_of_sq_error": round(conc, 4),
         "mean_radiance": round(lum, 6),
+        "sampler_version": SAMPLER_VERSION,
     }
     print(json.dumps(result))
 
@@ -153,9 +189,9 @@ def main() -> int:
             "\n## A-vs-B grounding (measured, independent seeds)\n\n"
             "One actual comparison validating the variance-derived "
             "method above:\nA (1024 spp, seed 0) vs an independent "
-            "8x-converged B; the deflated\nmeasured RMSE should match "
-            "A's own variance prediction (ratio ~1.0)\nunless a "
-            "resolution/spp-dependent bias exists "
+            "8x-converged B; the deflated\nmeasured RMSE should sit at "
+            "or below A's own iid variance prediction\n(ratio ~<= 1.2) "
+            "unless a bias or stream correlation exists\n"
             "(benchmarks/quality_ab.py).\n\n```json\n"
             + json.dumps(result, indent=2) + "\n```\n"
         )

@@ -299,7 +299,7 @@ def render_adaptive(scene, camera, config: RenderConfig,
 
 class TileState(NamedTuple):
     accum: jnp.ndarray     # (T, t, t, 3) f32 — tile-major radiance sum
-    m2: jnp.ndarray        # (T, t, t) f32 — per-sample luminance² sum
+    m2: jnp.ndarray        # (T, t, t, 3) f32 — per-sample radiance² sum
     tile_spp: jnp.ndarray  # (T,) i32 — samples accumulated per tile
     seed: jnp.ndarray      # () u32
 
@@ -318,23 +318,35 @@ def init_tile_state(config: RenderConfig, tile: int) -> TileState:
     n_tiles = (h // tile) * (w // tile)
     return TileState(
         accum=jnp.zeros((n_tiles, tile, tile, 3), jnp.float32),
-        m2=jnp.zeros((n_tiles, tile, tile), jnp.float32),
+        m2=jnp.zeros((n_tiles, tile, tile, 3), jnp.float32),
         tile_spp=jnp.zeros(n_tiles, jnp.int32),
         seed=jnp.uint32(config.seed),
     )
 
 
+def _tile_var1(state: TileState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unbiased per-pixel PER-CHANNEL sample variance ((T, t, t, 3))
+    and the per-tile spp as f32 ((T,)). Per-channel rather than
+    luminance so the scheduler descends on — and ``predicted_rmse``
+    estimates — the exact RGB squared error the BASELINE quality metric
+    measures (ADVICE r4: Var(lum) = wᵀΣw generally understates mean
+    per-channel variance)."""
+    n = jnp.maximum(state.tile_spp, 1).astype(jnp.float32)
+    n4 = n[:, None, None, None]
+    mean = state.accum / n4
+    var1 = jnp.maximum(state.m2 / n4 - mean * mean, 0.0) * (
+        n / jnp.maximum(n - 1.0, 1.0))[:, None, None, None]
+    return var1, n
+
+
 def _tile_scores(state: TileState, config: RenderConfig,
                  tile: int) -> jnp.ndarray:
     """Greedy per-tile score: expected image-MSE drop per sample,
-    sum_pixels s² / (n (n+1)) — the band criterion at tile granularity;
+    sum_{pixels,channels} s² / (n (n+1)) — the band criterion at tile
+    granularity, on the same RGB squared error the quality metric uses;
     unexplored tiles (spp < 2) rank +inf minus their spp."""
-    n = jnp.maximum(state.tile_spp, 1).astype(jnp.float32)
-    mean_lum = _lum(state.accum) / n[:, None, None]
-    var1 = jnp.maximum(
-        state.m2 / n[:, None, None] - mean_lum * mean_lum, 0.0
-    ) * (n / jnp.maximum(n - 1.0, 1.0))[:, None, None]
-    score = var1.sum(axis=(1, 2)) / (n * (n + 1.0))
+    var1, n = _tile_var1(state)
+    score = var1.sum(axis=(1, 2, 3)) / (n * (n + 1.0))
     return jnp.where(
         state.tile_spp < 2,
         jnp.float32(3.0e38) - state.tile_spp.astype(jnp.float32),
@@ -374,8 +386,7 @@ def _tile_step_body(state: TileState, scene, camera,
                                            tile * tile),
         ).reshape(k, tile, tile, 3)
         accum = accum.at[tile_ids].add(blocks, unique_indices=True)
-        lum = _lum(blocks)
-        m2 = m2.at[tile_ids].add(lum * lum, unique_indices=True)
+        m2 = m2.at[tile_ids].add(blocks * blocks, unique_indices=True)
     tile_spp = tile_spp.at[tile_ids].add(spp_per_round,
                                          unique_indices=True)
     return TileState(accum=accum, m2=m2, tile_spp=tile_spp,
@@ -417,15 +428,11 @@ def tile_neyman_gain(state: TileState, config: RenderConfig,
     over uniform, from the current variance estimate: Neyman allocation
     gives exactly ``mean_t(sigma_t^2) / mean_t(sigma_t)^2`` (>= 1 by
     Cauchy-Schwarz, = 1 iff variance is tile-uniform) where sigma_t^2
-    is tile t's summed per-pixel sample variance. Scene property, not a
-    scheduler property — benchmarks/adaptive_ceiling.py is the offline
-    version of this estimate."""
-    n = jnp.maximum(state.tile_spp, 1).astype(jnp.float32)
-    mean_lum = _lum(state.accum) / n[:, None, None]
-    var1 = jnp.maximum(
-        state.m2 / n[:, None, None] - mean_lum * mean_lum, 0.0
-    ) * (n / jnp.maximum(n - 1.0, 1.0))[:, None, None]
-    sig2 = var1.sum(axis=(1, 2))
+    is tile t's summed per-pixel per-channel sample variance. Scene
+    property, not a scheduler property — benchmarks/adaptive_ceiling.py
+    is the offline version of this estimate."""
+    var1, _ = _tile_var1(state)
+    sig2 = var1.sum(axis=(1, 2, 3))
     sig = jnp.sqrt(sig2)
     return jnp.mean(sig2) / jnp.maximum(jnp.mean(sig) ** 2, 1e-30)
 
@@ -433,18 +440,20 @@ def tile_neyman_gain(state: TileState, config: RenderConfig,
 @functools.partial(jax.jit, static_argnames=("config", "tile"))
 def predicted_rmse(state: TileState, config: RenderConfig,
                    tile: int) -> jnp.ndarray:
-    """Predicted luminance RMSE of the CURRENT mean image vs the
-    converged one: sqrt(mean_p(Var_p / n_p)) over all pixels — the
-    standard-error estimate behind the BASELINE quality headline
-    (benchmarks/quality_1024.py), computable live because the tile
-    state already carries the per-pixel luminance second moment.
-    Assumes unbiasedness, which the suite's kernel-vs-oracle gate and
-    benchmarks/quality_ab.py's measured A-vs-B check ground."""
-    n = jnp.maximum(state.tile_spp, 1).astype(jnp.float32)[:, None, None]
-    mean_lum = _lum(state.accum) / n
-    var1 = jnp.maximum(state.m2 / n - mean_lum * mean_lum, 0.0) * (
-        n / jnp.maximum(n - 1.0, 1.0))
-    return jnp.sqrt(jnp.mean(var1 / n))
+    """Predicted RGB RMSE of the CURRENT mean image vs the converged
+    one: sqrt(mean(Var_pc / n_p)) over all (pixel, channel) — the SAME
+    per-channel metric as the BASELINE quality headline
+    (benchmarks/quality_1024.py RMSE over (H, W, 3)), computable live
+    because the tile state carries per-pixel per-channel second
+    moments (ADVICE r4: the earlier luminance form understated RGB
+    error). An iid standard-error estimate: assumes unbiasedness
+    (grounded by the suite's kernel-vs-oracle gate and
+    benchmarks/quality_ab.py's measured A-vs-B check) and iid samples —
+    with the LD sampler the true error sits at or below it (measured
+    A-vs-B ratio, PERF.md r5a/r5b), so a ``--target-rmse`` stop is
+    conservative, never optimistic."""
+    var1, n = _tile_var1(state)
+    return jnp.sqrt(jnp.mean(var1 / n[:, None, None, None]))
 
 
 @functools.partial(
@@ -475,10 +484,9 @@ def uniform_tile_rounds(state: TileState, scene, camera,
         blocks = img.reshape(nty, tile, ntx, tile, 3).transpose(
             0, 2, 1, 3, 4
         ).reshape(-1, tile, tile, 3)
-        lum = _lum(blocks)
         return TileState(
             accum=st.accum + blocks,
-            m2=st.m2 + lum * lum,
+            m2=st.m2 + blocks * blocks,
             tile_spp=st.tile_spp,     # bumped once after the scan
             seed=st.seed,
         ), None
@@ -535,17 +543,29 @@ def render_adaptive_tiles(scene, camera, config: RenderConfig,
     n_tiles = (config.height // tile) * (config.width // tile)
     k = tiles_per_round or max(1, n_tiles // 8)
     k = min(k, n_tiles)
-
-    def _hit_target(st: TileState) -> bool:
-        # Valid only once every tile carries >= 2 spp (the n=1 variance
-        # estimate is identically zero); callers check after warmup.
-        return (target_rmse > 0.0 and
-                float(predicted_rmse(st, config, tile)) <= target_rmse)
     state = init_tile_state(config, tile)
 
     target = budget_spp if budget_spp is not None else (
         config.samples_per_pixel
     )
+    if target_rmse > 0.0 and min(warmup_spp, target) < 2:
+        # The n<=1 variance estimate is identically zero, so EVERY
+        # stopping check (not just the post-warmup one) would fire
+        # immediately with most tiles unsampled (ADVICE r4). Disable
+        # the rule loudly rather than stop on garbage.
+        from pathtracing_tpu.utils import logging as ptlog
+
+        ptlog.log_warning(
+            "target_rmse needs warmup_spp >= 2 (got %d) — stopping "
+            "rule disabled, rendering the full budget", warmup_spp,
+        )
+        target_rmse = 0.0
+
+    def _hit_target(st: TileState) -> bool:
+        # Only meaningful once every tile carries >= 2 spp — the guard
+        # above guarantees the warmup provides that before any check.
+        return (target_rmse > 0.0 and
+                float(predicted_rmse(st, config, tile)) <= target_rmse)
     budget = n_tiles * target
     spent = 0
     rounds = 0

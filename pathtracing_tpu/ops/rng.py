@@ -70,9 +70,9 @@ def uniform3(key):
 
 # --- Progressive low-discrepancy sampling -------------------------------
 #
-# A Halton (base 2, base 3) pair indexed by the GLOBAL sample counter,
+# Halton radical inverses indexed by the GLOBAL sample counter,
 # Cranley-Patterson rotated by a per-(pixel, stream) uniform offset:
-# each pixel sees a well-stratified 2D point set that refines
+# each pixel sees a well-stratified point set that refines
 # progressively (no power-of-two spp needed), while the rotation
 # decorrelates pixels so the shared sequence never shows as structured
 # noise. Rotation of a uniform point is uniform, so every sample's
@@ -80,6 +80,25 @@ def uniform3(key):
 # only the per-pixel variance drops. Counters only (no state), so
 # engines, shardings, and resume points all reproduce bit-exactly, same
 # as the threefry streams.
+#
+# EVERY STREAM GETS ITS OWN PRIME BASES (the _LD_*_BASES tables): the
+# streams jointly form one higher-dimensional Halton point, which
+# equidistributes in the product space. The original design reused
+# base (2, 3) for every ld_pair stream with only the rotation to
+# decorrelate them — but a rotation is a CONSTANT per (pixel, stream),
+# so any two streams' coordinates differed by a constant and their
+# joint distribution degenerated to a line in [0,1)². Any integrand
+# event depending jointly on two streams (e.g. Cornell's slit pixels,
+# where pixel-jitter t picks the ceiling point and the scatter pair
+# decides whether the bounce escapes the light/ceiling gap) then
+# converges to a rotation-dependent WRONG frequency: a per-pixel
+# conditional bias that the in-render variance estimate cannot see
+# (samples concentrate tightly given the rotation). Measured as the
+# r4 A-vs-B failure: ratio 2.38, with 68% of the excess squared error
+# in ~100 slit-edge pixels whose A/B means disagreed by 10+ sigma
+# (PERF.md r5a). Distinct prime bases are the standard fix (cf. the
+# classic Halton-dimension assignment); the rotations stay, still
+# doing their real job of decorrelating pixels.
 
 
 def _bitrev32(n):
@@ -96,35 +115,50 @@ def _vdc2(s):
     return bits.astype(jnp.float32) * jnp.float32(2.0**-32)
 
 
-def _vdc3(s):
-    """Base-3 radical inverse; 20 digits cover indices past 3^20≈3.5e9."""
+# Digit counts per base, enough for every uint32 index (b**d >= 2**32).
+_VDC_DIGITS = {3: 21, 5: 14, 7: 12, 11: 10, 13: 9, 17: 8, 19: 8,
+               23: 8, 29: 7}
+
+
+def _vdc(s, base):
+    """Base-``base`` radical inverse (van der Corput) of a uint32
+    index. Base 2 uses the bit-reversal fast path."""
+    if base == 2:
+        return _vdc2(s)
     n = s.astype(jnp.uint32)
     r = jnp.zeros_like(n, dtype=jnp.float32)
-    base = jnp.float32(1.0 / 3.0)
-    for _ in range(20):
-        r = r + (n % 3).astype(jnp.float32) * base
-        n = n // 3
-        base = base * jnp.float32(1.0 / 3.0)
+    inv = jnp.float32(1.0 / base)
+    scale = inv
+    for _ in range(_VDC_DIGITS[base]):
+        r = r + (n % base).astype(jnp.float32) * scale
+        n = n // base
+        scale = scale * inv
     return r
 
 
-def _vdc5(s):
-    """Base-5 radical inverse; 14 digits cover indices past 5^14≈6e9."""
-    n = s.astype(jnp.uint32)
-    r = jnp.zeros_like(n, dtype=jnp.float32)
-    base = jnp.float32(1.0 / 5.0)
-    for _ in range(14):
-        r = r + (n % 5).astype(jnp.float32) * base
-        n = n // 5
-        base = base * jnp.float32(1.0 / 5.0)
-    return r
+# Halton dimension assignment: one prime (pair) per LD stream, so the
+# streams are jointly equidistributed (see the block comment above).
+# (2, 3) stays on the pixel jitter — the lowest-discrepancy pair on the
+# variance-dominant dimension. New LD consumers MUST claim fresh primes
+# here; an unlisted tag raises at trace time rather than silently
+# re-correlating streams.
+_LD_PAIR_BASES = {
+    STREAM_PIXEL_JITTER: (2, 3),
+    STREAM_LENS: (5, 7),
+    STREAM_NEE: (13, 17),
+    STREAM_SCATTER: (19, 23),
+}
+_LD_SCALAR_BASES = {
+    STREAM_NEE: 11,
+    STREAM_TIME: 29,
+}
 
 
 def ld_scalar(seed, pixel_index, sample_index, stream_tag):
-    """Stratified 1D sample (base-5 van der Corput + per-pixel
-    rotation): used for the NEE light-pick dimension, where stratifying
-    across samples spreads a pixel's shadow rays over the scene's
-    lights instead of re-rolling them independently."""
+    """Stratified 1D sample (van der Corput in the stream's own prime
+    base + per-pixel rotation): used for the NEE light-pick dimension,
+    where stratifying across samples spreads a pixel's shadow rays over
+    the scene's lights instead of re-rolling them independently."""
     key = jax.random.fold_in(
         jax.random.fold_in(
             jax.random.fold_in(jax.random.key(seed), pixel_index),
@@ -133,21 +167,23 @@ def ld_scalar(seed, pixel_index, sample_index, stream_tag):
         _LD_SCALAR_SALT,
     )
     rot = jax.random.uniform(key, (), dtype=jnp.float32)
-    u = _vdc5(sample_index) + rot
+    u = _vdc(sample_index, _LD_SCALAR_BASES[stream_tag]) + rot
     return u - jnp.floor(u)
 
 
 def ld_pair(seed, pixel_index, sample_index, stream_tag):
-    """Stratified 2D sample: Halton(2,3) point ``sample_index`` with a
-    per-(seed, pixel, stream) rotation. Broadcasts over array inputs;
-    returns values shaped like ``sample_index`` (+ trailing pair dim via
-    tuple). Used for the variance-dominant first-vertex draws; deeper
-    bounces keep independent threefry streams (their dimensionality is
-    unbounded and stratification there buys little)."""
+    """Stratified 2D sample: the stream's own Halton prime pair at index
+    ``sample_index`` with a per-(seed, pixel, stream) rotation.
+    Broadcasts over array inputs; returns values shaped like
+    ``sample_index`` (+ trailing pair dim via tuple). Used for the
+    variance-dominant first-vertex draws; deeper bounces keep
+    independent threefry streams (their dimensionality is unbounded and
+    stratification there buys little)."""
+    b0, b1 = _LD_PAIR_BASES[stream_tag]
     key = jax.random.fold_in(
         jax.random.fold_in(jax.random.key(seed), pixel_index), stream_tag
     )
     rot = jax.random.uniform(key, (2,), dtype=jnp.float32)
-    u0 = _vdc2(sample_index) + rot[0]
-    u1 = _vdc3(sample_index) + rot[1]
+    u0 = _vdc(sample_index, b0) + rot[0]
+    u1 = _vdc(sample_index, b1) + rot[1]
     return u0 - jnp.floor(u0), u1 - jnp.floor(u1)

@@ -57,7 +57,7 @@ from pathtracing_tpu.utils.config import RenderConfig
 
 _STATE_SPECS = (
     P(TILE_AXIS, None, None, None),   # accum
-    P(TILE_AXIS, None, None),         # m2
+    P(TILE_AXIS, None, None, None),   # m2 (per-channel, ADVICE r4)
     P(TILE_AXIS),                     # tile_spp
 )
 
@@ -124,8 +124,7 @@ def _local_samples(st: TileState, scene, camera, config: RenderConfig,
                                            tile * tile),
         ).reshape(kk, tile, tile, 3)
         acc = acc.at[ids_local].add(blocks, unique_indices=True)
-        lum = adaptive._lum(blocks)
-        m2 = m2.at[ids_local].add(lum * lum, unique_indices=True)
+        m2 = m2.at[ids_local].add(blocks * blocks, unique_indices=True)
     spp = spp.at[ids_local].add(spp_per_round, unique_indices=True)
     return TileState(accum=acc, m2=m2, tile_spp=spp, seed=st.seed)
 
@@ -257,6 +256,18 @@ def render_adaptive_sharded(mesh: Mesh, scene, camera,
     budget = n_tiles * target
     spent = 0
     rounds = 0
+    if target_rmse > 0.0 and min(warmup_spp, target) < 2:
+        # Same guard as render_adaptive_tiles (ADVICE r4): an n<=1
+        # variance estimate is identically zero and would stop the
+        # schedule immediately.
+        from pathtracing_tpu.utils import logging as ptlog
+
+        ptlog.log_warning(
+            "target_rmse needs warmup_spp >= 2 (got %d) — stopping "
+            "rule disabled, rendering the full budget", warmup_spp,
+        )
+        target_rmse = 0.0
+
     def hit_target(st: TileState) -> bool:
         return (target_rmse > 0.0 and float(
             adaptive.predicted_rmse(st, config, tile)) <= target_rmse)

@@ -339,6 +339,16 @@ def main(argv=None) -> int:
     else:
         camera = build_camera(cam_cfg, args.width / args.height)
 
+    if args.target_rmse > 0.0 and not args.adaptive:
+        # Validate BEFORE the --aov/--orbit/--tiles dispatch: those
+        # branches return early and would silently render the full
+        # budget with the flag ignored (ADVICE r4).
+        ptlog.log_critical(
+            "--target-rmse needs the per-pixel variance state: "
+            "pass --adaptive (tile granularity)"
+        )
+        return 2
+
     if args.aov:
         from pathtracing_tpu.models import aov as aov_mod
 
@@ -379,12 +389,6 @@ def main(argv=None) -> int:
                 "engine; --engine wavefront is ignored"
             )
         return _adaptive_main(args, config, scene, camera)
-    if args.target_rmse > 0.0:
-        ptlog.log_critical(
-            "--target-rmse needs the per-pixel variance state: "
-            "pass --adaptive (tile granularity)"
-        )
-        return 2
 
     state = progressive.init_state(config)
     if args.checkpoint and os.path.exists(args.checkpoint):

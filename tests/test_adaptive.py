@@ -408,9 +408,10 @@ def test_predicted_rmse_tracks_numpy_and_decreases(setup):
 
     accum = np.asarray(state.accum, np.float64)
     m2 = np.asarray(state.m2, np.float64)
-    n = np.asarray(state.tile_spp, np.float64)[:, None, None]
-    lum = (accum * np.array([0.2126, 0.7152, 0.0722])).sum(-1) / n
-    var1 = np.maximum(m2 / n - lum * lum, 0.0) * (n / (n - 1.0))
+    n = np.asarray(state.tile_spp, np.float64)[:, None, None, None]
+    mean = accum / n
+    # Per-channel variance over (T, t, t, 3) — the RGB metric's form.
+    var1 = np.maximum(m2 / n - mean * mean, 0.0) * (n / (n - 1.0))
     np.testing.assert_allclose(r2, np.sqrt((var1 / n).mean()), rtol=1e-4)
     assert r2 > 0.0
 
@@ -450,6 +451,27 @@ def test_target_rmse_stops_early_and_zero_is_inert(setup):
                                   np.asarray(base.accum))
     np.testing.assert_array_equal(np.asarray(full.tile_spp),
                                   np.asarray(base.tile_spp))
+
+
+def test_target_rmse_disabled_without_warmup(setup):
+    """warmup_spp < 2 leaves every in-loop variance estimate at an
+    n<=1 state (identically zero), so the stopping rule must be
+    DISABLED (with a warning), not fire immediately (ADVICE r4): the
+    full budget renders, matching the no-target schedule exactly."""
+    scene, cam = setup
+    tile = 2
+    base, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=tile, tiles_per_round=4, budget_spp=8,
+        warmup_spp=1,
+    )
+    guarded, _ = adaptive.render_adaptive_tiles(
+        scene, cam, CFG, tile=tile, tiles_per_round=4, budget_spp=8,
+        warmup_spp=1, target_rmse=10.0,     # absurdly loose target
+    )
+    spp = np.asarray(guarded.tile_spp)
+    assert spp.sum() == 8 * spp.size          # full budget spent
+    np.testing.assert_array_equal(np.asarray(guarded.accum),
+                                  np.asarray(base.accum))
 
 
 def test_target_rmse_stops_uniform_fallback(setup):

@@ -43,6 +43,22 @@ def test_render_and_resume(tmp_path):
     assert "Traceback" not in r2.stderr
 
 
+def test_target_rmse_requires_adaptive_in_every_branch(tmp_path):
+    """--target-rmse without --adaptive exits 2 even on the early-
+    returning --tiles/--aov/--orbit branches (ADVICE r4: the guard used
+    to sit after them, so '--tiles --target-rmse' silently ignored the
+    flag and rendered the full budget)."""
+    for extra in ([], ["--tiles", "2"], ["--aov", "normal"],
+                  ["--orbit", "2"]):
+        r = run_cli(
+            "--scene", "cornell_sphere", "--width", "16", "--height",
+            "16", "--spp", "2", "--target-rmse", "0.5",
+            "--out", str(tmp_path / "x.png"), *extra,
+        )
+        assert r.returncode == 2, (extra, r.stderr)
+        assert "--target-rmse" in r.stderr, (extra, r.stderr)
+
+
 def test_unknown_scene_exit_code():
     r = run_cli("--scene", "nope", "--width", "8", "--height", "8",
                 "--spp", "1")
