@@ -19,12 +19,17 @@ so variance is the only error term left.
 The run is checkpointed (sum + sum-of-squares + step count, atomic npz
 replace) and resumes exactly — per-step RNG is counter-based, so a crash
 of the tunneled TPU worker costs at most QC_CKPT steps. Respects the
-~2-minute dispatch limit via 1-spp steps (~5 s each at 1080p).
+~2-minute dispatch limit by batching QC_STEP 1-spp samples per dispatch
+in-graph (an inner scan over global sample ids — identical streams, far
+fewer tunnel round-trips than the r3 one-dispatch-per-spp loop).
+Checkpoints carry the sampler version (a sampler change restarts
+rather than mixing streams — PERF.md r5a changed every LD stream).
 
-Usage:  python benchmarks/quality_1024.py            (~80 min on one v5e)
+Usage:  python benchmarks/quality_1024.py            (~25 min warm on one v5e)
         QC_SPP=64 python benchmarks/quality_1024.py  (quick variant)
-Env:    QC_SPP (1024), QC_CKPT (32), QC_WIDTH/HEIGHT (1920/1080),
-        QC_DEPTH (8), QC_OUT (benchmarks/quality_1024.npz)
+Env:    QC_SPP (1024), QC_STEP (4), QC_CKPT (32, in spp),
+        QC_WIDTH/HEIGHT (1920/1080), QC_DEPTH (8),
+        QC_OUT (benchmarks/quality_1024.npz)
 """
 
 from __future__ import annotations
@@ -36,6 +41,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+SAMPLER_VERSION = 2     # keep in lockstep with quality_ab.py
 
 
 def main() -> int:
@@ -55,7 +62,11 @@ def main() -> int:
     from pathtracing_tpu.utils.config import RenderConfig
 
     spp = int(os.environ.get("QC_SPP", 1024))
+    step_n = max(1, int(os.environ.get("QC_STEP", 4)))
+    if spp % step_n:
+        raise SystemExit("QC_SPP must be divisible by QC_STEP")
     ckpt_every = int(os.environ.get("QC_CKPT", 32))
+    ckpt_every = max(step_n, ckpt_every - ckpt_every % step_n)
     width = int(os.environ.get("QC_WIDTH", 1920))
     height = int(os.environ.get("QC_HEIGHT", 1080))
     depth = int(os.environ.get("QC_DEPTH", 8))
@@ -72,21 +83,33 @@ def main() -> int:
     seed = jnp.uint32(config.seed)
 
     @jax.jit
-    def accum_step(m1, m2, step_idx):
-        img = megakernel.render_samples(
-            scene, camera, config, step_idx, 1, seed
+    def accum_step(m1, m2, first_sample):
+        def body(carry, s):
+            m1, m2 = carry
+            img = megakernel.render_samples(
+                scene, camera, config, s, 1, seed
+            )
+            return (m1 + img, m2 + img * img), None
+
+        (m1, m2), _ = jax.lax.scan(
+            body, (m1, m2), first_sample + jnp.arange(step_n)
         )
-        return m1 + img, m2 + img * img
+        return m1, m2
 
     start = 0
     if os.path.exists(out):
         data = np.load(out)
         if (int(data["width"]) == width and int(data["height"]) == height
-                and int(data["depth"]) == depth):
+                and int(data["depth"]) == depth
+                and int(data.get("sampler_v", 1)) == SAMPLER_VERSION
+                and int(data["n"]) % step_n == 0):
             start = int(data["n"])
             m1 = jnp.asarray(data["m1"])
             m2 = jnp.asarray(data["m2"])
             print(f"resuming at step {start} from {out}", file=sys.stderr)
+        else:
+            print("stale checkpoint (config/sampler mismatch) — "
+                  "restarting", file=sys.stderr)
     if start == 0:
         m1 = jnp.zeros((height, width, 3), jnp.float32)
         m2 = jnp.zeros((height, width, 3), jnp.float32)
@@ -96,17 +119,18 @@ def main() -> int:
         m1_np, m2_np = np.asarray(m1), np.asarray(m2)
         tmp = out + ".tmp.npz"
         np.savez(tmp, m1=m1_np, m2=m2_np, n=n, width=width,
-                 height=height, depth=depth)
+                 height=height, depth=depth, sampler_v=SAMPLER_VERSION)
         os.replace(tmp, out)
         print(f"  ckpt @ {n} spp ({time.perf_counter() - t:.1f}s)",
               file=sys.stderr, flush=True)
 
     t_run = time.perf_counter()
-    for n in range(start, spp):
+    for n in range(start, spp, step_n):
         t0 = time.perf_counter()
         m1, m2 = accum_step(m1, m2, jnp.int32(n))
-        if (n + 1) % ckpt_every == 0 or n + 1 == spp:
-            checkpoint(n + 1)   # the fetch is also the step-batch sync
+        done = n + step_n
+        if done % ckpt_every == 0 or done >= spp:
+            checkpoint(done)    # the fetch is also the step-batch sync
         elif n == start:
             float(jnp.sum(m1))  # surface compile errors on step one
             print(f"  step time ~{time.perf_counter() - t0:.1f}s "

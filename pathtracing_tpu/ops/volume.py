@@ -15,14 +15,29 @@ extra RNG draw) and continue by Henyey-Greenstein phase sampling,
 exactly the homogeneous-fog estimator with a spatially varying
 collision density.
 
-Free-flight sampling is delta (Woodcock) tracking against the grid-max
-majorant: exponential flights at the majorant rate, each collision real
-with probability ``sigma_t(x) / majorant`` else null — unbiased for any
-``majorant >= sigma_t`` everywhere, and the grid maximum bounds every
-trilinear interpolant (a convex combination of voxel values). Shadow-ray
-transmittance uses ratio tracking (the product-form estimator
-``prod(1 - sigma_t(x_i)/majorant)`` at the same flight distribution),
-which is the unbiased expectation of Beer-Lambert through the grid.
+Free-flight sampling is delta (Woodcock) tracking: exponential flights
+at a majorant rate, each collision real with probability
+``sigma_t(x) / majorant`` else null — unbiased for any
+``majorant >= sigma_t`` everywhere, and a block maximum bounds every
+trilinear interpolant inside the block (a convex combination of voxel
+values; the block max is DILATED by one voxel because trilinear support
+reaches into neighbours). Shadow-ray transmittance uses ratio tracking
+(the product-form estimator ``prod(1 - sigma_t(x_i)/majorant)`` at the
+same flight distribution), which is the unbiased expectation of
+Beer-Lambert through the grid.
+
+MAJORANTS ARE PIECEWISE-CONSTANT over a coarse super-voxel grid
+(``VolumeGrid.coarse``, default 8³ fine voxels per cell, PERF.md r5c):
+each walk iteration either samples a flight at the CURRENT cell's local
+majorant (clamped to the cell exit — restarting the memoryless
+exponential at a boundary is exact, the classic regular-tracking /
+delta-tracking hybrid) or, when the cell is empty or the flight
+overshoots, advances to the cell boundary with no density lookup and no
+collision test. A mostly-empty plume then pays the dense-core rate only
+inside dense cells instead of everywhere (the r4 global-max walk spent
+91% of its lookups on null collisions on smoke_demo; the ledger is
+benchmarks/probe_volume.py). ``coarse_block=0`` at build time disables
+the coarse grid and restores the single global-majorant walk.
 
 Both walks are batch `lax.while_loop`s over (R,) lanes — data-dependent
 trip counts are fine in plain XLA (this is bounce-level code, not a
@@ -86,12 +101,16 @@ class VolumeGrid:
     # media need sigma_a > 0 (emission trades against absorption).
     emission: jnp.ndarray = None     # (Nz, Ny, Nx) f32 or None
     emit_color: jnp.ndarray = None   # (3,) f32 or None
+    # Super-voxel majorants: per-coarse-cell dilated block max of
+    # extinction ((Ncz, Ncy, Ncx) f32, world units^-1). None = single
+    # global-majorant walks (coarse_block=0 at build time).
+    coarse: jnp.ndarray = None
     n_steps: int = 64       # static: tracking step cap
 
     def tree_flatten(self):
         leaves = (self.density, self.sigma_s, self.sigma_a, self.g,
                   self.bbox_min, self.bbox_max, self.majorant,
-                  self.emission, self.emit_color)
+                  self.emission, self.emit_color, self.coarse)
         return leaves, self.n_steps
 
     @classmethod
@@ -105,10 +124,37 @@ class VolumeGrid:
                                           1e-20)
 
 
+def _coarse_majorants(density, block):
+    """Per-super-voxel max of ``density`` over ``block``³ fine voxels,
+    DILATED by one voxel on every side: a trilinear lookup at a point
+    in cell c interpolates voxel centers up to one voxel outside c's
+    span, so the dilated max is the tight valid majorant. Host-side
+    numpy (runs once at build)."""
+    nz, ny, nx = density.shape
+    pad = np.pad(density, 1, mode="edge")
+    ncz = -(-nz // block)
+    ncy = -(-ny // block)
+    ncx = -(-nx // block)
+    out = np.zeros((ncz, ncy, ncx), np.float32)
+    for cz in range(ncz):
+        for cy in range(ncy):
+            for cx in range(ncx):
+                out[cz, cy, cx] = pad[
+                    cz * block:(cz + 1) * block + 2,
+                    cy * block:(cy + 1) * block + 2,
+                    cx * block:(cx + 1) * block + 2,
+                ].max()
+    return out
+
+
 def build_grid(density, bbox_min, bbox_max, sigma_s, sigma_a=0.0,
                g=0.0, n_steps=None, emission=None,
-               emit_color=None) -> VolumeGrid:
-    """Host-side constructor (numpy in, device pytree out)."""
+               emit_color=None, coarse_block=8) -> VolumeGrid:
+    """Host-side constructor (numpy in, device pytree out).
+
+    ``coarse_block``: fine voxels per super-voxel-majorant cell per
+    axis (default 8 — the measured sweet spot on smoke_demo, PERF.md
+    r5c); 0 disables the coarse grid (single global-majorant walks)."""
     density = np.ascontiguousarray(np.asarray(density, np.float32))
     if density.ndim != 3:
         raise ValueError("density grid must be (Nz, Ny, Nx)")
@@ -133,10 +179,19 @@ def build_grid(density, bbox_min, bbox_max, sigma_s, sigma_a=0.0,
         if emit_color is None:
             emit_color = (1.0, 1.0, 1.0)
     majorant = float(density.max()) * (sigma_s + sigma_a)
+    coarse = None
+    if coarse_block and coarse_block > 0:
+        coarse = _coarse_majorants(density, int(coarse_block)) * (
+            sigma_s + sigma_a
+        )
     if n_steps is None:
         lam = majorant * float(np.linalg.norm(bmax - bmin))
-        n_steps = int(min(max(lam + 8.0 * math.sqrt(lam + 1.0) + 8.0,
-                              32.0), 512.0))
+        n_steps = lam + 8.0 * math.sqrt(lam + 1.0) + 8.0
+        if coarse is not None:
+            # Boundary advances add at most one iteration per coarse
+            # cell crossed (<= sum of the per-axis cell counts).
+            n_steps += float(sum(coarse.shape))
+        n_steps = int(min(max(n_steps, 32.0), 512.0))
     return VolumeGrid(
         density=jnp.asarray(density),
         sigma_s=jnp.float32(sigma_s),
@@ -149,6 +204,7 @@ def build_grid(density, bbox_min, bbox_max, sigma_s, sigma_a=0.0,
                   else None),
         emit_color=(jnp.asarray(np.asarray(emit_color, np.float32))
                     if emission is not None else None),
+        coarse=(jnp.asarray(coarse) if coarse is not None else None),
         n_steps=int(n_steps),
     )
 
@@ -209,6 +265,51 @@ def _flight(u, inv_maj):
     return -jnp.log1p(-jnp.minimum(u, 1.0 - 1e-7)) * inv_maj
 
 
+def _coarse_geom(vol: VolumeGrid):
+    """Static coarse-cell geometry: per-axis world cell size ((3,) f32
+    in x,y,z order), per-axis top cell index, flat majorant table, and
+    the monotone-progress epsilon. The per-axis fine-voxels-per-cell
+    block is recovered as ceil(n / nc) (constant at build time)."""
+    ncz, ncy, ncx = vol.coarse.shape
+    nz, ny, nx = vol.density.shape
+    blocks = np.array([-(-nx // ncx), -(-ny // ncy), -(-nz // ncz)],
+                      np.float32)
+    fine = np.array([nx, ny, nz], np.float32)
+    csize = (vol.bbox_max - vol.bbox_min) * jnp.asarray(blocks / fine)
+    hi = jnp.asarray([ncx - 1, ncy - 1, ncz - 1], jnp.int32)
+    t_eps = 1e-4 * jnp.min(csize)
+    return csize, hi, vol.coarse.reshape(-1), t_eps
+
+
+def _coarse_step(vol, csize, hi, cflat, t_eps, o, d, t, u_flight):
+    """One piecewise-constant-majorant walk step shared by both
+    trackers: look up the current cell's local majorant, sample a
+    flight at it, clamp to the cell exit. Returns ``(t_new, advance,
+    inv_lm)`` — ``advance`` lanes crossed a boundary (no collision
+    test; restarting the memoryless exponential there is exact),
+    flight lanes land at ``t_new`` inside the cell with majorant
+    ``1/inv_lm``."""
+    ncz, ncy, ncx = vol.coarse.shape
+    x = o + (t + t_eps)[:, None] * d
+    ci = jnp.clip(
+        jnp.floor((x - vol.bbox_min) / csize).astype(jnp.int32), 0, hi
+    )
+    lm = cflat[(ci[:, 2] * ncy + ci[:, 1]) * ncx + ci[:, 0]]
+    clo = vol.bbox_min + ci.astype(jnp.float32) * csize
+    safe_d = jnp.where(jnp.abs(d) > 1e-12, d,
+                       jnp.where(d >= 0.0, 1e-12, -1e-12))
+    inv_d = 1.0 / safe_d
+    tb = jnp.min(
+        jnp.maximum((clo - o) * inv_d, (clo + csize - o) * inv_d),
+        axis=-1,
+    )
+    tb = jnp.maximum(tb, t + t_eps)      # monotone progress under fp
+    inv_lm = 1.0 / jnp.maximum(lm, 1e-20)
+    t_cand = t + _flight(u_flight, inv_lm)
+    advance = (lm <= 0.0) | (t_cand >= tb)
+    return jnp.where(advance, tb, t_cand), advance, inv_lm
+
+
 def sample_distance(vol: VolumeGrid, keys, depth, o, d, t_max, active):
     """Delta-tracking free-flight sampling inside the grid.
 
@@ -233,6 +334,9 @@ def sample_distance(vol: VolumeGrid, keys, depth, o, d, t_max, active):
     r = o.shape[0]
     done0 = jnp.logical_not(active) | (t0 >= t1)
     event0 = jnp.zeros(r, bool)
+    coarse = vol.coarse is not None
+    if coarse:
+        csize, chi, cflat, t_eps = _coarse_geom(vol)
 
     def cond(carry):
         i, _, done, _ = carry
@@ -244,11 +348,18 @@ def sample_distance(vol: VolumeGrid, keys, depth, o, d, t_max, active):
             lambda k: jax.random.uniform(jax.random.fold_in(k, i), (2,),
                                          dtype=jnp.float32)
         )(k_vol)
-        t_new = t + _flight(u[:, 0], inv_maj)
+        if coarse:
+            t_new, advance, inv_lm = _coarse_step(
+                vol, csize, chi, cflat, t_eps, o, d, t, u[:, 0]
+            )
+        else:
+            t_new = t + _flight(u[:, 0], inv_maj)
+            advance = jnp.zeros(r, bool)
+            inv_lm = inv_maj
         esc = t_new >= t1
         x = o + t_new[:, None] * d
-        p_real = density_at(vol, x) * sig_scale * inv_maj
-        real = u[:, 1] < p_real
+        p_real = density_at(vol, x) * sig_scale * inv_lm
+        real = jnp.logical_not(advance) & (u[:, 1] < p_real)
         event = event | (jnp.logical_not(done) & jnp.logical_not(esc)
                          & real)
         t = jnp.where(done, t, t_new)
@@ -288,6 +399,9 @@ def transmittance(vol: VolumeGrid, keys, depth, o, d, t_max, salt):
     r = o.shape[0]
     done0 = t0 >= t1
     trans0 = jnp.ones(r, jnp.float32)
+    coarse = vol.coarse is not None
+    if coarse:
+        csize, chi, cflat, t_eps = _coarse_geom(vol)
 
     def cond(carry):
         i, _, _, done = carry
@@ -299,14 +413,24 @@ def transmittance(vol: VolumeGrid, keys, depth, o, d, t_max, salt):
             lambda k: jax.random.uniform(jax.random.fold_in(k, i), (),
                                          dtype=jnp.float32)
         )(k_t)
-        t_new = t + _flight(u, inv_maj)
+        if coarse:
+            t_new, advance, inv_lm = _coarse_step(
+                vol, csize, chi, cflat, t_eps, o, d, t, u
+            )
+        else:
+            t_new = t + _flight(u, inv_maj)
+            advance = jnp.zeros(r, bool)
+            inv_lm = inv_maj
         esc = t_new >= t1
         x = o + t_new[:, None] * d
         ratio = jnp.maximum(
-            1.0 - density_at(vol, x) * sig_scale * inv_maj, 0.0
+            1.0 - density_at(vol, x) * sig_scale * inv_lm, 0.0
         )
-        trans = jnp.where(jnp.logical_not(done) & jnp.logical_not(esc),
-                          trans * ratio, trans)
+        trans = jnp.where(
+            jnp.logical_not(done) & jnp.logical_not(esc)
+            & jnp.logical_not(advance),
+            trans * ratio, trans,
+        )
         t = jnp.where(done, t, t_new)
         done = done | esc
         return i + 1, t, trans, done
