@@ -474,6 +474,40 @@ def test_target_rmse_disabled_without_warmup(setup):
                                   np.asarray(base.accum))
 
 
+def test_target_rmse_calibrated_stop(setup):
+    """End-to-end calibration of render-until-quality (VERDICT r4 item
+    5): render with a reachable --target-rmse, then measure the ACTUAL
+    RMSE against an independent converged reference — the stop must
+    land at or below ~1.3x the requested target. predicted_rmse is an
+    iid standard-error bound; with the LD sampler the true error sits
+    at or below it (PERF.md r5a/r5b A-vs-B grounding), so the stop is
+    conservative — this test pins that end to end on real renders."""
+    import dataclasses
+
+    scene, cam = setup
+    tile = 2
+    target = 0.08
+    cfg = dataclasses.replace(CFG, max_depth=3)
+    state, _ = adaptive.render_adaptive_tiles(
+        scene, cam, cfg, tile=tile, tiles_per_round=4, budget_spp=512,
+        target_rmse=target,
+    )
+    # Must actually have stopped on the estimator, not the budget cap
+    # (else the assertion below tests the budget, not the calibration).
+    assert int(np.asarray(state.tile_spp).sum()) < 512 * (16 // tile) ** 2
+    img = np.asarray(adaptive.resolve_tiles(state, cfg, tile))
+
+    ref_cfg = dataclasses.replace(cfg, seed=997, samples_per_pixel=2048,
+                                  samples_per_step=32)
+    ref = progressive.init_state(ref_cfg)
+    for _ in range(2048 // 32):
+        ref = progressive.render_step(ref, scene, cam, ref_cfg)
+    ref_img = np.asarray(progressive.resolve(ref))
+
+    actual = float(np.sqrt(((img - ref_img) ** 2).mean()))
+    assert actual <= 1.3 * target, (actual, target)
+
+
 def test_target_rmse_stops_uniform_fallback(setup):
     """target_rmse composes with the auto-uniform never-lose path: the
     fallback's full-image waves also stop once the estimate hits."""
