@@ -30,6 +30,15 @@ bench-quick:
 suite:
 	python benchmarks/suite.py
 
+# Composed seconds-to-RMSE table -> benchmarks/TIME_TO_QUALITY.md (TPU).
+time-to-quality:
+	python benchmarks/time_to_quality.py
+
+# Quality headline + A-vs-B grounding (TPU, long; checkpointed/resumable).
+quality:
+	python benchmarks/quality_1024.py
+	python benchmarks/quality_ab.py
+
 render:
 	python -m pathtracing_tpu.render --scene cornell_bsdf \
 	    --width 512 --height 512 --spp 256 --out cornell.png

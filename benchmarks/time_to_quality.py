@@ -147,10 +147,13 @@ def main() -> int:
         else:
             scene, cam_cfg = scenes_mod.get_scene(name)
         cam = build_camera(cam_cfg, 1.0)
+        # Must match adaptive_quality.py's reference config exactly —
+        # the adq_ref_* caches are shared.
         base = RenderConfig(width=size, height=size,
                             samples_per_pixel=4, max_depth=6, seed=0,
                             samples_per_step=4,
-                            background="black")
+                            background=scenes_mod.preferred_background(
+                                name))
         ref = reference(scene, cam, base, name, size, ref_spp)
 
         methods = {
