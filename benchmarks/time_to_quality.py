@@ -101,13 +101,22 @@ def run_adaptive(scene, cam, config, budget, tile=8):
 
     cfg = dataclasses.replace(config, samples_per_pixel=budget)
     tile = adaptive.pick_tile(cfg, tile)
-    # Warm/compile pass (fresh state, tiny budget).
+    # Warm/compile pass at the SAME budget: tile_rounds jits on static
+    # n_rounds, so a different warm budget leaves the timed region to
+    # pay a ~30 s tunnel compile (the non-monotone adaptive timings in
+    # the first r5 run).
     st, _ = adaptive.render_adaptive_tiles(scene, cam, cfg, tile=tile,
-                                           budget_spp=min(4, budget))
+                                           budget_spp=budget,
+                                           auto_uniform=1.5)
     sync(st.accum)
     t0 = time.perf_counter()
+    # auto_uniform=1.5 = the CLI production default (--adaptive-auto):
+    # the Neyman never-lose guard falls back to uniform waves on
+    # variance-uniform scenes, so this column measures what a user of
+    # --adaptive actually gets, not always-greedy.
     st, _ = adaptive.render_adaptive_tiles(scene, cam, cfg, tile=tile,
-                                           budget_spp=budget)
+                                           budget_spp=budget,
+                                           auto_uniform=1.5)
     sync(st.accum)
     dt = time.perf_counter() - t0
     return dt, np.asarray(adaptive.resolve_tiles(st, cfg, tile))
@@ -163,8 +172,12 @@ def main() -> int:
                 scene, cam, cfg, b),
             "+LD+adaptive+denoise": None,   # derived below
         }
+        wanted = os.environ.get(
+            "TTQ_METHODS", "uniform,+LD,+LD+adaptive").split(",")
         curves = {}
         for method in ("uniform", "+LD", "+LD+adaptive"):
+            if method not in wanted:
+                continue
             cfg = dataclasses.replace(
                 base, sampler="uniform" if method == "uniform" else "ld"
             )
@@ -179,13 +192,16 @@ def main() -> int:
                 }), flush=True)
                 if method == "+LD+adaptive":
                     # Denoise composes on the adaptive result: fixed
-                    # post-pass cost, measured once per budget.
+                    # post-pass cost, measured once per budget (warm —
+                    # the first call pays the jit compile, which is
+                    # cache amortization, not per-frame cost).
                     cfgb = dataclasses.replace(cfg,
                                                samples_per_pixel=b)
+                    den = np.asarray(denoise_mod.denoise_render(
+                        scene, cam, cfgb, img, spp=b))
                     t0 = time.perf_counter()
-                    den = denoise_mod.denoise_render(
-                        scene, cam, cfgb, img, spp=b)
-                    den = np.asarray(den)
+                    den = np.asarray(denoise_mod.denoise_render(
+                        scene, cam, cfgb, img, spp=b))
                     t_den = time.perf_counter() - t0
                     ed = rmse(den, ref)
                     curves.setdefault("+LD+adaptive+denoise",

@@ -52,12 +52,16 @@ import jax.numpy as jnp
 _B3 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def guidance_buffers(scene, camera, config):
     """First-hit feature buffers at pixel centers.
 
     Returns ``(normal, albedo, depth, valid)`` with shapes
     ((H,W,3), (H,W,3), (H,W), (H,W)) — deterministic (no jitter, lens
     center), so the guidance is noise-free regardless of aperture.
+    Jitted (config static): unjitted, the feature render dispatched
+    op-by-op through the axon tunnel and cost ~20 s per call at 256²
+    (measured in the r5 time-to-quality run) vs milliseconds fused.
     """
     from pathtracing_tpu.models import scene as scene_mod
     from pathtracing_tpu.ops import camera as camera_ops
