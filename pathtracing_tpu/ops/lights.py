@@ -41,20 +41,22 @@ area-measure uses.
 Selection is one-hot masked-sum over SMALL light tables — never a
 matmul (bf16 default dots put sampled points off the light plane;
 PERF.md "Correctness gotcha"). Masked-sum work grows as (rays × L) per
-column, so tables with ``L >= _GATHER_MIN`` switch to a searchsorted
+column, so tables with ``L >= _GATHER_MIN`` switch to a Σ(u > cum)
 CDF pick + ONE packed row gather (the r3m single-gather pattern: all
-sampler columns pre-packed into an (L, W) f32 table at build time).
-The crossover was MEASURED on chip (PERF.md r4e: 512² 4spp step,
-many_lights_demo grids): masked-sum 1.14/1.22/1.30/1.48 s vs gather
-1.40/1.40/1.54/1.58 s at L = 288/578/1152/2312 — the VPU eats the
-(rays × L) compare far longer than the per-lane 24-wide gather
-traffic amortizes, crossing only around L ≈ 2.4k. The default
-threshold sits above the measured range (gather also bounds the
-(rays × L) intermediate for HUGE tables). The switch is a static
-table-size property: every small-table scene keeps its bit-identical
-masked-sum graph, and both paths draw identical picks
-(searchsorted(side='left') == the Σ(u > cum) count by construction;
-tests/test_many_lights.py locks bitwise equality).
+sampler columns pre-packed into an (L, W) f32 table at build time,
+fetched through the Pallas ``tpu.dynamic_gather`` kernel —
+``ops/pgather.py``). History of the crossover (PERF.md r4e → r5e, 512²
+4spp step, many_lights_demo grids): the ORIGINAL gather mode
+(jnp.searchsorted + jnp.take) measured SLOWER than masked-sum through
+L ≈ 2.4k and the threshold sat at 4096 — but the r5e decomposition
+showed ~97% of that cost was jnp.searchsorted's gathered binary
+search (79 ms vs 2 ms for the fused count at R=1M) plus XLA's slow
+row take (5.8 ms vs 1.6 ms through pgather); with both replaced the
+gather mode wins from L ≈ 192. The switch is a static table-size
+property: every small-table scene keeps its bit-identical masked-sum
+graph, and both paths draw identical picks AND identical row values
+(gathers are exact copies), so images match bitwise across modes
+(tests/test_many_lights.py locks it).
 """
 
 from __future__ import annotations
@@ -68,15 +70,22 @@ KIND_TRI = 0
 KIND_SPHERE = 1
 
 # Table size at which light selection switches from one-hot masked-sum
-# (measured cheaper through L ≈ 2.3k on chip, PERF.md r4e) to a
-# searchsorted pick + single packed row gather (O(1) in L per vertex,
-# and bounds the (rays × L) masked-sum intermediate for huge tables).
+# to a Σ(u > cum) pick + single pgather packed-row fetch. Re-measured
+# r5e after replacing searchsorted/jnp.take with the fused count +
+# Pallas dynamic_gather: the gather mode now wins from L ≈ 192 (and
+# still bounds the (rays × L·W) masked-sum work for huge tables).
 # Overridable for the crossover probe (benchmarks/probe_ris.py, which
 # monkeypatches it); renders are identical either way — only the
 # schedule changes.
 import os as _os
 
-_GATHER_MIN = int(_os.environ.get("PT_LIGHT_GATHER_MIN", 4096))
+_GATHER_MIN = int(_os.environ.get("PT_LIGHT_GATHER_MIN", 192))
+
+# Pick-index mode inside the gather path: the fused Σ(u > cum) count
+# costs O(R·L) VPU compares (~2 ms at R=1M, L=288) while XLA's
+# searchsorted costs a flat ~79 ms in gathered binary-search steps
+# (PERF.md r5e) — the count wins until L reaches tens of thousands.
+_SUMCOUNT_MAX = int(_os.environ.get("PT_LIGHT_SUMCOUNT_MAX", 32768))
 
 # Column layout of ``LightTable.packed`` ((L, 24) f32, built only for
 # gather-mode tables): slices for the vector columns, scalar indices
@@ -280,13 +289,26 @@ def _pick_and_select(lights: LightTable, u0):
     """
     n_lights = lights.cum.shape[0]
     if lights.packed is not None:
-        # #(cum < u) == searchsorted(side='left') — same pick as the
-        # masked-sum mode's Σ(u > cum) count, O(log L) per ray.
-        idx = jnp.clip(
-            jnp.searchsorted(lights.cum, u0, side="left"),
-            0, n_lights - 1,
-        )
-        rows = jnp.take(lights.packed, idx, axis=0)     # (R, W): 1 gather
+        # Pick: Σ(u > cum) count for tables the fused (R, L) compare
+        # handles cheaply (2 ms vs jnp.searchsorted's 79 ms at R=1M,
+        # L=288 on chip — its gathered binary search is the slowest op
+        # in the old gather mode, PERF.md r5e); searchsorted only for
+        # tables big enough that O(R·L) compares lose. Both compute the
+        # IDENTICAL index (searchsorted(side='left') == the count by
+        # construction; tests/test_many_lights.py locks it).
+        if n_lights <= _SUMCOUNT_MAX:
+            idx = jnp.sum(
+                (u0[:, None] > lights.cum[None, :]).astype(jnp.int32),
+                axis=1,
+            )
+        else:
+            idx = jnp.searchsorted(lights.cum, u0, side="left")
+        idx = jnp.clip(idx, 0, n_lights - 1)
+        # One row gather — on TPU through the Pallas dynamic_gather
+        # kernel (bit-identical to jnp.take, ~100x its throughput for
+        # VMEM-resident tables; PERF.md r5d/r5e), XLA take elsewhere.
+        from pathtracing_tpu.ops import pgather
+        rows = pgather.gather_rows(lights.packed, idx)  # (R, W)
         cols = {"v0": _P_V0, "e1": _P_E1, "e2": _P_E2,
                 "normal": _P_NORMAL, "emit": _P_EMIT,
                 "uv0": _P_UV0, "uv_e1": _P_UVE1, "uv_e2": _P_UVE2}

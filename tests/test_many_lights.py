@@ -49,15 +49,18 @@ def test_forced_gather_table_shape(demo):
     assert lt.kind is None
 
 
-def test_default_tables_stay_masked_sum():
-    """Below the measured crossover (PERF.md r4e) EVERY built-in demo —
-    including the 288-row many_lights_demo — keeps the masked-sum
-    build (no packed column, bit-identical legacy pytree/graph)."""
-    for name in ("cornell_bsdf", "veach_mis", "screenlight_demo",
-                 "many_lights_demo"):
+def test_default_table_modes_match_crossover():
+    """Small tables keep the masked-sum build (no packed column,
+    bit-identical legacy pytree/graph); tables at or above the r5e
+    re-measured crossover (L >= 192 — sum-count pick + pgather rows,
+    PERF.md r5e) build the packed column. many_lights_demo (288 rows)
+    crossed over when the crossover dropped from 4096."""
+    for name in ("cornell_bsdf", "veach_mis", "screenlight_demo"):
         scene, _ = scenes.get_scene(name)
         assert scene.lights.packed is None, name
-    assert lights_mod._GATHER_MIN == 4096
+    scene, _ = scenes.get_scene("many_lights_demo")
+    assert scene.lights.packed is not None
+    assert lights_mod._GATHER_MIN == 192
 
 
 def test_gather_matches_masked_sum_bitwise(demo):
