@@ -33,8 +33,11 @@ sys.path.insert(0, REPO)
 
 def walk_counts(vol, o, d, t_max, seed=0):
     """Per-lane iteration counts + null fraction for the distance walk,
-    mirroring ops.volume.sample_distance step for step (shares
-    _coarse_step/density_at so it tracks the implementation)."""
+    mirroring ops.volume.sample_distance_seq step for step (shares
+    _coarse_step/density_at so it tracks the SEQUENTIAL walk; the
+    production batched walk — PERF.md r5f — replaces per-step gathers
+    with per-round fused gathers, so its cost ledger is wall-clock in
+    part 2, not an iteration count)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -121,7 +124,8 @@ def main() -> int:
 
     scene, cam_cfg = scenes.smoke_demo()
     vol = scene.vol
-    vol_global = dataclasses.replace(vol, coarse=None)
+    vol_global = dataclasses.replace(vol, coarse=None, coarse_ray=None,
+                                     ray_samples=0)
     w, h = 160, 120
     camera = build_camera(cam_cfg, w / h)
 

@@ -26,30 +26,42 @@ reaches into neighbours). Shadow-ray transmittance uses ratio tracking
 same flight distribution), which is the unbiased expectation of
 Beer-Lambert through the grid.
 
-MAJORANTS ARE PIECEWISE-CONSTANT over a coarse super-voxel grid
-(``VolumeGrid.coarse``, default 8³ fine voxels per cell, PERF.md r5c):
-each walk iteration either samples a flight at the CURRENT cell's local
-majorant (clamped to the cell exit — restarting the memoryless
-exponential at a boundary is exact, the classic regular-tracking /
-delta-tracking hybrid) or, when the cell is empty or the flight
-overshoots, advances to the cell boundary with no density lookup and no
-collision test. A mostly-empty plume then pays the dense-core rate only
-inside dense cells instead of everywhere (the r4 global-max walk spent
-91% of its lookups on null collisions on smoke_demo; the ledger is
-benchmarks/probe_volume.py). ``coarse_block=0`` at build time disables
-the coarse grid and restores the single global-majorant walk.
+MAJORANTS ARE PER-RAY CONSTANTS derived from a coarse super-voxel grid
+(``VolumeGrid.coarse``, default 8³ fine voxels per cell, dilated one
+fine voxel for trilinear support — PERF.md r5c): before a walk, each
+ray takes the maximum of the ONCE-MORE-dilated coarse grid
+(``coarse_ray``, a 3³ coarse-cell max-pool) over ``ray_samples``
+points spaced at most one coarse cell apart along its clipped
+segment. Every point of the segment lies within one cell size of a
+sample, so the 3³ dilation makes the sampled max a true bound on
+extinction along the ray — a valid (per-ray) majorant. Rays through
+empty space get rate 0 and resolve immediately; rays clipping the
+plume pay their own neighbourhood's rate, not the dense core's.
 
-Both walks are batch `lax.while_loop`s over (R,) lanes — data-dependent
-trip counts are fine in plain XLA (this is bounce-level code, not a
-Pallas kernel), and the loop exits when every lane has resolved. A hard
-step cap ``n_steps`` (static pytree aux) bounds compilation and the
-pathological tail: it is sized at build time to ``lambda + 8*sqrt(lambda)``
-flights for ``lambda = majorant * bbox_diagonal`` (a Poisson tail beyond
-that is < 1e-12), so the truncation bias (capped lanes pass through /
-keep their partial product) is far below Monte Carlo noise.
+THE WALKS ARE BATCHED, NOT STEPPED (PERF.md r5f): with a per-ray
+constant rate, the i-th collision distance is a prefix sum of iid
+exponentials, so each round draws K flights at once, evaluates all
+K trilinear densities in ONE fused gather, and resolves
+acceptances/ratio factors vectorially; an outer ``lax.while_loop``
+repeats rounds only while some lane is unresolved. This exists
+because the sequential walk spent ~88% of its time in per-step XLA
+gathers (8 corner fetches per iteration inside the loop run at
+~0.06 Gelem/s on TPU — the decomposition is PERF.md r5f); the same
+fetches batched run ~25x faster. The per-cell sequential walk
+(regular/delta-tracking hybrid with boundary restarts) is kept as
+``sample_distance_seq`` / ``transmittance_seq`` for the ledger probe
+and estimator cross-checks. ``coarse_block=0`` at build time disables
+the coarse grids; the batched walk then runs at the global majorant.
 
-RNG is counter-based like every other stream: per-step draws fold the
-step index into STREAM_VOL / STREAM_VOLT sub-keys, so engines,
+A hard flight cap ``n_steps`` (static pytree aux) bounds compilation
+and the pathological tail: it is sized at build time to
+``lambda + 8*sqrt(lambda)`` flights for
+``lambda = majorant * bbox_diagonal`` (a Poisson tail beyond that is
+< 1e-12), so the truncation bias (capped lanes pass through / keep
+their partial product) is far below Monte Carlo noise.
+
+RNG is counter-based like every other stream: per-round draws fold the
+round index into STREAM_VOL / STREAM_VOLT sub-keys, so engines,
 shardings, and resume points reproduce bit-exactly and grid-free scenes
 never fold the streams in at all (the feature-gating contract).
 """
@@ -105,17 +117,25 @@ class VolumeGrid:
     # extinction ((Ncz, Ncy, Ncx) f32, world units^-1). None = single
     # global-majorant walks (coarse_block=0 at build time).
     coarse: jnp.ndarray = None
+    # 3³ coarse-cell max-pool of ``coarse``: sampling it at points at
+    # most one cell apart along a segment bounds extinction over the
+    # WHOLE segment (module docstring) — the per-ray majorant table.
+    coarse_ray: jnp.ndarray = None
     n_steps: int = 64       # static: tracking step cap
+    # Static count of per-ray majorant samples (ceil(bbox diagonal /
+    # min coarse cell size) + 2); 0 when coarse grids are disabled.
+    ray_samples: int = 0
 
     def tree_flatten(self):
         leaves = (self.density, self.sigma_s, self.sigma_a, self.g,
                   self.bbox_min, self.bbox_max, self.majorant,
-                  self.emission, self.emit_color, self.coarse)
-        return leaves, self.n_steps
+                  self.emission, self.emit_color, self.coarse,
+                  self.coarse_ray)
+        return leaves, (self.n_steps, self.ray_samples)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, n_steps=aux)
+        return cls(*leaves, n_steps=aux[0], ray_samples=aux[1])
 
     @property
     def albedo(self):
@@ -180,10 +200,33 @@ def build_grid(density, bbox_min, bbox_max, sigma_s, sigma_a=0.0,
             emit_color = (1.0, 1.0, 1.0)
     majorant = float(density.max()) * (sigma_s + sigma_a)
     coarse = None
+    coarse_ray = None
+    ray_samples = 0
     if coarse_block and coarse_block > 0:
         coarse = _coarse_majorants(density, int(coarse_block)) * (
             sigma_s + sigma_a
         )
+        # 3³ coarse-cell max-pool: the per-ray majorant table (module
+        # docstring derives why one extra dilation + <= cell-size
+        # sample spacing bounds the segment).
+        cpad = np.pad(coarse, 1, mode="edge")
+        coarse_ray = np.maximum.reduce([
+            cpad[1 + dz:cpad.shape[0] - 1 + dz,
+                 1 + dy:cpad.shape[1] - 1 + dy,
+                 1 + dx:cpad.shape[2] - 1 + dx]
+            for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ])
+        nz_, ny_, nx_ = density.shape
+        ncz, ncy, ncx = coarse.shape
+        ext = bmax - bmin                        # xyz order
+        csize_axes = np.array([
+            ext[0] * (-(-nx_ // ncx)) / nx_,     # _coarse_geom's mapping
+            ext[1] * (-(-ny_ // ncy)) / ny_,
+            ext[2] * (-(-nz_ // ncz)) / nz_,
+        ], np.float32)
+        diag = float(np.linalg.norm(ext))
+        ray_samples = int(math.ceil(diag / float(csize_axes.min()))) + 2
     if n_steps is None:
         lam = majorant * float(np.linalg.norm(bmax - bmin))
         n_steps = lam + 8.0 * math.sqrt(lam + 1.0) + 8.0
@@ -205,7 +248,10 @@ def build_grid(density, bbox_min, bbox_max, sigma_s, sigma_a=0.0,
         emit_color=(jnp.asarray(np.asarray(emit_color, np.float32))
                     if emission is not None else None),
         coarse=(jnp.asarray(coarse) if coarse is not None else None),
+        coarse_ray=(jnp.asarray(coarse_ray) if coarse_ray is not None
+                    else None),
         n_steps=int(n_steps),
+        ray_samples=int(ray_samples),
     )
 
 
@@ -310,17 +356,118 @@ def _coarse_step(vol, csize, hi, cflat, t_eps, o, d, t, u_flight):
     return jnp.where(advance, tb, t_cand), advance, inv_lm
 
 
+def _ray_rate(vol: VolumeGrid, o, d, t0, t1):
+    """Per-ray constant majorant over the clipped segment [t0, t1]:
+    max of ``coarse_ray`` (the 3³-dilated coarse majorants) over
+    ``ray_samples`` points spaced <= one coarse cell apart — a true
+    extinction bound along the segment (module docstring). Returns
+    (rate, inv_rate), both (R,) f32; global majorant when the coarse
+    grids are disabled."""
+    r = o.shape[0]
+    if vol.coarse_ray is None or vol.ray_samples <= 0:
+        rate = jnp.broadcast_to(vol.majorant, (r,))
+        return rate, 1.0 / jnp.maximum(rate, 1e-20)
+    ncz, ncy, ncx = vol.coarse_ray.shape
+    csize, hi, _, _ = _coarse_geom(vol)
+    cflat_ray = vol.coarse_ray.reshape(-1)
+    s = vol.ray_samples
+    frac = jnp.linspace(0.0, 1.0, s, dtype=jnp.float32)        # (S,)
+    ts = t0[:, None] + (t1 - t0)[:, None] * frac[None, :]      # (R, S)
+    xs = o[:, None, :] + ts[..., None] * d[:, None, :]         # (R, S, 3)
+    ci = jnp.clip(
+        jnp.floor((xs - vol.bbox_min) / csize).astype(jnp.int32),
+        0, hi,
+    )
+    lm = cflat_ray[(ci[..., 2] * ncy + ci[..., 1]) * ncx + ci[..., 0]]
+    rate = jnp.max(jnp.where(ts <= t1[:, None], lm, 0.0), axis=1)
+    return rate, 1.0 / jnp.maximum(rate, 1e-20)
+
+
+# Flights per batched walk round: each round draws K flights, fetches
+# all K densities in ONE fused gather, and resolves vectorially. 8 is
+# the measured sweet spot on smoke_demo (PERF.md r5f: 4/8/16 sweep);
+# env-overridable for the sweep only — changing K changes RNG streams.
+import os as _os
+
+_BATCH_K = int(_os.environ.get("PT_VOL_BATCH_K", 8))
+
+
 def sample_distance(vol: VolumeGrid, keys, depth, o, d, t_max, active):
-    """Delta-tracking free-flight sampling inside the grid.
+    """Delta-tracking free-flight sampling inside the grid (batched).
 
     Returns ``(event, t_event, u_phase)``: a bool (R,) marking lanes
     whose next vertex is an in-medium scatter event (before any surface
     hit at ``t_max``), the event distance, and two phase-sampling
-    uniforms drawn from the same per-(ray, bounce) stream (step index
-    ``n_steps``, disjoint from every in-walk draw by construction).
-    The standard delta-tracking estimator: event lanes carry weight
-    ``albedo`` (analog absorption folded in), pass-through lanes weight
-    1 — both exact, matching the homogeneous-fog distance sampler.
+    uniforms drawn from the same per-(ray, bounce) stream (round index
+    past every in-walk draw by construction). The standard
+    delta-tracking estimator at the per-ray rate from ``_ray_rate``:
+    event lanes carry weight ``albedo`` (analog absorption folded in),
+    pass-through lanes weight 1 — both exact, matching the
+    homogeneous-fog distance sampler.
+    """
+    t0, t1 = _ray_box(o, d, vol.bbox_min, vol.bbox_max)
+    t0 = jnp.maximum(t0, 0.0)
+    t1 = jnp.minimum(t1, t_max)
+    sig_scale = vol.sigma_s + vol.sigma_a
+    k_vol = jax.vmap(
+        lambda k, dp: rng.stream_key(k, dp, rng.STREAM_VOL)
+    )(keys, depth)
+
+    r = o.shape[0]
+    live0 = active & (t0 < t1)
+    rate, inv_rate = _ray_rate(vol, o, d, t0, t1)
+    live0 = live0 & (rate > 0.0)
+    n_rounds = -(-vol.n_steps // _BATCH_K)
+
+    def cond(carry):
+        i, _, _, live, _ = carry
+        return (i < n_rounds) & jnp.any(live)
+
+    def body(carry):
+        i, t, t_evt, live, event = carry
+        u = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, i), (_BATCH_K, 2),
+                dtype=jnp.float32)
+        )(k_vol)                                       # (R, K, 2)
+        flights = _flight(u[..., 0], inv_rate[:, None])
+        ts = t[:, None] + jnp.cumsum(flights, axis=1)  # (R, K)
+        xs = o[:, None, :] + ts[..., None] * d[:, None, :]
+        dens = density_at(vol, xs.reshape(r * _BATCH_K, 3)) \
+            .reshape(r, _BATCH_K)
+        p_real = dens * sig_scale * inv_rate[:, None]
+        inside = ts < t1[:, None]
+        accept = inside & (u[..., 1] < p_real)
+        any_acc = jnp.any(accept, axis=1)
+        first = jnp.argmax(accept, axis=1)             # first True
+        t_hit = jnp.take_along_axis(ts, first[:, None], axis=1)[:, 0]
+        hit = live & any_acc
+        t_evt = jnp.where(hit, t_hit, t_evt)
+        event = event | hit
+        t = jnp.where(live, ts[:, -1], t)
+        live = live & jnp.logical_not(any_acc) & (ts[:, -1] < t1)
+        return i + 1, t, t_evt, live, event
+
+    _, _, t_evt, _, event = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), t0, t1, live0, jnp.zeros(r, bool)),
+    )
+    t_out = jnp.where(event, t_evt, t1)
+    u_phase = jax.vmap(
+        lambda k: jax.random.uniform(
+            jax.random.fold_in(k, n_rounds), (2,), dtype=jnp.float32
+        )
+    )(k_vol)
+    return event, t_out, u_phase
+
+
+def sample_distance_seq(vol: VolumeGrid, keys, depth, o, d, t_max,
+                        active):
+    """Sequential per-cell delta-tracking walk (the pre-r5f
+    implementation; regular/delta-tracking hybrid over the coarse
+    cells). Kept for the walk ledger (benchmarks/probe_volume.py) and
+    estimator cross-checks — production uses the batched
+    ``sample_distance``. Same estimator, different RNG stream layout.
     """
     t0, t1 = _ray_box(o, d, vol.bbox_min, vol.bbox_max)
     t0 = jnp.maximum(t0, 0.0)
@@ -380,11 +527,64 @@ def sample_distance(vol: VolumeGrid, keys, depth, o, d, t_max, active):
 def transmittance(vol: VolumeGrid, keys, depth, o, d, t_max, salt):
     """Ratio-tracking transmittance along (o, d) up to ``t_max`` -> (R,).
 
-    Unbiased estimator of exp(-integral sigma_t): exponential flights at
-    the majorant rate, multiplying ``1 - sigma_t(x)/majorant`` per
-    collision until the walk exits the clipped segment. ``salt`` keeps
-    the per-bounce NEE arms (area / env / delta) on disjoint streams.
+    Unbiased estimator of exp(-integral sigma_t): exponential flights
+    at the per-ray rate (``_ray_rate``), multiplying
+    ``1 - sigma_t(x)/rate`` per collision until the walk exits the
+    clipped segment — batched K flights per round with one fused
+    density gather (module docstring / PERF.md r5f). Ratio tracking
+    has NO data-dependent branch inside a round (every collision
+    contributes a factor), so batching is exact. ``salt`` keeps the
+    per-bounce NEE arms (area / env / delta) on disjoint streams.
     """
+    t0, t1 = _ray_box(o, d, vol.bbox_min, vol.bbox_max)
+    t0 = jnp.maximum(t0, 0.0)
+    t1 = jnp.minimum(t1, t_max)
+    sig_scale = vol.sigma_s + vol.sigma_a
+    k_t = jax.vmap(
+        lambda k, dp: jax.random.fold_in(
+            rng.stream_key(k, dp, rng.STREAM_VOLT), salt
+        )
+    )(keys, depth)
+
+    r = o.shape[0]
+    rate, inv_rate = _ray_rate(vol, o, d, t0, t1)
+    live0 = (t0 < t1) & (rate > 0.0)
+    n_rounds = -(-vol.n_steps // _BATCH_K)
+
+    def cond(carry):
+        i, _, _, live = carry
+        return (i < n_rounds) & jnp.any(live)
+
+    def body(carry):
+        i, t, trans, live = carry
+        u = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, i), (_BATCH_K,),
+                dtype=jnp.float32)
+        )(k_t)                                         # (R, K)
+        flights = _flight(u, inv_rate[:, None])
+        ts = t[:, None] + jnp.cumsum(flights, axis=1)  # (R, K)
+        xs = o[:, None, :] + ts[..., None] * d[:, None, :]
+        dens = density_at(vol, xs.reshape(r * _BATCH_K, 3)) \
+            .reshape(r, _BATCH_K)
+        ratio = jnp.maximum(
+            1.0 - dens * sig_scale * inv_rate[:, None], 0.0
+        )
+        counts = live[:, None] & (ts < t1[:, None])
+        trans = trans * jnp.prod(jnp.where(counts, ratio, 1.0), axis=1)
+        t = jnp.where(live, ts[:, -1], t)
+        live = live & (ts[:, -1] < t1) & (trans > 0.0)
+        return i + 1, t, trans, live
+
+    _, _, trans, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, jnp.ones(r, jnp.float32), live0)
+    )
+    return trans
+
+
+def transmittance_seq(vol: VolumeGrid, keys, depth, o, d, t_max, salt):
+    """Sequential per-cell ratio-tracking walk (pre-r5f; see
+    ``sample_distance_seq`` for why it is kept)."""
     t0, t1 = _ray_box(o, d, vol.bbox_min, vol.bbox_max)
     t0 = jnp.maximum(t0, 0.0)
     t1 = jnp.minimum(t1, t_max)
